@@ -1,0 +1,603 @@
+package graft.vault
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Functional core of the raw-vault CDC loaders.
+  *
+  * Every function is a pure DataFrame transformation: it takes the staged
+  * batch plus the current contents of the target vault table and returns
+  * exactly the rows that must be APPENDED ("anti-join + append" idiom —
+  * the reference's v3 semantics, RawVault.py:221-260,913-994,480-632).
+  * This keeps the engine storage-agnostic, unit-testable without a
+  * catalog, and idempotent: replaying a batch yields zero new rows.
+  *
+  * Scale notes: all dedup joins are `left_anti` on the (bucketable) hash
+  * key, so with bucketed vault tables they become shuffle-free on one
+  * side; `distinct` is a partial-aggregate (map-side combine) in Spark.
+  * No collect(), no driver-side loops over data.
+  */
+object RawVaultOps {
+
+  /** Normalize a raw source batch into the prepared-staging shape
+    * (reference `stage_table_df`, RawVault.py:1015-1043): rename the
+    * configured load-date / CDC-operation columns to the system names, tag
+    * the record source, apply the snapshot load-date override, compute the
+    * hash key. */
+  def prepareStaged(
+      df: DataFrame,
+      sourceSystemName: String,
+      loadDateColumn: String,
+      operationColumn: String,
+      hkeyColumns: Seq[String] = Nil,
+      snapshotOverrideColumn: Option[String] = None)(
+      implicit c: Conventions): DataFrame = {
+    var out = df
+      .withColumnRenamed(loadDateColumn, c.loadDate)
+      .withColumnRenamed(operationColumn, c.operation)
+      .withColumn(c.recordSource, lit(sourceSystemName))
+    // snapshot rows (op < 1) carry their business timestamp (RawVault.py:1033-1038)
+    snapshotOverrideColumn.filter(out.columns.contains) foreach { snap =>
+      out = out.withColumn(
+        c.loadDate,
+        when(out(c.operation) < 1, out(snap)).otherwise(out(c.loadDate)))
+    }
+    if (hkeyColumns.nonEmpty)
+      out = out.withColumn(c.hkey, Dv.hashNames(hkeyColumns))
+    out
+  }
+
+  /** Stamp a staged batch for loading (reference load_hub prologue,
+    * RawVault.py:237-240): preserve the CDC time in `$__CDC_LOAD_DATE`,
+    * restamp `$__LOAD_DATE` with the technical load clock, and tag the
+    * record source. `clock` is injectable for deterministic tests; the
+    * reference behavior is `current_timestamp()`. */
+  def stampForLoad(staged: DataFrame, sourceSystemName: String,
+      clock: Column = current_timestamp())(implicit c: Conventions): DataFrame =
+    staged
+      .withColumn(c.cdcLoadDate, staged(c.loadDate))
+      .withColumn(c.loadDate, clock)
+      .withColumn(c.recordSource, lit(sourceSystemName))
+
+  /** New hub rows: staged minus already-present HKEYs
+    * (RawVault.py:247-257). */
+  def newHubRows(staged: DataFrame, hub: DataFrame,
+      businessKeyColumns: Seq[String])(implicit c: Conventions): DataFrame = {
+    val cols = Seq(c.hkey, c.loadDate, c.recordSource) ++ businessKeyColumns
+    staged
+      .join(hub, hub(c.hkey) === staged(c.hkey), "left_anti")
+      .select(cols.map(col): _*)
+      .distinct()
+  }
+
+  /** New satellite rows for one satellite definition
+    * (RawVault.py:913-951): CDC ops {CREATE, UPDATE, SNAPSHOT}, load date
+    * restored from CDC time, `$__HDIFF = md5(attrs)`, anti-join dedup on
+    * (HKEY, LOAD_DATE). */
+  def newSatelliteRows(staged: DataFrame, sat: DataFrame,
+      attributes: Seq[String], repartitionSize: Option[Int] = None)(
+      implicit c: Conventions): DataFrame = {
+    val allowed = Seq(CdcOp.Create, CdcOp.Update, CdcOp.Snapshot)
+    val cols = Seq(c.hkey, c.hdiff, c.loadDate) ++ attributes
+    var out = staged
+      .filter(staged(c.operation).isin(allowed: _*))
+      .withColumn(c.loadDate, staged(c.cdcLoadDate))
+      .withColumn(c.hdiff, Dv.hashNames(attributes))
+      .select(cols.map(col): _*)
+    repartitionSize.foreach(n => out = out.repartition(n, col(c.hkey), col(c.loadDate)))
+    out
+      .join(sat, Seq(sat(c.hkey) === out(c.hkey),
+        sat(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+      .distinct()
+  }
+
+  /** New effectivity-satellite rows (RawVault.py:953-994): CDC ops
+    * {CREATE, DELETE, SNAPSHOT}; `$__DELETED = (op == DELETE)`;
+    * `$__HDIFF = md5($__DELETED)`; anti-join dedup on (HKEY, LOAD_DATE). */
+  def newEffectivityRows(staged: DataFrame, eff: DataFrame,
+      repartitionSize: Option[Int] = None)(implicit c: Conventions): DataFrame = {
+    val allowed = Seq(CdcOp.Create, CdcOp.Delete, CdcOp.Snapshot)
+    val cols = Seq(c.hkey, c.hdiff, c.loadDate, c.deleted)
+    // literal `1` matches the reference exactly (RawVault.py:973)
+    val deletedCol = when(col(c.operation) === 1, true).otherwise(false)
+    var out = staged
+      .filter(staged(c.operation).isin(allowed: _*))
+      .withColumn(c.loadDate, staged(c.cdcLoadDate))
+      .withColumn(c.deleted, deletedCol)
+      .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
+      .select(cols.map(col): _*)
+    repartitionSize.foreach(n => out = out.repartition(n, col(c.hkey), col(c.loadDate)))
+    out
+      .join(eff, Seq(eff(c.hkey) === out(c.hkey),
+        eff(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+      .distinct()
+  }
+
+  /** New reference-table rows (RawVault.py:737-768). */
+  def newReferenceRows(staged: DataFrame, ref: DataFrame, idColumn: String,
+      attributes: Seq[String], repartitionSize: Option[Int] = None)(
+      implicit c: Conventions): DataFrame = {
+    val cols = Seq(idColumn, c.hdiff, c.loadDate) ++ attributes
+    var out = staged
+      .withColumn(c.hdiff, Dv.hashNames(attributes))
+      .select(cols.map(col): _*)
+    repartitionSize.foreach(n => out = out.repartition(n, col(idColumn), col(c.loadDate)))
+    out
+      .join(ref, Seq(ref(idColumn) === out(idColumn),
+        ref(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+      .distinct()
+  }
+
+  /** New code-reference rows, grouped by `$__GROUP = staging table name`
+    * (RawVault.py:797-833). */
+  def newCodeReferenceRows(staged: DataFrame, ref: DataFrame,
+      groupName: String, idColumn: String, attributes: Seq[String],
+      repartitionSize: Option[Int] = None)(implicit c: Conventions): DataFrame = {
+    val cols = Seq(c.group, idColumn, c.hdiff, c.loadDate) ++ attributes
+    var out = staged
+      .withColumn(c.hdiff, Dv.hashNames(attributes))
+      .withColumn(c.group, lit(groupName.toLowerCase))
+      .select(cols.map(col): _*)
+    repartitionSize.foreach(n =>
+      out = out.repartition(n, col(c.group), col(idColumn), col(c.loadDate)))
+    out
+      .join(ref, Seq(ref(idColumn) === out(idColumn),
+        ref(c.group) === out(c.group),
+        ref(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+      .distinct()
+  }
+
+  /** Resolve each FK of a source-side link table against its hub and
+    * attach the `<HUB>_HKEY` columns (RawVault.py:675-684). `hubs` maps
+    * each link leg to the current hub DataFrame. */
+  def resolveMultilinkHubKeys(staged: DataFrame,
+      links: Seq[(LinkedHubDefinition, DataFrame)])(
+      implicit c: Conventions): DataFrame =
+    links.foldLeft(staged) { case (acc, (link, hub)) =>
+      val hubSel = hub
+        .withColumnRenamed(c.hkey, link.hkeyColumnName)
+        .select(col(link.foreignKey.to.column), col(link.hkeyColumnName))
+      acc
+        .join(hubSel, hubSel(link.foreignKey.to.column) === acc(link.foreignKey.column), "left")
+        .drop(hubSel(link.foreignKey.to.column))
+    }
+
+  /** Multilink load (RawVault.py:660-708) after FK resolution: stamp, hash
+    * the member hub HKEYs into the link `$__HKEY`, dedup vs existing.
+    * Returns (stamped staged for eff/sat loads, new link rows). */
+  def newMultilinkRows(resolved: DataFrame, link: DataFrame,
+      hkeyColumnNames: Seq[String], sourceSystemName: String,
+      clock: Column = current_timestamp())(
+      implicit c: Conventions): (DataFrame, DataFrame) = {
+    val staged = resolved
+      .withColumnRenamed(c.loadDate, c.cdcLoadDate)
+      .withColumn(c.hkey, Dv.hashNames(hkeyColumnNames))
+      .withColumn(c.loadDate, clock)
+      .withColumn(c.recordSource, lit(sourceSystemName))
+      .distinct()
+    val cols = Seq(c.hkey, c.loadDate, c.recordSource) ++ hkeyColumnNames
+    val newRows = staged
+      .join(link, link(c.hkey) === staged(c.hkey), "left_anti")
+      .select(cols.map(col): _*)
+      .distinct()
+    (staged, newRows)
+  }
+
+  /** 2-way FK link load with effectivity reconciliation — the reference's
+    * hardest function (RawVault.py:480-632), ported behavior-first.
+    *
+    * @param stagedFrom  prepared staging batch of the FK-owning entity
+    * @param toStaged    prepared staging batch of the FK target (HKEY computed)
+    * @param toHubFallback/toSatFallback  current hub+sat of the target —
+    *        entities absent from this batch resolve through them
+    * @param linkDf/effDf current LNK / SAT__EFFECTIVITY contents
+    * @return (new link rows, new effectivity rows)
+    */
+  def linkLoad(
+      stagedFrom: DataFrame,
+      foreignKey: ForeignKey,
+      toStaged: DataFrame,
+      toHubFallback: DataFrame,
+      toSatFallback: DataFrame,
+      linkDf: DataFrame,
+      effDf: DataFrame,
+      fromHkeyColumnName: String,
+      toHkeyColumnName: String)(implicit c: Conventions): (DataFrame, DataFrame) = {
+
+    val fromDf = stagedFrom
+      .filter(col(c.operation) === CdcOp.Update ||
+        col(c.operation) === CdcOp.Create ||
+        col(c.operation) === CdcOp.Snapshot)
+      .withColumnRenamed(c.hkey, fromHkeyColumnName)
+      .cache()
+
+    val fromWithLink = fromDf.filter(col(foreignKey.column).isNotNull)
+
+    val toDf = toStaged
+      .select(col(c.hkey), col(foreignKey.to.column))
+      .withColumnRenamed(c.hkey, toHkeyColumnName)
+
+    val joined = fromWithLink
+      .join(toDf, fromWithLink(foreignKey.column) === toDf(foreignKey.to.column), "left")
+      .cache()
+
+    // fallback: linked entities absent from the batch resolve via hub(+sat)
+    // (RawVault.py:530-536)
+    val toFallback = toHubFallback
+      .join(toSatFallback,
+        toHubFallback(c.hkey) === toSatFallback(c.hkey), "left")
+      .select(toHubFallback(c.hkey), col(foreignKey.to.column))
+      .withColumnRenamed(c.hkey, toHkeyColumnName)
+
+    val outCols = Seq(col(fromHkeyColumnName), col(toHkeyColumnName),
+      fromWithLink(c.loadDate), fromWithLink(c.recordSource))
+
+    val linkedDf = joined
+      .filter(col(toHkeyColumnName).isNotNull)
+      .select(outCols: _*)
+      .union(joined
+        .filter(col(toHkeyColumnName).isNull)
+        .drop(col(toHkeyColumnName))
+        .join(toFallback, fromWithLink(foreignKey.column) === toFallback(foreignKey.to.column))
+        .select(outCols: _*)
+        .filter(col(toHkeyColumnName).isNotNull))
+      .withColumn(c.hkey, Dv.hashNames(Seq(fromHkeyColumnName, toHkeyColumnName)))
+      .cache()
+
+    // new LNK rows: exclude HKEYs already present (RawVault.py:563-567)
+    val newLinkRows = linkedDf
+      .dropDuplicates(Seq(c.hkey))
+      .join(linkDf, linkedDf(c.hkey) === linkDf(c.hkey), "left_anti")
+      .select(linkDf.columns.map(col): _*)
+      .cache()
+
+    // effectivity: new pairs are live (RawVault.py:574-577)
+    val effNew = linkedDf
+      .withColumn(c.deleted, lit(false))
+      .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
+      .select(effDf.columns.map(col): _*)
+
+    // pairs previously linked from these from-entities (RawVault.py:582-585)
+    val linkFull = linkDf.union(newLinkRows)
+    val prevLinks = linkFull
+      .join(fromDf.select(col(fromHkeyColumnName)),
+        fromDf(fromHkeyColumnName) === linkFull(fromHkeyColumnName))
+      .drop(fromDf(fromHkeyColumnName))
+
+    // staged rows whose FK became null participate as "linked to nothing"
+    // (RawVault.py:588-600)
+    val linkedWithNulls = linkedDf.union(
+      fromDf
+        .filter(fromDf(foreignKey.column).isNull)
+        .withColumn(toHkeyColumnName, lit(null).cast(StringType))
+        .withColumn(c.hkey, lit(null).cast(StringType))
+        .select(Seq(fromHkeyColumnName, toHkeyColumnName, c.loadDate,
+          c.recordSource, c.hkey).map(col): _*))
+
+    // theta join: detect re-pointed or nulled FKs (RawVault.py:603-611)
+    val deleteOldLinks = prevLinks
+      .join(linkedWithNulls,
+        (prevLinks(fromHkeyColumnName) === linkedWithNulls(fromHkeyColumnName)) &&
+          ((prevLinks(toHkeyColumnName) =!= linkedWithNulls(toHkeyColumnName)) ||
+            (prevLinks(toHkeyColumnName).isNotNull && linkedWithNulls(toHkeyColumnName).isNull)))
+      .drop(linkedWithNulls(c.hkey))
+      .drop(prevLinks(c.loadDate))
+      .withColumn(c.deleted, lit(true))
+      .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
+      .select(effDf.columns.map(col): _*)
+
+    // suppress rows whose deleted-flag did not change (lag window,
+    // RawVault.py:614-620), then anti-join vs existing effectivity
+    val w = Window.partitionBy(c.hkey).orderBy(c.loadDate)
+    val effFull = effNew
+      .union(deleteOldLinks)
+      .union(effDf)
+      .distinct()
+      .withColumn("prev", lag(c.deleted, 1).over(w))
+      .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
+      .drop("prev")
+
+    val newEffRows = effFull
+      .join(effDf, Seq(effDf(c.hkey) === effFull(c.hkey),
+        effDf(c.loadDate) === effFull(c.loadDate)).reduce(_ && _), "left_anti")
+      .distinct()
+
+    (newLinkRows, newEffRows)
+  }
+}
+
+/** Catalog-backed raw vault, mirroring the reference's public API surface
+  * (SURVEY §2.12; RawVault.py). Tables are created empty with mode
+  * `ignore` and appended via the anti-join functional core above; when
+  * `optimizePartitioning` is on, writes are bucketed by the dedup keys so
+  * repeated anti-joins against the vault avoid re-shuffling the big side.
+  */
+class RawVault(
+    val spark: SparkSession,
+    val config: RawVaultConfig,
+    val sourceSystemName: String,
+    clock: => Column = current_timestamp()) {
+
+  implicit val conventions: Conventions = config.conventions
+  private val c = conventions
+  import RawVaultOps._
+
+  private def rawTable(name: String): DataFrame =
+    spark.table(s"${config.rawDatabase}.`$name`")
+  private def stagedTable(name: String): DataFrame =
+    spark.table(s"${config.stagingPreparedDatabase}.`$name`")
+  private def repartitionSize: Option[Int] =
+    if (config.optimizePartitioning) Some(config.partitionSize) else None
+
+  def initializeDatabase(): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.stagingPreparedDatabase}")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.rawDatabase}")
+  }
+
+  // ---- DDL (create-if-not-exists via empty DF + mode ignore,
+  //      RawVault.py:64-185,1045-1075) ----
+
+  private def createExternalTable(database: String, name: String,
+      columns: Seq[ColumnDefinition], bucketColumns: Seq[String]): Unit = {
+    val schema = StructType(columns.map(_.toField))
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    writeTable(df, database, name, bucketColumns, "ignore")
+  }
+
+  private def writeTable(df: DataFrame, database: String, name: String,
+      bucketColumns: Seq[String], mode: String): Unit = {
+    if (config.optimizePartitioning && bucketColumns.nonEmpty)
+      df.write
+        .bucketBy(config.partitionSize, bucketColumns.head, bucketColumns.tail: _*)
+        .mode(mode).saveAsTable(s"$database.`$name`")
+    else
+      df.write.mode(mode).saveAsTable(s"$database.`$name`")
+  }
+
+  def createHub(name: String, businessKeyColumns: Seq[ColumnDefinition]): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.hkey, StringType),
+      ColumnDefinition(c.loadDate, TimestampType),
+      ColumnDefinition(c.recordSource, StringType)) ++ businessKeyColumns
+    createExternalTable(config.rawDatabase, c.hubName(name), columns, Seq(c.hkey))
+    createEffectivitySatellite(c.effectivitySatName(name))
+  }
+
+  def createLink(name: String, hkeyColumnNames: Seq[String]): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.hkey, StringType),
+      ColumnDefinition(c.loadDate, TimestampType),
+      ColumnDefinition(c.recordSource, StringType)) ++
+      hkeyColumnNames.map(ColumnDefinition(_, StringType))
+    createExternalTable(config.rawDatabase, c.linkName(name), columns, Seq(c.hkey))
+    createEffectivitySatellite(c.effectivitySatName(name))
+  }
+
+  def createSatellite(name: String, attributeColumns: Seq[ColumnDefinition]): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.hkey, StringType),
+      ColumnDefinition(c.hdiff, StringType),
+      ColumnDefinition(c.loadDate, TimestampType)) ++ attributeColumns
+    createExternalTable(config.rawDatabase, c.satName(name), columns,
+      Seq(c.hkey, c.loadDate))
+  }
+
+  def createEffectivitySatellite(name: String): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.hkey, StringType),
+      ColumnDefinition(c.hdiff, StringType),
+      ColumnDefinition(c.loadDate, TimestampType),
+      ColumnDefinition(c.deleted, BooleanType))
+    createExternalTable(config.rawDatabase, c.satName(name), columns,
+      Seq(c.hkey, c.loadDate))
+  }
+
+  def createReferenceTable(name: String, idColumn: ColumnDefinition,
+      attributeColumns: Seq[ColumnDefinition]): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.hdiff, StringType),
+      ColumnDefinition(c.loadDate, TimestampType),
+      idColumn) ++ attributeColumns
+    createExternalTable(config.rawDatabase, c.refName(name), columns,
+      Seq(idColumn.name, c.loadDate))
+  }
+
+  def createCodeReferenceTable(name: String, idColumn: ColumnDefinition,
+      attributeColumns: Seq[ColumnDefinition]): Unit = {
+    val columns = Seq(
+      ColumnDefinition(c.group, StringType),
+      ColumnDefinition(c.hdiff, StringType),
+      ColumnDefinition(c.loadDate, TimestampType),
+      idColumn) ++ attributeColumns
+    createExternalTable(config.rawDatabase, c.refName(name), columns,
+      Seq(c.group, idColumn.name, c.loadDate))
+  }
+
+  // ---- staging (RawVault.py:996-1043) ----
+
+  def stageTableDf(source: String, hkeyColumns: Seq[String] = Nil): DataFrame =
+    prepareStaged(
+      spark.read.parquet(s"${config.stagingBasePath}/$source"),
+      sourceSystemName, config.loadDateColumn, config.operationColumn,
+      hkeyColumns, config.snapshotOverrideColumn)
+
+  def stageTable(name: String, source: String, hkeyColumns: Seq[String] = Nil): Unit = {
+    val df = stageTableDf(source, hkeyColumns)
+    val bucketCols = if (df.columns.contains(c.hkey)) Seq(c.hkey) else Nil
+    writeTable(df, config.stagingPreparedDatabase, name, bucketCols, "overwrite")
+  }
+
+  // ---- hub + satellites + effectivity (RawVault.py:194-260) ----
+
+  def loadHubFromPreparedStagingTable(stagingTableName: String, hubTableName: String,
+      businessKeyColumns: Seq[String], satellites: Seq[SatelliteDefinition] = Nil): Unit =
+    loadHub(stagedTable(stagingTableName), hubTableName, businessKeyColumns, satellites)
+
+  def loadHubFromSourceTable(sourceTableName: String, hubTableName: String,
+      businessKeyColumns: Seq[String], satellites: Seq[SatelliteDefinition] = Nil): Unit =
+    loadHub(stageTableDf(s"$sourceTableName.parquet", businessKeyColumns),
+      hubTableName, businessKeyColumns, satellites)
+
+  def loadHub(stagedDf: DataFrame, hubTableName: String,
+      businessKeyColumns: Seq[String], satellites: Seq[SatelliteDefinition] = Nil): Unit = {
+    val effName = c.effectivitySatName(hubTableName)
+    val hubName = c.hubName(hubTableName)
+    val staged = stampForLoad(stagedDf, sourceSystemName, clock)
+
+    loadEffectivitySatelliteFromPreparedStageDataframe(staged, effName)
+    satellites.foreach(loadSatelliteFromPreparedStageDataframe(staged, _))
+
+    val newRows = newHubRows(staged, rawTable(hubName), businessKeyColumns)
+    writeTable(newRows, config.rawDatabase, hubName, Seq(c.hkey), "append")
+  }
+
+  def loadSatelliteFromPreparedStageDataframe(staged: DataFrame,
+      satellite: SatelliteDefinition): Unit = {
+    val newRows = newSatelliteRows(staged, rawTable(satellite.name),
+      satellite.attributes.map(_.name), repartitionSize)
+    writeTable(newRows, config.rawDatabase, satellite.name,
+      Seq(c.hkey, c.loadDate), "append")
+  }
+
+  def loadEffectivitySatelliteFromPreparedStageDataframe(staged: DataFrame,
+      effTableName: String): Unit = {
+    val newRows = newEffectivityRows(staged, rawTable(effTableName), repartitionSize)
+    writeTable(newRows, config.rawDatabase, effTableName,
+      Seq(c.hkey, c.loadDate), "append")
+  }
+
+  // ---- 2-way FK link (RawVault.py:262-304,480-632) ----
+
+  def loadLinkForLinkedSourceTablesFromPreparedStagingTables(
+      fromStagingTableName: String, fromForeignKey: ForeignKey,
+      linkTableName: String, fromHkeyColumnName: String, toHkeyColumnName: String): Unit =
+    loadLink(stagedTable(fromStagingTableName), fromForeignKey, linkTableName,
+      fromHkeyColumnName, toHkeyColumnName)
+
+  def loadLinkForLinkedSourceTablesFromSourceTables(
+      fromSourceTableName: String, fromForeignKey: ForeignKey,
+      linkTableName: String, fromHkeyColumnName: String, toHkeyColumnName: String,
+      stagingBusinessKeyColumns: Seq[String]): Unit =
+    loadLink(stageTableDf(s"$fromSourceTableName.parquet", stagingBusinessKeyColumns),
+      fromForeignKey, linkTableName, fromHkeyColumnName, toHkeyColumnName)
+
+  def loadLink(stagedFromDf: DataFrame, fromForeignKey: ForeignKey,
+      linkTableName: String, fromHkeyColumnName: String, toHkeyColumnName: String): Unit = {
+    val linkName = c.linkName(linkTableName)
+    val effName = c.effectivitySatName(linkName)
+    val linkDf = rawTable(linkName)
+    val effDf = rawTable(effName)
+    // the reference re-stages the FK target keyed on PublicID
+    // (RawVault.py:516) and derives the fallback hub/sat from the target
+    // table's prefix (RawVault.py:530-531)
+    val toStaged = stageTableDf(s"${fromForeignKey.to.table}.parquet", Seq("PublicID"))
+    val fallbackBase = fromForeignKey.to.table.split("_")(0)
+    val toHub = rawTable(c.hubName(fallbackBase))
+    val toSat = rawTable(c.satName(fallbackBase))
+
+    val (newLinkRows, newEffRows) = RawVaultOps.linkLoad(
+      stagedFromDf, fromForeignKey, toStaged, toHub, toSat, linkDf, effDf,
+      fromHkeyColumnName, toHkeyColumnName)
+
+    writeTable(newLinkRows, config.rawDatabase, linkName, Seq(c.hkey), "append")
+    writeTable(newEffRows, config.rawDatabase, effName,
+      Seq(c.hkey, c.loadDate), "append")
+  }
+
+  // ---- multilink (RawVault.py:634-708) ----
+
+  def loadLinkFromPreparedStageTable(stagingTableName: String,
+      links: Seq[LinkedHubDefinition], linkTableName: String,
+      satellites: Seq[SatelliteDefinition] = Nil): Unit =
+    loadMultilink(stagedTable(stagingTableName), links, linkTableName, satellites)
+
+  def loadLinkFromSourceTable(sourceTableName: String,
+      links: Seq[LinkedHubDefinition], linkTableName: String,
+      satellites: Seq[SatelliteDefinition] = Nil): Unit =
+    loadMultilink(stageTableDf(s"$sourceTableName.parquet",
+      links.map(_.foreignKey.column)), links, linkTableName, satellites)
+
+  def loadMultilink(stagedDf: DataFrame, links: Seq[LinkedHubDefinition],
+      linkTableName: String, satellites: Seq[SatelliteDefinition] = Nil): Unit = {
+    val effName = c.effectivitySatName(linkTableName)
+    val linkName = c.linkName(linkTableName)
+    val linkDf = rawTable(linkName)
+
+    val resolved = resolveMultilinkHubKeys(stagedDf,
+      links.map(l => l -> rawTable(c.hubName(l.name))))
+    val (staged, newRows) = newMultilinkRows(resolved, linkDf,
+      links.map(_.hkeyColumnName), sourceSystemName, clock)
+
+    loadEffectivitySatelliteFromPreparedStageDataframe(staged, effName)
+    satellites.foreach(loadSatelliteFromPreparedStageDataframe(staged, _))
+
+    writeTable(newRows, config.rawDatabase, linkName, Seq(c.hkey), "append")
+  }
+
+  // ---- reference tables (RawVault.py:710-911) ----
+
+  def loadReferencesFromPreparedStageTable(stagingTableName: String,
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit =
+    loadReferences(stagedTable(stagingTableName), referenceTableName, idColumn, attributes)
+
+  def loadReferencesFromSourceTable(sourceTableName: String,
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit =
+    loadReferences(stageTableDf(s"$sourceTableName.parquet"),
+      referenceTableName, idColumn, attributes)
+
+  def loadReferences(stagedDf: DataFrame, referenceTableName: String,
+      idColumn: String, attributes: Seq[String]): Unit = {
+    val refName = c.refName(referenceTableName)
+    val newRows = newReferenceRows(stagedDf, rawTable(refName), idColumn,
+      attributes, repartitionSize)
+    writeTable(newRows, config.rawDatabase, refName,
+      Seq(idColumn, c.loadDate), "append")
+  }
+
+  def loadCodeReferencesFromPreparedStageTable(stagingTableName: String,
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit =
+    loadCodeReferences(stagedTable(stagingTableName), stagingTableName,
+      referenceTableName, idColumn, attributes)
+
+  def loadCodeReferencesFromSourceTable(sourceTableName: String,
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit =
+    loadCodeReferences(stageTableDf(s"$sourceTableName.parquet"), sourceTableName,
+      referenceTableName, idColumn, attributes)
+
+  def loadCodeReferences(stagedDf: DataFrame, groupName: String,
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit = {
+    val refName = c.refName(referenceTableName)
+    val newRows = newCodeReferenceRows(stagedDf, rawTable(refName), groupName,
+      idColumn, attributes, repartitionSize)
+    writeTable(newRows, config.rawDatabase, refName,
+      Seq(c.group, idColumn, c.loadDate), "append")
+  }
+
+  /** Multi-table code-reference load (RawVault.py:835-872): one pass per
+    * staging table, pre-shuffled by group. */
+  def loadCodeReferencesFromMultiplePreparedStageTables(stagingTableNames: Seq[String],
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit = {
+    val refName = c.refName(referenceTableName)
+    val refDf = rawTable(refName)
+      .repartition(stagingTableNames.size, col(c.group))
+      .cache()
+    val newRows = stagingTableNames.map { name =>
+      val staged = stagedTable(name)
+        .withColumn(c.group, lit(name.toLowerCase))
+        .withColumn(c.hdiff, Dv.hashNames(attributes))
+        .select(refDf.columns.map(col): _*)
+        .dropDuplicates(Seq(idColumn, c.group, c.loadDate))
+      val pre = repartitionSize
+        .map(n => staged.repartition(n, col(c.group), col(idColumn), col(c.loadDate)))
+        .getOrElse(staged)
+      pre.join(refDf, Seq(refDf(idColumn) === pre(idColumn),
+          refDf(c.group) === pre(c.group),
+          refDf(c.loadDate) === pre(c.loadDate)).reduce(_ && _), "left_anti")
+        .distinct()
+    }.reduce(_ union _)
+    writeTable(newRows, config.rawDatabase, refName,
+      Seq(c.group, idColumn, c.loadDate), "append")
+  }
+}
