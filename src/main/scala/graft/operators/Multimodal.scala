@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads plus
+  * typed metadata, processed in distributed batches.
+  *
+  * The decode step is a deterministic STUB (no image/audio codecs in
+  * this environment): it derives pseudo-metadata from the raw bytes.
+  * Everything around it — the schema contract, the typed
+  * `mapPartitions` batch shape (the Scala analogue of a Pandas-UDF
+  * `mapInPandas` pipeline), partition sizing — is real and tested.
+  * Swap `decodeStub` for a codec call and the pipeline is production
+  * shaped: one narrow pass, no shuffle, codegen-friendly downstream.
+  */
+object Multimodal {
+
+  /** An opaque media payload with its routing metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted (stubbed) features. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      phash: String)
+
+  /** Deterministic fake decoder: metadata as pure functions of bytes. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val len = r.payload.length
+    val first = if (len > 0) r.payload(0) & 0xff else 0
+    MediaFeatures(
+      media_id = r.media_id,
+      kind = r.kind,
+      byte_len = len,
+      width = 64 + (len % 512),
+      height = 64 + (first % 512),
+      phash = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Batch feature extraction: per-partition decode, no shuffle. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Lift any DataFrame with (id, kind, string payload) into the media
+    * schema — the fixture stand-in for real binary columns. */
+  def asMedia(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(kindCol).as("kind"),
+        col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+}

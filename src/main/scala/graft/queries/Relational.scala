@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY §2.2-§2.8) expressed as
+  * oracle-checkable queries over the TPC-H-ish fixture tables.
+  *
+  * Determinism rules shared with the DuckDB oracle:
+  *  - aggregate doubles are rounded to (or finer than) the grain of the
+  *    exact result, so float summation-order differences cannot move the
+  *    rounded value;
+  *  - timestamps never appear raw in output: they are truncated to
+  *    milliseconds and emitted as epoch-ms bigints (events.parquet is
+  *    ns-precision, which Spark truncates to µs but DuckDB keeps);
+  *  - every window/top-k has a total tiebreak order.
+  */
+object Relational {
+
+  /** events.ts at millisecond grain, as used on both engines. */
+  private def tsMs = date_trunc("MILLISECOND", col("ts"))
+  private def tsMsEpoch = unix_millis(tsMs)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P5 + A1-style global agg: pruned scan with pushed filters.
+    "q01_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // P1/P5: filter + projection, no arithmetic — values must push down
+    // to the parquet scan and survive bit-exact.
+    "q02_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // J4/J19: dimension joins; nation/region are broadcast explicitly.
+    "q03_join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("num_customers"),
+          round(sum("c_acctbal"), 2).as("total_acctbal"))),
+
+    // J19 star join + year() + count distinct.
+    "q04_star_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("num_customers"),
+          count(lit(1)).as("num_orders"))),
+
+    // J4 fact-dim join + multi-agg.
+    "q05_part_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("num_items"))),
+
+    // J1-J3 idiom: left_anti — customers with no high-value order.
+    "q06_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // left_semi — customers with at least one big order.
+    "q07_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")),
+
+    // A6 distinct.
+    "q08_distinct" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()),
+
+    // J13/A2 latest-per-key via row_number (the single-shuffle form of the
+    // reference's groupBy-max + self-join).
+    "q09_latest_per_key" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // W1 lag window: per-user value delta. Single subtraction on identical
+    // doubles is bit-deterministic — no rounding needed.
+    "q10_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .filter(col("prev_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          (col("value") - col("prev_value")).as("value_delta"))
+    }),
+
+    // lead window sessionization: [ts, next ts) per user in epoch-ms.
+    "q11_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), tsMsEpoch.as("start_ms"))
+        .withColumn("end_ms", lead("start_ms", 1).over(w))
+    }),
+
+    // U1 union (positional, UNION ALL semantics).
+    "q12_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), lit("acquisition").as("kind"))
+        .union(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), lit("revenue").as("kind")))
+    }),
+
+    // P6 when/otherwise bucketing.
+    "q13_case_when" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("num_orders"),
+          round(sum("o_totalprice"), 2).as("total"))),
+
+    // F1/F2 vault hashing: md5(concat_ws(',', ...)) with its null-skipping
+    // behavior (nullif makes AUTOMOBILE-segment rows hash without the
+    // segment — the collision semantics the reference relies on).
+    "q14_hash_hkey" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          md5(concat_ws(",", col("c_custkey"), col("c_name"))).as("hkey"),
+          md5(concat_ws(",", col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("AUTOMOBILE")))).as("hkey_nullskip"))),
+
+    // J7-flavoured theta join: first purchase strictly after each signup.
+    "q15_theta_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("signup_event_id"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_event"))
+      signup
+        .join(purchase, col("s_user") === col("p_user") && col("p_event") > col("signup_event_id"))
+        .groupBy(col("s_user").as("user_id"), col("signup_event_id"))
+        .agg(min("p_event").as("first_purchase_event_id"))
+    }),
+
+    // O2 top-k with total order.
+    "q18_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01' AND l_quantity > 45""",
+    "q03_join_broadcast" ->
+      """SELECT n_name, count(*) AS num_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' GROUP BY 1""",
+    "q04_star_join" ->
+      """SELECT n_name, year(o_orderdate) AS order_year,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(DISTINCT o_custkey) AS num_customers,
+         count(*) AS num_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2""",
+    "q05_part_agg" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 4) AS avg_price, count(*) AS num_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 250000)""",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 200000)""",
+    "q08_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q09_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+         SELECT user_id, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+         FROM events) WHERE rn = 1""",
+    "q10_window_lag" ->
+      """SELECT event_id, user_id, value - prev_value AS value_delta FROM (
+         SELECT event_id, user_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) prev_value
+         FROM events) WHERE prev_value IS NOT NULL""",
+    "q11_sessionize" ->
+      """SELECT user_id, event_id,
+         epoch_ms(date_trunc('milliseconds', ts)) AS start_ms,
+         lead(epoch_ms(date_trunc('milliseconds', ts)), 1)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS end_ms
+         FROM events""",
+    "q12_union" ->
+      """SELECT user_id, event_id, 'acquisition' AS kind FROM events
+         WHERE event_type = 'signup'
+         UNION ALL
+         SELECT user_id, event_id, 'revenue' AS kind FROM events
+         WHERE event_type = 'purchase'""",
+    "q13_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket,
+         count(*) AS num_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1""",
+    "q14_hash_hkey" ->
+      """SELECT c_custkey,
+         md5(concat_ws(',', c_custkey, c_name)) AS hkey,
+         md5(concat_ws(',', c_custkey, nullif(c_mktsegment, 'AUTOMOBILE'))) AS hkey_nullskip
+         FROM customer""",
+    "q15_theta_join" ->
+      """SELECT s.user_id, s.event_id AS signup_event_id,
+         min(p.event_id) AS first_purchase_event_id
+         FROM events s JOIN events p
+           ON p.user_id = s.user_id AND p.event_id > s.event_id
+         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         GROUP BY 1, 2""",
+    "q18_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+  )
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.vault.{BusinessVaultOps, CdcOp, Conventions, Dv, RawVaultOps}
+
+/** Data Vault operator coverage driven through the real engine code
+  * (RawVaultOps / BusinessVaultOps), using `events` as a CDC feed:
+  * signup→CREATE, error→DELETE, purchase→UPDATE, view→BEFORE_UPDATE,
+  * click→SNAPSHOT. The entity key is user_id (HKEY = md5(user_id)).
+  *
+  * Timestamps are truncated to milliseconds on both engines and emitted
+  * as epoch-ms bigints; "already loaded" vault contents are simulated
+  * deterministically as the event_id % 3 == 0 slice of the same feed.
+  */
+object VaultQueries {
+
+  implicit private val c: Conventions = Conventions.default
+
+  /** events → prepared-staging shape (the stage_table_df contract). */
+  private def stagedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn(c.operation,
+        when(col("event_type") === "signup", CdcOp.Create)
+          .when(col("event_type") === "error", CdcOp.Delete)
+          .when(col("event_type") === "purchase", CdcOp.Update)
+          .when(col("event_type") === "view", CdcOp.BeforeUpdate)
+          .otherwise(CdcOp.Snapshot))
+      .withColumn(c.loadDate, unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      .withColumn(c.cdcLoadDate, col(c.loadDate))
+      .withColumn(c.recordSource, lit("events"))
+      .withColumn(c.hkey, Dv.hash(Seq(col("user_id"))))
+
+  /** Common SQL prelude: the staged CDC feed as DuckDB sees it. */
+  private val stagedSql =
+    """staged AS (
+         SELECT md5(user_id::VARCHAR) AS hkey,
+           epoch_ms(date_trunc('milliseconds', ts)) AS ld,
+           CASE event_type WHEN 'signup' THEN 2 WHEN 'error' THEN 1
+             WHEN 'purchase' THEN 4 WHEN 'view' THEN 3 ELSE 0 END AS op,
+           user_id, event_id, event_type, props, value
+         FROM events)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: hub load — insert-if-absent on HKEY (anti-join + distinct).
+    // Users with even user_id are already in the hub.
+    "v01_hub_rows" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+      val hub = staged.filter(col("user_id") % 2 === 0)
+        .select(col(c.hkey), col(c.loadDate), col(c.recordSource), col("user_id"))
+        .distinct()
+      RawVaultOps.newHubRows(staged, hub, Seq("user_id"))
+        .select(col(c.hkey).as("hkey"), col(c.recordSource).as("record_source"),
+          col("user_id"))
+        .distinct() // output drops LOAD_DATE, so re-dedup on the kept columns
+    }),
+
+    // J2: satellite load — CDC op filter {CREATE, UPDATE, SNAPSHOT},
+    // HDIFF = md5(attrs), anti-join dedup on (HKEY, LOAD_DATE).
+    "v02_sat_rows" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+      val attrs = Seq("event_type", "props")
+      val existing = staged
+        .filter(col("event_id") % 3 === 0 &&
+          col(c.operation).isin(CdcOp.Create, CdcOp.Update, CdcOp.Snapshot))
+        .select(col(c.hkey), col(c.loadDate))
+      RawVaultOps.newSatelliteRows(staged, existing, attrs)
+        .select(col(c.hkey).as("hkey"), col(c.hdiff).as("hdiff"),
+          col(c.loadDate).as("load_ms"), col("event_type"), col("props"))
+    }),
+
+    // Effectivity satellite load — ops {CREATE, DELETE, SNAPSHOT},
+    // $__DELETED = (op == DELETE), HDIFF = md5(deleted).
+    "v03_eff_rows" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+      val existing = staged
+        .filter(col("event_id") % 3 === 0 &&
+          col(c.operation).isin(CdcOp.Create, CdcOp.Delete, CdcOp.Snapshot))
+        .select(col(c.hkey), col(c.loadDate))
+      RawVaultOps.newEffectivityRows(staged, existing)
+        .select(col(c.hkey).as("hkey"), col(c.hdiff).as("hdiff"),
+          col(c.loadDate).as("load_ms"), col(c.deleted).as("deleted"))
+    }),
+
+    // J3/J6: link load — link HKEY = md5(member hub HKEYs), anti-join on
+    // link HKEY. orders→customer is the link; orderkey < 1000 pre-loaded.
+    "v04_link_rows" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .withColumn("order_hkey", Dv.hash(Seq(col("o_orderkey"))))
+        .withColumn("cust_hkey", Dv.hash(Seq(col("o_custkey"))))
+        .withColumn("link_hkey", Dv.hashNames(Seq("order_hkey", "cust_hkey")))
+      val existing = ord.filter(col("o_orderkey") < 1000).select("link_hkey")
+      ord.join(existing.withColumnRenamed("link_hkey", "ex"),
+          col("link_hkey") === col("ex"), "left_anti")
+        .select("link_hkey", "order_hkey", "cust_hkey")
+        .distinct()
+    }),
+
+    // REF (code/grouped) load: $__GROUP column, composite anti-join on
+    // (group, id, load_date).
+    "v05_code_ref_rows" -> ((s, d) => {
+      val staged = stagedEvents(s, d).filter(col("event_type") === "click")
+      val existing = staged.filter(col("event_id") % 3 === 0)
+        .withColumn(c.group, lit("click"))
+        .select(col(c.group), col("user_id"), col(c.loadDate))
+      RawVaultOps.newCodeReferenceRows(staged, existing, "CLICK", "user_id", Seq("props"))
+        .select(col(c.group).as("ref_group"), col("user_id"),
+          col(c.hdiff).as("hdiff"), col(c.loadDate).as("load_ms"), col("props"))
+    }),
+
+    // J8/J9/A1: PIT build through BusinessVaultOps.pitFromSatAndEff —
+    // versions closed by the next version or by a delete event falling
+    // inside the interval; open intervals get the max-timestamp sentinel.
+    "q19_pit" -> ((s, d) => {
+      val staged = stagedEvents(s, d)
+        .withColumn(c.loadDate,
+          timestamp_millis(col(c.loadDate)))
+      val sat = staged
+        .filter(col(c.operation).isin(CdcOp.Create, CdcOp.Update, CdcOp.Snapshot))
+        .select(col(c.hkey), col(c.loadDate))
+      val eff = staged
+        .filter(col(c.operation) === CdcOp.Delete)
+        .select(col(c.hkey), col(c.loadDate), lit(true).as(c.deleted))
+      BusinessVaultOps.pitFromSatAndEff(sat, eff)
+        .groupBy(col(c.hkey), col(c.loadDate))
+        .agg(min(col(c.loadEndDate)).as("end_ts"))
+        .select(col(c.hkey).as("hkey"),
+          unix_millis(col(c.loadDate)).as("start_ms"),
+          unix_millis(col("end_ts")).as("end_ms"))
+    }),
+
+    // J11/F5: historized zip-join through zipHistorizedDataframes —
+    // purchase validity intervals × error intervals per user, overlap
+    // semantics with the reference's null-admitting filters.
+    "q16_zip_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def intervals(eventType: String, idAlias: String, userCol: String) = {
+        val w = Window.partitionBy("user_id").orderBy("start0", "event_id")
+        ev.filter(col("event_type") === eventType)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(date_trunc("MILLISECOND", col("ts"))).as("start0"))
+          .withColumn("end0", lead("start0", 1).over(w))
+          .select(col("user_id").as(userCol), col("event_id").as(idAlias),
+            col("start0").as(c.loadDate), col("end0").as(c.loadEndDate))
+      }
+      val l = intervals("purchase", "l_event_id", "user_id")
+      val r = intervals("error", "r_event_id", "r_user")
+      BusinessVaultOps.zipHistorizedDataframes(
+          l, r, l("user_id") === r("r_user"), "inner")
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col(c.loadDate).as("start_ms"), col(c.loadEndDate).as("end_ms"))
+    }),
+
+    // J18: SCD2 end-dating as a lead window (the semantics-preserving
+    // rewrite of the reference's full-outer self-join).
+    "q17_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase", "click"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("load_ms"))
+        .withColumn("end_ms",
+          coalesce(lead("load_ms", 1).over(w), lit(253402300799999L)))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v01_hub_rows" ->
+      s"""WITH $stagedSql,
+         hub AS (SELECT DISTINCT hkey FROM staged WHERE user_id % 2 = 0)
+         SELECT DISTINCT hkey, 'events' AS record_source, user_id
+         FROM staged WHERE NOT EXISTS (SELECT 1 FROM hub WHERE hub.hkey = staged.hkey)""",
+    "v02_sat_rows" ->
+      s"""WITH $stagedSql,
+         cur AS (SELECT hkey, ld FROM staged WHERE event_id % 3 = 0 AND op IN (0,2,4))
+         SELECT DISTINCT hkey, md5(concat_ws(',', event_type, props)) AS hdiff,
+           ld AS load_ms, event_type, props
+         FROM staged s WHERE op IN (0,2,4)
+           AND NOT EXISTS (SELECT 1 FROM cur WHERE cur.hkey = s.hkey AND cur.ld = s.ld)""",
+    "v03_eff_rows" ->
+      s"""WITH $stagedSql,
+         cur AS (SELECT hkey, ld FROM staged WHERE event_id % 3 = 0 AND op IN (0,1,2))
+         SELECT DISTINCT hkey, md5((op = 1)::VARCHAR) AS hdiff, ld AS load_ms,
+           (op = 1) AS deleted
+         FROM staged s WHERE op IN (0,1,2)
+           AND NOT EXISTS (SELECT 1 FROM cur WHERE cur.hkey = s.hkey AND cur.ld = s.ld)""",
+    "v04_link_rows" ->
+      """WITH lnk AS (
+           SELECT md5(concat_ws(',', md5(o_orderkey::VARCHAR), md5(o_custkey::VARCHAR))) AS link_hkey,
+             md5(o_orderkey::VARCHAR) AS order_hkey, md5(o_custkey::VARCHAR) AS cust_hkey,
+             o_orderkey
+           FROM orders)
+         SELECT DISTINCT link_hkey, order_hkey, cust_hkey FROM lnk
+         WHERE NOT EXISTS (SELECT 1 FROM lnk x WHERE x.o_orderkey < 1000
+           AND x.link_hkey = lnk.link_hkey)""",
+    "v05_code_ref_rows" ->
+      s"""WITH $stagedSql,
+         clicks AS (SELECT * FROM staged WHERE event_type = 'click'),
+         cur AS (SELECT 'click' AS g, user_id, ld FROM clicks WHERE event_id % 3 = 0)
+         SELECT DISTINCT 'click' AS ref_group, user_id,
+           md5(concat_ws(',', props)) AS hdiff, ld AS load_ms, props
+         FROM clicks s WHERE NOT EXISTS (SELECT 1 FROM cur
+           WHERE cur.user_id = s.user_id AND cur.ld = s.ld)""",
+    "q19_pit" ->
+      s"""WITH $stagedSql,
+         sat AS (SELECT hkey, ld FROM staged WHERE op IN (0,2,4)),
+         vers AS (SELECT hkey, ld,
+           lead(ld) OVER (PARTITION BY hkey ORDER BY ld) AS le FROM sat),
+         dels AS (SELECT hkey, ld AS dd FROM staged WHERE op = 1),
+         pit AS (SELECT v.hkey, v.ld,
+           CASE WHEN d.dd IS NOT NULL THEN d.dd ELSE v.le END AS le2
+           FROM vers v LEFT JOIN dels d ON v.hkey = d.hkey
+             AND v.ld < d.dd AND (v.le > d.dd OR v.le IS NULL))
+         SELECT hkey, ld AS start_ms,
+           min(coalesce(le2, 253402300799999)) AS end_ms
+         FROM pit GROUP BY hkey, ld""",
+    "q16_zip_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event_id,
+           epoch_ms(date_trunc('milliseconds', ts)) AS s,
+           lead(epoch_ms(date_trunc('milliseconds', ts)))
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(date_trunc('milliseconds', ts)), event_id) AS e
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, event_id AS r_event_id,
+           epoch_ms(date_trunc('milliseconds', ts)) AS s,
+           lead(epoch_ms(date_trunc('milliseconds', ts)))
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(date_trunc('milliseconds', ts)), event_id) AS e
+           FROM events WHERE event_type = 'error')
+         SELECT l.user_id, l_event_id, r_event_id,
+           greatest(l.s, r.s) AS start_ms, least(l.e, r.e) AS end_ms
+         FROM l JOIN r ON l.user_id = r.user_id
+         WHERE (r.e IS NULL OR l.s IS NULL OR r.e > l.s)
+           AND (l.e IS NULL OR r.s IS NULL OR l.e > r.s)""",
+    "q17_scd2" ->
+      """SELECT user_id, event_id,
+         epoch_ms(date_trunc('milliseconds', ts)) AS load_ms,
+         coalesce(lead(epoch_ms(date_trunc('milliseconds', ts)))
+           OVER (PARTITION BY user_id ORDER BY event_id), 253402300799999) AS end_ms
+         FROM events WHERE event_type IN ('signup', 'purchase', 'click')"""
+  )
+}
