@@ -259,33 +259,38 @@ object RawVaultOps {
       .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
       .select(effDf.columns.map(col): _*)
 
-    // pairs previously linked from these from-entities (RawVault.py:582-585)
+    // pairs previously linked from these from-entities (RawVault.py:582-585).
+    // Aliased projections everywhere: newLinkRows' lineage contains fromDf,
+    // so parent-column references across the union would be ambiguous.
     val linkFull = linkDf.union(newLinkRows)
     val prevLinks = linkFull
-      .join(fromDf.select(col(fromHkeyColumnName)),
-        fromDf(fromHkeyColumnName) === linkFull(fromHkeyColumnName))
-      .drop(fromDf(fromHkeyColumnName))
+      .join(fromDf.select(col(fromHkeyColumnName)).distinct(),
+        Seq(fromHkeyColumnName), "left_semi")
+      .select(col(c.hkey).as("prev_hkey"),
+        col(fromHkeyColumnName).as("prev_from"),
+        col(toHkeyColumnName).as("prev_to"))
 
     // staged rows whose FK became null participate as "linked to nothing"
     // (RawVault.py:588-600)
-    val linkedWithNulls = linkedDf.union(
-      fromDf
+    val linkedWithNulls = linkedDf
+      .select(col(fromHkeyColumnName).as("new_from"),
+        col(toHkeyColumnName).as("new_to"), col(c.loadDate).as("new_load"))
+      .union(fromDf
         .filter(fromDf(foreignKey.column).isNull)
-        .withColumn(toHkeyColumnName, lit(null).cast(StringType))
-        .withColumn(c.hkey, lit(null).cast(StringType))
-        .select(Seq(fromHkeyColumnName, toHkeyColumnName, c.loadDate,
-          c.recordSource, c.hkey).map(col): _*))
+        .select(col(fromHkeyColumnName).as("new_from"),
+          lit(null).cast(StringType).as("new_to"),
+          col(c.loadDate).as("new_load")))
 
     // theta join: detect re-pointed or nulled FKs (RawVault.py:603-611)
     val deleteOldLinks = prevLinks
       .join(linkedWithNulls,
-        (prevLinks(fromHkeyColumnName) === linkedWithNulls(fromHkeyColumnName)) &&
-          ((prevLinks(toHkeyColumnName) =!= linkedWithNulls(toHkeyColumnName)) ||
-            (prevLinks(toHkeyColumnName).isNotNull && linkedWithNulls(toHkeyColumnName).isNull)))
-      .drop(linkedWithNulls(c.hkey))
-      .drop(prevLinks(c.loadDate))
-      .withColumn(c.deleted, lit(true))
-      .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
+        (col("prev_from") === col("new_from")) &&
+          ((col("prev_to") =!= col("new_to")) ||
+            (col("prev_to").isNotNull && col("new_to").isNull)))
+      .select(col("prev_hkey").as(c.hkey),
+        Dv.hash(Seq(lit(true))).as(c.hdiff),
+        col("new_load").as(c.loadDate),
+        lit(true).as(c.deleted))
       .select(effDf.columns.map(col): _*)
 
     // suppress rows whose deleted-flag did not change (lag window,
