@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (hash-groupBy), MinHash+LSH, SimHash,
+  * n-gram Jaccard. Designed for the 100 TB shape:
+  *
+  *  - exact dedup shuffles 32-byte md5 keys, never raw content;
+  *  - MinHash signatures are computed by exploding the distinct shingle
+  *    set and min-aggregating seeded md5s — every hash runs inside
+  *    whole-stage codegen and the only wide exchange is a groupBy on the
+  *    doc id (higher-order-function folds are interpreted and measured
+  *    ~10x slower);
+  *  - LSH candidates come from an equi-join on index-salted band keys;
+  *  - Jaccard runs only inside candidate blocks (a cheap blocking key or
+  *    the LSH output), never all-pairs.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: one row per distinct content hash with the
+    * canonical (minimum) id and the copy count. */
+  def exactGroups(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Rows surviving exact dedup (the min-id representative per hash). */
+  def dropExactDuplicates(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.join(exactGroups(df, contentCol, idCol)
+        .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
+  /** MinHash signatures over word n-gram shingles: one row per id with
+    * columns s0..s{k-1}, each the lexicographic-min md5 of the seeded
+    * shingle hashes. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int, shingleSize: Int = 3): DataFrame = {
+    val sigCols = (0 until k).map(j =>
+      min(md5(concat_ws("_", lit(j.toString), col("__shingle")))).as(s"s$j"))
+    df.select(col(idCol), col(textCol),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(
+          TextAnalysis.shingles("__tk", textCol, shingleSize))).as("__shingle"))
+      .groupBy(idCol)
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Index-salted LSH band keys from a signature frame: (id, band). */
+  def lshBands(signatures: DataFrame, idCol: String, k: Int, bandWidth: Int): DataFrame = {
+    require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
+    val bands = (0 until k / bandWidth).map { b =>
+      val slots = (0 until bandWidth).map(i => col(s"s${b * bandWidth + i}"))
+      md5(concat_ws(",", lit(b.toString) +: slots: _*))
+    }
+    signatures.select(col(idCol), explode(array(bands: _*)).as("band"))
+  }
+
+  /** Near-duplicate candidate pairs (a < b) sharing at least one band. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val banded = lshBands(minHashSignatures(df, textCol, idCol, k, shingleSize),
+      idCol, k, bandWidth)
+    val other = banded.select(col(idCol).as("__o_id"), col("band").as("__o_band"))
+    banded.join(other, col("band") === col("__o_band") && col(idCol) < col("__o_id"))
+      .select(col(idCol).as("a_id"), col("__o_id").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash (nBits <= 24): per bit, majority vote of token-hash bits
+    * over the distinct token set. */
+  def simHash(df: DataFrame, textCol: String, idCol: String, nBits: Int = 16): DataFrame = {
+    val hexDigits = (nBits + 3) / 4
+    val hashes = transform(TextAnalysis.tokenSet(col(textCol)),
+      t => conv(substring(md5(t), 1, hexDigits), 16, 10).cast("int"))
+    val n = size(col("__th"))
+    val bits = (0 until nBits).map { b =>
+      val ones = size(filter(col("__th"), h => shiftright(h, b).bitwiseAND(1) === 1))
+      when(ones * 2 > n, 1 << b).otherwise(0)
+    }
+    df.select(col(idCol), hashes.as("__th"))
+      .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Jaccard similarity of the distinct-token sets of candidate pairs.
+    * `blockCol` is the blocking key (equal values are compared). */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol), col(blockCol),
+      TextAnalysis.tokenSet(col(textCol)).as("__tk"))
+    val a = base.select(col(idCol).as("a_id"), col(blockCol).as("__a_bk"), col("__tk").as("__a_tk"))
+    val b = base.select(col(idCol).as("b_id"), col(blockCol).as("__b_bk"), col("__tk").as("__b_tk"))
+    val inter = size(array_intersect(col("__a_tk"), col("__b_tk")))
+    a.join(b, col("__a_bk") === col("__b_bk") && col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("__a_tk")) + size(col("__b_tk")) - inter))
+      .filter(col("jaccard") > threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Dot products are sequential left-folds in DOUBLE precision so results
+  * are reproducible across engines; ranking always carries a total
+  * tiebreak (similarity DESC, id ASC). Brute force broadcasts the query
+  * side (right for small Q at any corpus size); the IVF variant assigns
+  * vectors to max-cosine centroids once, then probes a single bucket via
+  * an equi-join on centroid id — the candidate set shrinks by the
+  * centroid count, which is the path to 100 TB corpora.
+  */
+object Similarity {
+
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (id, v: double[], nrm) projection of an embedding frame. */
+  def withNorm(df: DataFrame, idCol: String, embeddingCol: String): DataFrame =
+    df.select(col(idCol), asDouble(col(embeddingCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Brute-force cosine top-k of `queries` against `base`; both must be
+    * withNorm projections keyed by `idCol`. Output: (qid, neighbor, rank). */
+  def knnBrute(base: DataFrame, queries: DataFrame, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol).asc)
+    base.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** Assign every vector to its max-cosine centroid (ties: lowest id). */
+  def assignToCentroids(base: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
+    base.join(broadcast(cent))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col(idCol), col("cid"), col("v"), col("nrm"))
+  }
+
+  /** IVF-style ANN: probe only the query vector's centroid bucket. */
+  def knnIvf(assigned: DataFrame, queryIds: Column, idCol: String, k: Int): DataFrame = {
+    val q = assigned.filter(queryIds)
+      .select(col(idCol).as("qid"), col("cid").as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol).asc)
+    assigned.join(broadcast(q), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID,
+  * fingerprinting. All are narrow per-row transforms (no shuffle), built
+  * from codegen-friendly built-ins — no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles (n >= 1). The token array must be a
+    * materialized column — referencing an expression inside the shingle
+    * lambda re-evaluates it per element. Rows with fewer than n tokens
+    * shingle to the whole text.
+    */
+  def shingles(tokenArrayCol: String, textCol: String, n: Int): Column =
+    when(size(col(tokenArrayCol)) < n, array(col(textCol)))
+      .otherwise(expr(
+        s"transform(sequence(0, size($tokenArrayCol) - $n), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(k => s"$tokenArrayCol[i+$k]").mkString(", ")}))"))
+
+  /** Token counts: total, distinct, characters. */
+  def tokenCounts(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =
+    df.select(idCols.map(col) ++ Seq(
+      size(tokens(col(textCol))).as("n_tokens"),
+      size(tokenSet(col(textCol))).as("n_distinct"),
+      length(col(textCol)).as("n_text_chars")): _*)
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "or", "and", "of", "to", "in", "is")
+
+  /** Quality heuristics: token count, alpha-chars-per-token, stopword
+    * ratio. Ratios are single int/int divisions — bit-deterministic. */
+  def qualityScore(df: DataFrame, textCol: String, idCols: Seq[String],
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val tk = tokens(col(textCol))
+    val nTok = size(tk)
+    val nStop = size(filter(tk, t => t.isin(stopwords.map(lit): _*)))
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", ""))
+    df.select(idCols.map(col) ++ Seq(
+      nTok.as("n_tokens"),
+      (nAlpha.cast("double") / nTok).as("avg_word_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio")): _*)
+  }
+
+  /** Marker-stopword language vote; ties resolve in `markers` order. */
+  def languageId(df: DataFrame, textCol: String, idCols: Seq[String],
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val tk = tokens(col(textCol))
+    val hitCols = markers.map { case (lang, ws) =>
+      size(filter(tk, t => t.isin(ws.map(lit): _*))).as(s"${lang}_hits")
+    }
+    val withHits = df.select(idCols.map(col) ++ hitCols: _*)
+    val pred = markers.init.zipWithIndex.foldRight(lit(markers.last._1): Column) {
+      case (((lang, _), i), els) =>
+        val laterLangs = markers.drop(i + 1).map(_._1)
+        val cond = laterLangs.map(l => col(s"${lang}_hits") >= col(s"${l}_hits"))
+          .reduce(_ && _)
+        when(cond, lang).otherwise(els)
+    }
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering and duplication. */
+  def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =
+    df.select(idCols.map(col) :+
+      md5(concat_ws(" ", array_sort(tokenSet(col(textCol))))).as("fingerprint"): _*)
+}

@@ -1,124 +1,52 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
-/** Training-data text pipeline operators over `documents`: exact and
-  * near dedup (MinHash-LSH, SimHash, n-gram Jaccard), token counting,
-  * quality scoring, language ID, fingerprinting.
+/** Oracle-checked coverage of the text pipeline operators in
+  * graft.operators.{TextAnalysis, Dedup} over the `documents` table.
   *
-  * All hashing is md5-based so the DuckDB oracle can reproduce it
-  * bit-for-bit; MinHash signatures are the lexicographic minimum of md5
-  * hex strings (total order identical across engines). Ratios are single
-  * int/int divisions — bit-deterministic in IEEE double on both engines.
-  *
-  * Scale notes: every operator is a narrow per-row transform or an
-  * equi-join on a bucket key — no cross join anywhere. LSH candidate
-  * generation joins on (implicitly index-salted) band keys, which at
-  * 100 TB is a plain shuffle join on a high-cardinality key; the
-  * degenerate everything-similar case is bounded by emitting per-doc
-  * candidate counts, not the quadratic pair list.
+  * All hashing is md5-based so the DuckDB oracle reproduces it
+  * bit-for-bit; MinHash signatures are lexicographic minima of md5 hex
+  * strings; ratios are single int/int divisions (bit-deterministic).
   */
 object TextOps {
 
-  private def tokens: Column = split(col("text"), " ")
-  private def tokenSet: Column = array_distinct(tokens)
-
-  private val stopwords = Seq("the", "a", "or", "and", "of", "to", "in", "is")
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: hash-groupBy on content (at 100 TB: group on md5, not
-    // on the raw text, so shuffle keys stay 32 bytes).
     "d01_exact_dedup" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))),
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")),
 
-    // Token counting: whitespace split + a word-regex count.
     "d02_token_count" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          size(tokens).as("n_tokens"),
-          size(array_distinct(tokens)).as("n_distinct"),
-          length(col("text")).as("n_text_chars"))),
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "text", Seq("doc_id"))),
 
-    // Quality scoring: length / word-length / stopword ratios.
-    "d03_quality" -> ((s, d) => {
-      val nTok = size(tokens)
-      val nStop = size(filter(tokens, t => t.isin(stopwords.map(lit): _*)))
-      val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          nTok.as("n_tokens"),
-          (nAlpha.cast("double") / nTok).as("avg_word_len"),
-          (nStop.cast("double") / nTok).as("stopword_ratio"))
-    }),
+    "d03_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "text", Seq("doc_id"))),
 
-    // Language ID: marker-stopword voting with fixed tie order.
-    "d04_langid" -> ((s, d) => {
-      def hits(ws: Seq[String]) = size(filter(tokens, t => t.isin(ws.map(lit): _*)))
-      val en = hits(Seq("the", "a", "or"))
-      val de = hits(Seq("der", "die", "und"))
-      val es = hits(Seq("el", "la", "los"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang").as("declared_lang"),
-          en.as("en_hits"), de.as("de_hits"), es.as("es_hits"))
-        .withColumn("pred_lang",
-          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
-            .when(col("de_hits") >= col("es_hits"), "de")
-            .otherwise("es"))
-    }),
+    "d04_langid" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "text",
+          Seq("doc_id", "lang"),
+          Seq("en" -> Seq("the", "a", "or"),
+            "de" -> Seq("der", "die", "und"),
+            "es" -> Seq("el", "la", "los")))
+        .withColumnRenamed("lang", "declared_lang")),
 
-    // Document fingerprint: md5 over the sorted distinct token set.
     "d05_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))),
+      TextAnalysis.fingerprint(Tables.documents(s, d), "text", Seq("doc_id"))),
 
-    // n-gram (word-set) Jaccard near-dup: candidates bucketed by equal
-    // n_chars (a cheap blocking key), |A∩B| / |A∪B| over distinct tokens.
-    "d06_jaccard_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), tokenSet.as("tk"))
-      val a = docs.select(col("doc_id").as("a_id"), col("n_chars").as("a_nc"), col("tk").as("a_tk"))
-      val b = docs.select(col("doc_id").as("b_id"), col("n_chars").as("b_nc"), col("tk").as("b_tk"))
-      val inter = size(array_intersect(col("a_tk"), col("b_tk")))
-      a.join(b, col("a_nc") === col("b_nc") && col("a_id") < col("b_id"))
-        .withColumn("jaccard",
-          inter.cast("double") / (size(col("a_tk")) + size(col("b_tk")) - inter))
-        .filter(col("jaccard") > 0.5)
-        .select("a_id", "b_id", "jaccard")
-    }),
+    // Word-set Jaccard near-dup inside n_chars blocks.
+    "d06_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        blockCol = "n_chars", threshold = 0.5)),
 
-    // MinHash + LSH near-dup over word-TRIGRAM shingles: 6 minhashes,
-    // 3 bands of 2; docs sharing a band key are candidates. Trigram
-    // shingles keep the signature discriminative — unigram minhash
-    // degenerates into an all-pairs join on an all-similar corpus
-    // (measured 138s vs ~2s at sf0.1). Output counts candidates per doc
-    // so the worst case stays linear in the output.
+    // MinHash(6) + LSH(3 bands of 2) over word-trigram shingles; output
+    // is the per-doc candidate count so the degenerate all-similar case
+    // stays linear in the output.
     "d07_minhash_lsh" -> ((s, d) => {
-      // Tokenize ONCE per row before shingling: referencing split(text)
-      // inside the transform lambda re-splits the text per element
-      // (measured 17-29s vs ~2s at sf0.1). Exploding the distinct
-      // shingle set lets the 6 seeded md5s run inside whole-stage
-      // codegen; one shuffle then computes all signature slots as
-      // min-aggregates — the shape that survives 100 TB.
-      val shingles = when(size(col("tk")) < 3, array(col("text")))
-        .otherwise(expr(
-          "transform(sequence(0, size(tk) - 3), " +
-            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-      val sigCols = (0 until 6).map(j =>
-        min(md5(concat_ws("_", lit(j.toString), col("t")))).as(s"s$j"))
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), tokens.as("tk"))
-        .select(col("doc_id"), explode(array_distinct(shingles)).as("t"))
-        .groupBy("doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-      def bk(b: Int): Column =
-        md5(concat_ws(",", lit(b.toString), col(s"s${2 * b}"), col(s"s${2 * b + 1}")))
-      val banded = sigs
-        .select(col("doc_id"), explode(array(bk(0), bk(1), bk(2))).as("band"))
+      val banded = Dedup.lshBands(
+        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id", k = 6),
+        "doc_id", k = 6, bandWidth = 2)
       val other = banded.select(col("doc_id").as("o_id"), col("band").as("o_band"))
       banded
         .join(other, col("band") === col("o_band") && col("doc_id") =!= col("o_id"))
@@ -126,23 +54,11 @@ object TextOps {
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     }),
 
-    // SimHash (16-bit): per bit, majority vote of token-hash bits over
-    // the distinct token set.
-    "d08_simhash" -> ((s, d) => {
-      val hashes = transform(tokenSet,
-        t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
-      val n = size(col("th"))
-      val bits = (0 until 16).map { b =>
-        val ones = size(filter(col("th"), h => shiftright(h, b).bitwiseAND(1) === 1))
-        when(ones * 2 > n, 1 << b).otherwise(0)
-      }
-      Tables.documents(s, d)
-        .select(col("doc_id"), hashes.as("th"))
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-    })
+    "d08_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "text", "doc_id", nBits = 16))
   )
 
-  /** DuckDB token expressions mirroring the Spark side. */
+  /** DuckDB mirrors of the operator definitions. */
   private val tkSql = "list_distinct(string_split(text, ' '))"
 
   private def shingleMinhashSql(j: Int): String =
