@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming front-ends for the vault and analytics layers.
+  *
+  * The reference is batch-only (SURVEY §2.10): its CDC "stream" is
+  * ordered batches replayed through the loaders. Because every loader is
+  * an anti-join + append keyed on (HKEY, LOAD_DATE), the loaders are
+  * idempotent — which makes them safe foreachBatch sinks: at-least-once
+  * micro-batch delivery composes with the dedup to exactly-once table
+  * effect. That is the designed streaming story at 100 TB: one
+  * readStream source, foreachBatch into the same loaders used by batch.
+  */
+object CdcStream {
+
+  /** Drive any batch loader from a stream via foreachBatch. The loader
+    * receives each micro-batch as a plain DataFrame; replays are
+    * harmless because vault loads dedup on append. */
+  def foreachBatchLoader(stream: DataFrame)(load: DataFrame => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) => load(batch) }
+
+  /** Watermarked tumbling-window counts per key — the standard
+    * late-data-tolerant streaming aggregation. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLength: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(s"window.start").as("window_start"),
+        col(s"window.end").as("window_end"),
+        col(keyCol), col("n_events"))
+
+  /** A closed user session produced by gap-timeout sessionization. */
+  final case class Session(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
+
+  /** Internal sessionization state (public: encoder codegen needs an
+    * accessible constructor). */
+  final case class SessionState(n: Long, first: Long, last: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session
+    * closes when no event arrives for `gapMs` (processing-time timeout).
+    * Input rows: (user_id: Long, ts_ms: Long). */
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.n, s.first, s.last))
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.n + ts.size,
+              math.min(prev.first, ts.min), math.max(prev.last, ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -359,6 +359,11 @@ class RawVault(
         .mode(mode).saveAsTable(s"$database.`$name`")
     else
       df.write.mode(mode).saveAsTable(s"$database.`$name`")
+    // The input df may belong to a cloned session (streaming foreachBatch
+    // hands micro-batches from a clone); refresh on OUR session so later
+    // reads — including the next batch's dedup anti-join — see this
+    // write (the reference's REFRESH TABLE idiom, notebooks/load_raw.py:492).
+    spark.catalog.refreshTable(s"$database.`$name`")
   }
 
   def createHub(name: String, businessKeyColumns: Seq[ColumnDefinition]): Unit = {

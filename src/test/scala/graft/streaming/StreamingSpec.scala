@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.vault._
+
+/** Streaming front-end behavior: watermarked windowed aggregation,
+  * CDC micro-batches driving the idempotent vault loaders through
+  * foreachBatch (at-least-once delivery -> exactly-once table effect),
+  * and stateful gap sessionization.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "kind")
+
+    val counts = CdcStream.windowedCounts(events, "ts", "kind",
+      windowLength = "10 minutes", watermarkDelay = "5 minutes")
+
+    val query = counts.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("append")
+      .start()
+
+    // batch 1: the window under test
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "b"))
+    query.processAllAvailable()
+    // batch 2 advances the watermark past the window...
+    input.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "a"))
+    query.processAllAvailable()
+    // ...and batch 3 emits the closed window (append mode emits with a
+    // one-batch lag: emission uses the PREVIOUS batch's watermark)
+    input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "a"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("win_counts")
+      .select("kind", "n_events", "window_start").collect()
+    val byKind = out.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byKind.contains(("a", 2L)), s"got ${byKind.mkString(",")}")
+    assert(byKind.contains(("b", 1L)))
+  }
+
+  test("foreachBatch drives vault loaders; replays stay idempotent") {
+    val stagingDir = java.nio.file.Files.createTempDirectory("stream-stg").toString
+    val config = RawVaultConfig(stagingDir, "stream_stg", "stream_raw", partitionSize = 2)
+    val vault = new RawVault(spark, config, "stream_test",
+      lit(Timestamp.valueOf("2026-01-01 00:00:00")))
+    implicit val c: Conventions = config.conventions
+
+    vault.initializeDatabase()
+    vault.createHub("THINGS", Seq(ColumnDefinition("PublicID", StringType)))
+    vault.createSatellite("THINGS", Seq(ColumnDefinition("V", StringType)))
+    val sat = SatelliteDefinition("SAT__THINGS", Seq(ColumnDefinition("V", StringType)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Int, Timestamp, String, String)]
+    val stream = input.toDF().toDF("OPERATION", "LOAD_DATE", "PublicID", "V")
+
+    val query = CdcStream.foreachBatchLoader(stream) { batch =>
+      val staged = RawVaultOps.prepareStaged(batch, "stream_test",
+        "LOAD_DATE", "OPERATION", Seq("PublicID"))
+      vault.loadHub(staged, "THINGS", Seq("PublicID"), Seq(sat))
+    }.start()
+
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+    input.addData((2, t0, "x1", "v1"), (2, t0, "x2", "v1"))
+    query.processAllAvailable()
+    // micro-batch 2 replays an already-loaded row (at-least-once)
+    input.addData((2, t0, "x1", "v1"), (4, t1, "x1", "v2"))
+    query.processAllAvailable()
+    query.stop()
+
+    val hub = spark.table("stream_raw.`HUB__THINGS`")
+    assert(hub.count() === 2) // replayed x1 row deduped
+    val satDf = spark.table("stream_raw.`SAT__THINGS`")
+    assert(satDf.count() === 3) // x1@t0, x2@t0, x1@t1 — not 4
+    val latest = satDf.filter(col("$__HKEY") === md5Hex("x1"))
+      .orderBy(col("$__LOAD_DATE").desc).head()
+    assert(latest.getAs[String]("V") === "v2")
+  }
+
+  test("gap-timeout sessionization with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = CdcStream.sessionize(input.toDS(), gapMs = 500)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+    input.addData((7L, 1000L), (7L, 1500L), (9L, 2000L))
+    // wait past the gap so the state times out and sessions emit
+    var waited = 0
+    while (spark.table("sessions").count() < 2 && waited < 60000) {
+      Thread.sleep(500); waited += 500
+    }
+    query.stop()
+
+    val out = spark.table("sessions").as[CdcStream.Session].collect()
+      .map(s => s.user_id -> s).toMap
+    assert(out.keySet === Set(7L, 9L))
+    assert(out(7L).n_events === 2 && out(7L).first_ms === 1000L && out(7L).last_ms === 1500L)
+    assert(out(9L).n_events === 1)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
