@@ -49,6 +49,18 @@ object Similarity {
       .select(col(idCol), col("cid"), col("v"), col("nrm"))
   }
 
+  /** Embedding-cosine near-duplicate pairs inside centroid blocks:
+    * after assignToCentroids, only same-bucket pairs are compared — the
+    * blocked shape that avoids the all-pairs join at corpus scale. */
+  def nearDupPairs(assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val b = assigned.select(col(idCol).as("b_id"), col("cid").as("b_cid"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    assigned.join(b, col("cid") === col("b_cid") && col(idCol) < col("b_id"))
+      .withColumn("sim", dot(col("v"), col("bv")) / (col("nrm") * col("bn")))
+      .filter(col("sim") > threshold)
+      .select(col(idCol).as("a_id"), col("b_id"))
+  }
+
   /** IVF-style ANN: probe only the query vector's centroid bucket. */
   def knnIvf(assigned: DataFrame, queryIds: Column, idCol: String, k: Int): DataFrame = {
     val q = assigned.filter(queryIds)

@@ -26,6 +26,14 @@ object VectorOps {
       val assigned = Similarity.assignToCentroids(
         base, base.filter(col("vec_id") % 50 === 0), "vec_id")
       Similarity.knnIvf(assigned, col("vec_id") < NQ, "vec_id", K)
+    }),
+
+    // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
+    "d09_embed_neardup" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val assigned = Similarity.assignToCentroids(
+        base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+      Similarity.nearDupPairs(assigned, "vec_id", threshold = 0.4)
     })
   )
 
@@ -58,6 +66,19 @@ object VectorOps {
            FROM assigned a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
-         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K"""
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "d09_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0),
+         assigned AS (SELECT vec_id, cid, v, nrm FROM (
+           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
+           FROM e CROSS JOIN c) WHERE arn = 1)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM assigned a JOIN assigned b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4"""
   )
 }
