@@ -82,6 +82,22 @@ object BusinessVaultOps {
       .drop("del_hkey", "del_load_date")
   }
 
+  /** SCD2 view of a satellite: `$__LOAD_END_DATE` derived per HKEY as
+    * the next version's load date (null = current). This is the v2
+    * library's MERGE-maintained end-dating (LoadRaw.py:497-535)
+    * re-expressed for append-only storage: end dates are derived at
+    * read with one lead window — same query semantics, no table
+    * rewrite on load, which is the shape that scales.
+    */
+  def scd2View(sat: DataFrame)(implicit c: Conventions): DataFrame = {
+    val w = Window.partitionBy(c.hkey).orderBy(c.loadDate)
+    sat.withColumn(c.loadEndDate, lead(c.loadDate, 1).over(w))
+  }
+
+  /** Current (open) versions of an SCD2 satellite view. */
+  def scd2Current(sat: DataFrame)(implicit c: Conventions): DataFrame =
+    scd2View(sat).filter(col(c.loadEndDate).isNull).drop(c.loadEndDate)
+
   /** Latest version per (id, group) of a code-reference table
     * (BusinessVault.py:107-128). The reference uses groupBy-max + self
     * equi-join; window `row_number` is the single-shuffle equivalent. */

@@ -336,6 +336,14 @@ class RawVault(
   private def repartitionSize: Option[Int] =
     if (config.optimizePartitioning) Some(config.partitionSize) else None
 
+  /** The technical-load-date clock (injectable for deterministic tests). */
+  def loadClock: Column = clock
+
+  /** Append pre-computed link rows (used by the metadata-driven loader). */
+  def appendToLink(linkTableName: String, rows: DataFrame): Unit =
+    writeTable(rows, config.rawDatabase, conventions.linkName(linkTableName),
+      Seq(conventions.hkey), "append")
+
   def initializeDatabase(): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.stagingPreparedDatabase}")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.rawDatabase}")
