@@ -33,5 +33,5 @@ object SparkEntry {
     "q01_agg", "q03_join_broadcast", "q04_star_join", "q06_anti_join",
     "q09_latest_per_key", "q15_theta_join", "q16_zip_join", "q19_pit",
     "v02_sat_rows", "d06_jaccard_pairs", "d07_minhash_lsh", "d08_simhash",
-    "e01_knn_brute", "e02_knn_ivf", "mm01_media_features")
+    "e01_knn_brute", "e02_knn_ivf", "d09_embed_neardup", "mm01_media_features")
 }

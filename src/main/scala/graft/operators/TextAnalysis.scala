@@ -27,11 +27,18 @@ object TextAnalysis {
         s"transform(sequence(0, size($tokenArrayCol) - $n), " +
           s"i -> concat_ws(' ', ${(0 until n).map(k => s"$tokenArrayCol[i+$k]").mkString(", ")}))"))
 
-  /** Token counts: total, distinct, characters. */
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenization split most
+    * byte-pair tokenizers apply before merging. */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counts: whitespace tokens, distinct tokens, BPE-ish
+    * subtokens, characters. */
   def tokenCounts(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =
     df.select(idCols.map(col) ++ Seq(
       size(tokens(col(textCol))).as("n_tokens"),
       size(tokenSet(col(textCol))).as("n_distinct"),
+      size(regexp_extract_all(col(textCol), lit(subtokenPattern), lit(0))).as("n_subtokens"),
       length(col(textCol)).as("n_text_chars")): _*)
 
   val defaultStopwords: Seq[String] =

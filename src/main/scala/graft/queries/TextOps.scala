@@ -71,6 +71,7 @@ object TextOps {
     "d02_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subtokens,
          length(text) AS n_text_chars FROM documents""",
     "d03_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
