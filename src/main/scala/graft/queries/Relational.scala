@@ -168,7 +168,24 @@ object Relational {
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // The streaming window aggregation run in batch mode (same code
+    // path as CdcStream.windowedCounts; watermark is a no-op in batch).
+    "w01_windowed_counts" -> ((s, d) =>
+      graft.streaming.CdcStream.windowedCounts(
+          Tables.events(s, d), "ts", "event_type", "10 minutes", "5 minutes")
+        .select(unix_millis(col("window_start")).as("ws"),
+          unix_millis(col("window_end")).as("we"),
+          col("event_type"), col("n_events"))),
+
+    // Semi-structured extraction: numeric field out of the JSON-ish
+    // props payload (regex on both engines for identical typing).
+    "q20_props_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_total"), max("k").as("k_max"), count(lit(1)).as("n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,6 +271,17 @@ object Relational {
          GROUP BY 1, 2""",
     "q18_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "w01_windowed_counts" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) AS ws,
+         epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) + 600000 AS we,
+         event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2, 3""",
+    "q20_props_extract" ->
+      """SELECT event_type,
+         sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS k_total,
+         max(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS k_max,
+         count(*) AS n
+         FROM events GROUP BY 1"""
   )
 }

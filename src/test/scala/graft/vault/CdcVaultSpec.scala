@@ -313,6 +313,21 @@ class CdcVaultSpec extends AnyFunSuite {
     assert(m2Latest.getAs[Double]("RATING") === 8.0)
   }
 
+  test("link traversal: joinLinkedHubs zips movie and director histories") {
+    business.createPointInTimeTableForSingleSatellite("DIRECTORS", "DIRECTORS")
+    val joined = business.joinLinkedHubs("MOVIES", "DIRECTORS", "MOVIES__DIRECTORS",
+      "MOVIES_HKEY", "DIRECTORS_HKEY",
+      fromAttributes = Seq("PublicID", "RATING"), toAttributes = Seq("NAME"))
+    // m1 carries both link rows (d1 then re-pointed d2) across both of
+    // its versions — links persist, deletions live in link effectivity
+    val m1 = joined.filter(col("PublicID") === "m1")
+    assert(m1.count() === 4)
+    assert(m1.select("NAME").distinct().collect().map(_.getString(0)).toSet ===
+      Set("Mann", "Frankenheimer"))
+    // every emitted interval is a genuine overlap
+    assert(joined.filter(col(c.loadDate) >= col(c.loadEndDate)).count() === 0)
+  }
+
   test("zip-historized join: movie versions x link validity") {
     // join the historized movie read with itself on PublicID as a
     // smoke-check of overlap semantics: every version overlaps itself
