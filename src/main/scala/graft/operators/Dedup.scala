@@ -30,12 +30,16 @@ object Dedup {
         .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
 
   /** MinHash signatures over word n-gram shingles: one row per id with
-    * columns s0..s{k-1}, each the lexicographic-min md5 of the seeded
-    * shingle hashes. */
+    * bigint columns s0..s{k-1}. One md5 per shingle supplies two 48-bit
+    * halves h1/h2; slot j minimizes h1 + j*h2 (the Kirsch-Mitzenmacher
+    * construction) — k independent-enough hash families for the cost of
+    * one digest, which at corpus scale is the difference between one
+    * and k hashing passes. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleSize: Int = 3): DataFrame = {
-    val sigCols = (0 until k).map(j =>
-      min(md5(concat_ws("_", lit(j.toString), col("__shingle")))).as(s"s$j"))
+    val h1 = conv(substring(md5(col("__shingle")), 1, 12), 16, 10).cast("long")
+    val h2 = conv(substring(md5(col("__shingle")), 13, 12), 16, 10).cast("long")
+    val sigCols = (0 until k).map(j => min(h1 + lit(j) * h2).as(s"s$j"))
     df.select(col(idCol), col(textCol),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),

@@ -61,8 +61,13 @@ object TextOps {
   /** DuckDB mirrors of the operator definitions. */
   private val tkSql = "list_distinct(string_split(text, ' '))"
 
+  /** Kirsch-Mitzenmacher slot j over the distinct shingle set: one md5
+    * per shingle, two 48-bit halves, min of h1 + j*h2 (mirrors
+    * Dedup.minHashSignatures exactly). */
   private def shingleMinhashSql(j: Int): String =
-    s"list_aggregate(list_transform(list_distinct(sh), t -> md5(concat_ws('_', '$j', t))), 'min')"
+    s"""list_aggregate(list_transform(list_distinct(sh),
+       t -> ('0x' || substr(md5(t), 1, 12))::BIGINT
+            + $j * ('0x' || substr(md5(t), 13, 12))::BIGINT), 'min')"""
 
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
