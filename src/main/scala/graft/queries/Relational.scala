@@ -179,6 +179,14 @@ object Relational {
           unix_millis(col("window_end")).as("we"),
           col("event_type"), col("n_events"))),
 
+    // Salted two-phase aggregation over a skewed key (5 event types for
+    // the whole table) — must equal the plain GROUP BY the oracle runs.
+    "s01_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSum(
+          Tables.events(s, d), Seq("event_type"), "value",
+          saltSource = col("event_id"), buckets = 16)
+        .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"))),
+
     // Semi-structured extraction: numeric field out of the JSON-ish
     // props payload (regex on both engines for identical typing).
     "q20_props_extract" -> ((s, d) =>
@@ -277,6 +285,9 @@ object Relational {
          epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) + 600000 AS we,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3""",
+    "s01_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1""",
     "q20_props_extract" ->
       """SELECT event_type,
          sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS k_total,
