@@ -48,6 +48,27 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** One sampled frame of a media payload (decode stubbed). */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_hash: String)
+
+  /** Frame sampling: the one-to-many decode shape (video -> frames,
+    * audio -> windows). The stub samples 1 + len%4 frames and
+    * fingerprints each as md5(payload bytes ++ ":idx") — swap the body
+    * for a codec call; the flatMap batch shape is the real contract. */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = 1 + (r.payload.length % 4)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { i =>
+        md.reset()
+        md.update(r.payload)
+        md.update(s":$i".getBytes("UTF-8"))
+        Frame(r.media_id, i, md.digest().map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   /** Lift any DataFrame with (id, kind, string payload) into the media
     * schema — the fixture stand-in for real binary columns. */
   def asMedia(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): Dataset[MediaRow] = {

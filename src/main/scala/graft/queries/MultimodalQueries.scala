@@ -17,6 +17,13 @@ object MultimodalQueries {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("byte_len"),
           col("width"), col("height"), col("phash"))
+    }),
+
+    // One-to-many frame sampling through the typed flatMap pipeline.
+    "mm02_frame_sample" -> ((s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
+      Multimodal.sampleFrames(media).toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_hash"))
     })
   )
 
@@ -27,6 +34,12 @@ object MultimodalQueries {
          (64 + (octet_length(encode(text)) % 512))::INTEGER AS width,
          (64 + (ascii(substr(text, 1, 1)) % 512))::INTEGER AS height,
          md5(text) AS phash
-         FROM documents"""
+         FROM documents""",
+    "mm02_frame_sample" ->
+      """SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
+         md5(text || ':' || i) AS frame_hash
+         FROM documents,
+           LATERAL (SELECT unnest(generate_series(0,
+             (octet_length(encode(text)) % 4))) AS i)"""
   )
 }
