@@ -58,7 +58,7 @@ class Curated(
       .withColumnRenamed(typelists.deColumn, deColumn)
 
     val idx = df.columns.indexOf(typelistReferenceColumn)
-    val dfCols = df.columns.map(df(_))
+    val dfCols = df.columns.toSeq.map(df(_))
     val selected = dfCols.take(idx) ++
       Seq(tl(typelistReferenceColumn), tl(enColumn), tl(deColumn)) ++
       dfCols.drop(idx + 1)
@@ -89,7 +89,7 @@ class Curated(
       .distinct()
 
     val idx = fromDf.columns.indexOf(columnName)
-    val dfCols = fromDf.columns.map(fromDf(_))
+    val dfCols = fromDf.columns.toSeq.map(fromDf(_))
     val selected = dfCols.take(idx) ++ Seq(lnk(columnName)) ++ dfCols.drop(idx + 1)
 
     fromDf
@@ -132,7 +132,7 @@ class Curated(
 
         df.join(userEnriched, df(colName) === userEnriched("ID"), "left")
           .drop(df(colName))
-          .select(outCols.map(col): _*)
+          .select(outCols.toSeq.map(col): _*)
     }
 
   /** Map field definitions to a flat curated view (Curated.py:196-271):

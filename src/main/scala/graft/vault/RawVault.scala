@@ -250,14 +250,14 @@ object RawVaultOps {
     val newLinkRows = linkedDf
       .dropDuplicates(Seq(c.hkey))
       .join(linkDf, linkedDf(c.hkey) === linkDf(c.hkey), "left_anti")
-      .select(linkDf.columns.map(col): _*)
+      .select(linkDf.columns.toSeq.map(col): _*)
       .cache()
 
     // effectivity: new pairs are live (RawVault.py:574-577)
     val effNew = linkedDf
       .withColumn(c.deleted, lit(false))
       .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
-      .select(effDf.columns.map(col): _*)
+      .select(effDf.columns.toSeq.map(col): _*)
 
     // pairs previously linked from these from-entities (RawVault.py:582-585).
     // Aliased projections everywhere: newLinkRows' lineage contains fromDf,
@@ -291,7 +291,7 @@ object RawVaultOps {
         Dv.hash(Seq(lit(true))).as(c.hdiff),
         col("new_load").as(c.loadDate),
         lit(true).as(c.deleted))
-      .select(effDf.columns.map(col): _*)
+      .select(effDf.columns.toSeq.map(col): _*)
 
     // suppress rows whose deleted-flag did not change (lag window,
     // RawVault.py:614-620), then anti-join vs existing effectivity
@@ -501,17 +501,23 @@ class RawVault(
     loadLink(stageTableDf(s"$fromSourceTableName.parquet", stagingBusinessKeyColumns),
       fromForeignKey, linkTableName, fromHkeyColumnName, toHkeyColumnName)
 
+  /** 2-way FK link load. The reference hardcodes the target's business
+    * key as PublicID (RawVault.py:516) and derives the fallback hub/sat
+    * name from the target table's first `_` segment (RawVault.py:530-531)
+    * — both are naming-convention couplings to its insurance source, so
+    * they are parameters here with reference-compatible defaults
+    * (SURVEY §4 hazard 7). */
   def loadLink(stagedFromDf: DataFrame, fromForeignKey: ForeignKey,
-      linkTableName: String, fromHkeyColumnName: String, toHkeyColumnName: String): Unit = {
+      linkTableName: String, fromHkeyColumnName: String, toHkeyColumnName: String,
+      toBusinessKeyColumns: Seq[String] = Seq("PublicID"),
+      fallbackEntityName: Option[String] = None): Unit = {
     val linkName = c.linkName(linkTableName)
     val effName = c.effectivitySatName(linkName)
     val linkDf = rawTable(linkName)
     val effDf = rawTable(effName)
-    // the reference re-stages the FK target keyed on PublicID
-    // (RawVault.py:516) and derives the fallback hub/sat from the target
-    // table's prefix (RawVault.py:530-531)
-    val toStaged = stageTableDf(s"${fromForeignKey.to.table}.parquet", Seq("PublicID"))
-    val fallbackBase = fromForeignKey.to.table.split("_")(0)
+    val toStaged = stageTableDf(s"${fromForeignKey.to.table}.parquet", toBusinessKeyColumns)
+    val fallbackBase = fallbackEntityName
+      .getOrElse(fromForeignKey.to.table.split("_")(0))
     val toHub = rawTable(c.hubName(fallbackBase))
     val toSat = rawTable(c.satName(fallbackBase))
 
@@ -605,7 +611,7 @@ class RawVault(
       val staged = stagedTable(name)
         .withColumn(c.group, lit(name.toLowerCase))
         .withColumn(c.hdiff, Dv.hashNames(attributes))
-        .select(refDf.columns.map(col): _*)
+        .select(refDf.columns.toSeq.map(col): _*)
         .dropDuplicates(Seq(idColumn, c.group, c.loadDate))
       val pre = repartitionSize
         .map(n => staged.repartition(n, col(c.group), col(idColumn), col(c.loadDate)))

@@ -313,6 +313,36 @@ class CdcVaultSpec extends AnyFunSuite {
     assert(m2Latest.getAs[Double]("RATING") === 8.0)
   }
 
+  test("golden tables: exact SAT__MOVIES and effectivity contents after all batches") {
+    // feature-file style assertion (features/raw-vault.feature): the
+    // exact row multiset, including computed HDIFFs
+    def satRow(pid: String, t: Timestamp, name: String, year: Int,
+        director: Option[Int], rating: Double, rank: Int): (String, String, Timestamp) = {
+      val attrs = Seq(name, year.toString) ++ director.map(_.toString) ++
+        Seq(rating.toString, rank.toString, "0")
+      (hk(pid), hk(attrs: _*), t)
+    }
+    val expectedSat = Set(
+      satRow("m1", t0, "Heat", 1995, Some(1), 8.2, 12),
+      satRow("m1", t2, "Heat", 1995, Some(2), 8.3, 9),
+      satRow("m2", t0, "Ronin", 1998, Some(1), 7.9, 40),
+      satRow("m2", t4, "Ronin", 1998, Some(2), 8.0, 31),
+      satRow("m3", t0, "Blow", 2001, None, 7.4, 77),
+      satRow("m3", t2, "Blow", 2001, None, 7.6, 60))
+    val actualSat = raw("SAT__MOVIES")
+      .select(col(c.hkey), col(c.hdiff), col(c.loadDate)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(actualSat === expectedSat)
+
+    val expectedEff = Set(
+      (hk("m1"), t0, false), (hk("m2"), t0, false), (hk("m3"), t0, false),
+      (hk("m2"), t3, true), (hk("m2"), t4, false))
+    val actualEff = raw("SAT__EFFECTIVITY_MOVIES")
+      .select(col(c.hkey), col(c.loadDate), col(c.deleted)).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2))).toSet
+    assert(actualEff === expectedEff)
+  }
+
   test("link traversal: joinLinkedHubs zips movie and director histories") {
     business.createPointInTimeTableForSingleSatellite("DIRECTORS", "DIRECTORS")
     val joined = business.joinLinkedHubs("MOVIES", "DIRECTORS", "MOVIES__DIRECTORS",
