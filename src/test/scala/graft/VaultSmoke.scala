@@ -70,6 +70,15 @@ object VaultSmoke {
     println("LINK_ROWS=" + spark.table("smoke_raw.`LNK__LEFT__RIGHT`").count())
     println("EFF_DELETED=" + spark.table("smoke_raw.`SAT__EFFECTIVITY_LEFT__RIGHT`")
       .filter(col("$__DELETED") === true).count())
+
+    // business vault with a SEPARATE derived-table database
+    val business = new BusinessVault(spark, "smoke_raw", Some("smoke_biz"))
+    business.initializeDatabase()
+    business.createPointInTimeTableForSingleSatellite("LEFT", "LEFT")
+    println("PIT_IN_BIZ_DB=" + spark.table("smoke_biz.`PIT__LEFT`").count())
+    val latest = business.readDataFromHub("LEFT", Seq("PublicID", "V"))
+      .orderBy(col("$__LOAD_DATE").desc).head()
+    println("LATEST_V=" + latest.getAs[String]("V"))
     spark.stop()
   }
 }
