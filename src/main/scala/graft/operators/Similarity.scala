@@ -64,6 +64,22 @@ object Similarity {
       .select(col(idCol).as("a_id"), col("b_id"))
   }
 
+  /** Persist centroid assignments as a catalog table bucketed by
+    * centroid id — the 100 TB serving shape: probes become scans of one
+    * bucket with no shuffle on the corpus side. */
+  def buildIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit = {
+    assigned.write
+      .bucketBy(buckets, "cid")
+      .mode("overwrite")
+      .saveAsTable(table)
+    assigned.sparkSession.catalog.refreshTable(table)
+  }
+
+  /** Probe a persisted IVF index for one query vector set. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queryIds: Column, idCol: String, k: Int): DataFrame =
+    knnIvf(spark.table(table), queryIds, idCol, k)
+
   /** IVF-style ANN: probe only the query vector's centroid bucket. */
   def knnIvf(assigned: DataFrame, queryIds: Column, idCol: String, k: Int): DataFrame = {
     val q = assigned.filter(queryIds)

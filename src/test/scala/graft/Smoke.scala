@@ -16,6 +16,19 @@ object Smoke {
     println("EMB_ROWS=" + emb.count())
     val bad = util.Try(Tables.table(spark, sfDir, "nope").count()).isFailure
     println("MISSING_TABLE_FAILS=" + bad)
+
+    // persist + probe the bucketed IVF similarity index
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = Similarity.withNorm(Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(
+      base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+    spark.sql("CREATE DATABASE IF NOT EXISTS smoke_idx")
+    Similarity.buildIvfIndex(assigned, "smoke_idx.ivf", buckets = 4)
+    val probe = Similarity.probeIvfIndex(spark, "smoke_idx.ivf",
+      col("vec_id") < 3, "vec_id", 3)
+    probe.show(9)
+    println("IVF_PROBE_ROWS=" + probe.count())
     spark.stop()
   }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.Tables
+
+/** Similarity-search invariants on the fixture embeddings, including
+  * the persisted bucketed IVF index (probe == in-memory IVF).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val base = Similarity.withNorm(Tables.embeddings(spark, sf), "vec_id", "embedding")
+  private lazy val assigned =
+    Similarity.assignToCentroids(base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+
+  test("knnBrute returns k ranked neighbors per query, self excluded") {
+    val out = Similarity.knnBrute(base, base.filter(col("vec_id") < 5), "vec_id", 4)
+    assert(out.count() === 5 * 4)
+    assert(out.filter(col("qid") === col("neighbor_id")).count() === 0)
+    assert(out.groupBy("qid").agg(max("rank")).collect().forall(_.getInt(1) === 4))
+  }
+
+  test("every vector lands in exactly one centroid bucket") {
+    assert(assigned.count() === base.count())
+    assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("persisted IVF index probes equal in-memory IVF results") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)
+    val inMem = Similarity.knnIvf(assigned, col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probed = Similarity.probeIvfIndex(spark, "sim_idx.ivf_embeddings",
+        col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed === inMem)
+    assert(probed.nonEmpty)
+  }
+}
