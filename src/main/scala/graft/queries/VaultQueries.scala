@@ -153,6 +153,23 @@ object VaultQueries {
           col(c.loadDate).as("start_ms"), col(c.loadEndDate).as("end_ms"))
     }),
 
+    // Staging snapshot-override: SNAPSHOT rows (op < 1) carry their
+    // business timestamp instead of the CDC load date — the
+    // prepareStaged contract, driven through the real function.
+    "v06_snapshot_override" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+        .withColumn("OPERATION",
+          when(col("event_type") === "signup", CdcOp.Create)
+            .when(col("event_type") === "error", CdcOp.Delete)
+            .otherwise(CdcOp.Snapshot))
+        .withColumn("LOAD_DATE", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+        .withColumn("SNAP_TS", col("LOAD_DATE") + 3600000L)
+      RawVaultOps.prepareStaged(raw, "events", "LOAD_DATE", "OPERATION",
+          hkeyColumns = Seq("user_id"), snapshotOverrideColumn = Some("SNAP_TS"))
+        .select(col(c.hkey).as("hkey"), col("event_id"),
+          col(c.operation).as("op"), col(c.loadDate).as("load_ms"))
+    }),
+
     // J18: SCD2 end-dating as a lead window (the semantics-preserving
     // rewrite of the reference's full-outer self-join).
     "q17_scd2" -> ((s, d) => {
@@ -203,6 +220,13 @@ object VaultQueries {
            md5(concat_ws(',', props)) AS hdiff, ld AS load_ms, props
          FROM clicks s WHERE NOT EXISTS (SELECT 1 FROM cur
            WHERE cur.user_id = s.user_id AND cur.ld = s.ld)""",
+    "v06_snapshot_override" ->
+      """SELECT md5(user_id::VARCHAR) AS hkey, event_id,
+         CASE event_type WHEN 'signup' THEN 2 WHEN 'error' THEN 1 ELSE 0 END AS op,
+         CASE WHEN event_type NOT IN ('signup', 'error')
+           THEN epoch_ms(date_trunc('milliseconds', ts)) + 3600000
+           ELSE epoch_ms(date_trunc('milliseconds', ts)) END AS load_ms
+         FROM events""",
     "q19_pit" ->
       s"""WITH $stagedSql,
          sat AS (SELECT hkey, ld FROM staged WHERE op IN (0,2,4)),
