@@ -46,6 +46,12 @@ object BusinessVaultOps {
         when(isnull(col(c.loadEndDate)), Dv.maxTimestamp)
           .otherwise(col(c.loadEndDate)))
       .drop("del_hkey", "del_load_date")
+      // several delete events can fall inside one version interval (the
+      // effectivity sat dedups only on (HKEY, LOAD_DATE)); the version
+      // closes at the EARLIEST of them — without this a PIT row would
+      // duplicate per matching delete and fan out every read join
+      .groupBy(col(c.hkey), col(c.loadDate))
+      .agg(min(c.loadEndDate).as(c.loadEndDate))
   }
 
   /** Literal port of the reference PIT build (self-join + groupBy-min,
@@ -116,9 +122,15 @@ object BusinessVaultOps {
   def readDataFromHubSatAndPit(hub: DataFrame, sat: DataFrame, pit: DataFrame,
       attributes: Seq[String], includeHkey: Boolean = false)(
       implicit c: Conventions): DataFrame = {
-    val hubAttrs = hub.columns.toSet.intersect(attributes.toSet).toSeq.map(hub(_)) ++
+    // route in CALLER order (set intersection would give hash order) and
+    // with hub priority, so an attribute present on both sides is
+    // selected once instead of producing an ambiguous duplicate
+    val hubNames = attributes.filter(hub.columns.contains)
+    val hubAttrs = hubNames.map(hub(_)) ++
       (if (includeHkey) Seq(hub(c.hkey)) else Nil)
-    val satAttrs = sat.columns.toSet.intersect(attributes.toSet).toSeq.map(sat(_))
+    val satAttrs = attributes
+      .filter(a => sat.columns.contains(a) && !hubNames.contains(a))
+      .map(sat(_))
     pit
       .join(sat, pit(c.hkey) === sat(c.hkey) && pit(c.loadDate) === sat(c.loadDate))
       .join(hub, hub(c.hkey) === pit(c.hkey))

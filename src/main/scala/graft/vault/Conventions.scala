@@ -96,16 +96,19 @@ final case class Conventions(
   def satName(source: String): String =
     if (source.toUpperCase.startsWith(satPrefix)) source.toUpperCase
     else s"$satPrefix${normalize(source)}"
-  def effectivitySatName(hubOrLink: String): String = {
-    val base = hubOrLink.toUpperCase
-      .replace(hubPrefix, "").replace(linkPrefix, "")
-    s"$satPrefix${effectivitySatSuffix}_$base"
+  /** Strip any table-kind prefix, then source-prefix-normalize — so the
+    * create path (raw source name, e.g. "CC_POLICY") and the load path
+    * (derived vault name, e.g. "LNK__POLICY") agree on derived names. */
+  private def baseEntityName(name: String): String = {
+    val upper = name.toUpperCase
+    val stripped = Seq(hubPrefix, linkPrefix, satPrefix, pitPrefix)
+      .find(upper.startsWith).map(p => upper.drop(p.length)).getOrElse(upper)
+    normalize(stripped)
   }
-  def pitName(hubOrSat: String): String = {
-    val base = hubOrSat.toUpperCase
-      .replace(hubPrefix, "").replace(satPrefix, "")
-    s"$pitPrefix$base"
-  }
+  def effectivitySatName(hubOrLink: String): String =
+    s"$satPrefix${effectivitySatSuffix}_${baseEntityName(hubOrLink)}"
+  def pitName(hubOrSat: String): String =
+    s"$pitPrefix${baseEntityName(hubOrSat)}"
   /** FK hash column inside a link: `<HUB>_HKEY` (DataVaultShared.py:135-142). */
   def hubHkeyColumn(hubName: String): String =
     s"${hubName.toUpperCase.replace(hubPrefix, "")}_HKEY"

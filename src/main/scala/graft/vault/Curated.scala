@@ -97,43 +97,50 @@ class Curated(
       .select(selected: _*)
   }
 
+  /** The latest (ID, PublicID, UserName) row per user — the reference's
+    * groupBy-max + self-join (Curated.py:149-154); the user dimension is
+    * tiny so it broadcast-joins. Computed ONCE per enrichment pass and
+    * cached: a curated view commonly has several *UserID columns and
+    * each used to rebuild the full USER/CREDENTIAL read. */
+  private def latestUserInfo(): DataFrame = {
+    val dfUser0 = businessVault.readDataFromHub("USER", Seq("ID", "PublicID"), includeHkey = true)
+    val dfCredential = businessVault.readDataFromHub("CREDENTIAL", Seq("UserName"), includeHkey = true)
+    val dfUserJoined = businessVault.joinLinkedDataframes(
+      dfUser0, dfCredential, "LNK__USER__CREDENTIAL", "USER_HKEY", "CREDENTIAL_HKEY")
+    dfUserJoined
+      .groupBy(col("ID"))
+      .agg(max(col(c.loadDate)).as("LD"))
+      .as("l")
+      .join(dfUserJoined.as("r"),
+        col("l.ID") === col("r.ID") && col("l.LD") === col(s"r.${c.loadDate}"))
+      .select(col("l.ID"), col("r.PublicID"), col("r.UserName"))
+      .cache()
+  }
+
   /** Enrich `*UserID` columns with the user's PublicID + UserName
-    * (Curated.py:121-165). The latest-user lookup is the reference's
-    * groupBy-max + self-join; row_number over a window would be the
-    * single-shuffle form, but the user dimension is tiny so we keep the
-    * literal port (it broadcast-joins anyway). */
-  def joinUserInformation(df: DataFrame, column: Option[String] = None): DataFrame =
+    * (Curated.py:121-165). */
+  def joinUserInformation(df: DataFrame, column: Option[String] = None): DataFrame = {
+    val user = latestUserInfo()
+    def enrich(acc: DataFrame, colName: String): DataFrame = {
+      val columns = acc.columns
+      val idx = columns.indexOf(colName)
+      val outCols = columns.take(idx) ++ Seq(colName, s"${colName}_UserName") ++
+        columns.drop(idx + 1)
+      // fresh aliases per column: repeated joins against the one cached
+      // user lookup must not share attribute ids across join rounds
+      val uid = s"__user_id_$colName"
+      val userEnriched = user.select(col("ID").as(uid),
+        col("PublicID").as(colName), col("UserName").as(s"${colName}_UserName"))
+      acc.join(userEnriched, acc(colName) === userEnriched(uid), "left")
+        .drop(acc(colName))
+        .select(outCols.toSeq.map(col): _*)
+    }
     column match {
       case None =>
-        df.columns.filter(_.endsWith("UserID")).foldLeft(df)(
-          (acc, col) => joinUserInformation(acc, Some(col)))
-      case Some(colName) =>
-        val columns = df.columns
-        val idx = columns.indexOf(colName)
-        val outCols = columns.take(idx) ++ Seq(colName, s"${colName}_UserName") ++
-          columns.drop(idx + 1)
-
-        val dfUser0 = businessVault.readDataFromHub("USER", Seq("ID", "PublicID"), includeHkey = true)
-        val dfCredential = businessVault.readDataFromHub("CREDENTIAL", Seq("UserName"), includeHkey = true)
-        val dfUserJoined = businessVault.joinLinkedDataframes(
-          dfUser0, dfCredential, "LNK__USER__CREDENTIAL", "USER_HKEY", "CREDENTIAL_HKEY")
-
-        val dfUser = dfUserJoined
-          .groupBy(col("ID"))
-          .agg(max(col(c.loadDate)).as("LD"))
-          .as("l")
-          .join(dfUserJoined.as("r"),
-            col("l.ID") === col("r.ID") && col("l.LD") === col(s"r.${c.loadDate}"))
-          .select(col("l.ID"), col("r.PublicID"), col("r.UserName"))
-
-        val userEnriched = dfUser
-          .withColumnRenamed("UserName", s"${colName}_UserName")
-          .withColumnRenamed("PublicID", colName)
-
-        df.join(userEnriched, df(colName) === userEnriched("ID"), "left")
-          .drop(df(colName))
-          .select(outCols.toSeq.map(col): _*)
+        df.columns.filter(_.endsWith("UserID")).foldLeft(df)(enrich)
+      case Some(colName) => enrich(df, colName)
     }
+  }
 
   /** Map field definitions to a flat curated view (Curated.py:196-271):
     * per-table hub reads, renames, FK→PublicID resolution, temporal

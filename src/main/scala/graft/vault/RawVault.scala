@@ -193,7 +193,10 @@ object RawVaultOps {
     * @param toHubFallback/toSatFallback  current hub+sat of the target —
     *        entities absent from this batch resolve through them
     * @param linkDf/effDf current LNK / SAT__EFFECTIVITY contents
-    * @return (new link rows, new effectivity rows)
+    * @return (new link rows, new effectivity rows, unpersist handle) —
+    *         the caller MUST invoke the handle after consuming both
+    *         frames, or the four cached intermediates pin executor
+    *         storage for the session lifetime.
     */
   def linkLoad(
       stagedFrom: DataFrame,
@@ -204,7 +207,8 @@ object RawVaultOps {
       linkDf: DataFrame,
       effDf: DataFrame,
       fromHkeyColumnName: String,
-      toHkeyColumnName: String)(implicit c: Conventions): (DataFrame, DataFrame) = {
+      toHkeyColumnName: String)(
+      implicit c: Conventions): (DataFrame, DataFrame, () => Unit) = {
 
     val fromDf = stagedFrom
       .filter(col(c.operation) === CdcOp.Update ||
@@ -309,7 +313,11 @@ object RawVaultOps {
         effDf(c.loadDate) === effFull(c.loadDate)).reduce(_ && _), "left_anti")
       .distinct()
 
-    (newLinkRows, newEffRows)
+    val unpersist = () => {
+      Seq(fromDf, joined, linkedDf, newLinkRows).foreach(_.unpersist(blocking = false))
+      ()
+    }
+    (newLinkRows, newEffRows, unpersist)
   }
 }
 
@@ -521,13 +529,14 @@ class RawVault(
     val toHub = rawTable(c.hubName(fallbackBase))
     val toSat = rawTable(c.satName(fallbackBase))
 
-    val (newLinkRows, newEffRows) = RawVaultOps.linkLoad(
+    val (newLinkRows, newEffRows, unpersist) = RawVaultOps.linkLoad(
       stagedFromDf, fromForeignKey, toStaged, toHub, toSat, linkDf, effDf,
       fromHkeyColumnName, toHkeyColumnName)
 
     writeTable(newLinkRows, config.rawDatabase, linkName, Seq(c.hkey), "append")
     writeTable(newEffRows, config.rawDatabase, effName,
       Seq(c.hkey, c.loadDate), "append")
+    unpersist()
   }
 
   // ---- multilink (RawVault.py:634-708) ----
