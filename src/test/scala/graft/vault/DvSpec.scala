@@ -46,6 +46,27 @@ class DvSpec extends AnyFunSuite {
     assert(out.after(Timestamp.valueOf("9000-01-01 00:00:00")))
   }
 
+  test("derived names agree between create (source name) and load (vault name) paths") {
+    assert(c.effectivitySatName("CC_POLICY") === c.effectivitySatName("LNK__POLICY"))
+    assert(c.effectivitySatName("CC_POLICY") === "SAT__EFFECTIVITY_POLICY")
+    assert(c.pitName("SAT__MOVIES") === c.pitName("MOVIES"))
+    assert(c.effectivitySatName("MOVIES") === "SAT__EFFECTIVITY_MOVIES")
+  }
+
+  test("PIT closes a version at the EARLIEST delete when several fall inside it") {
+    val ts = (s: String) => Timestamp.valueOf(s)
+    val sat = Seq(
+      ("h1", ts("2024-01-01 00:00:00")),
+      ("h1", ts("2024-01-10 00:00:00"))).toDF(c.hkey, c.loadDate)
+    val eff = Seq(
+      ("h1", ts("2024-01-03 00:00:00"), true),
+      ("h1", ts("2024-01-05 00:00:00"), true)).toDF(c.hkey, c.loadDate, c.deleted)
+    val pit = BusinessVaultOps.pitFromSatAndEff(sat, eff).collect()
+    assert(pit.length === 2, "one PIT row per version, not one per matching delete")
+    val v1 = pit.find(_.getAs[Timestamp](c.loadDate) === ts("2024-01-01 00:00:00")).get
+    assert(v1.getAs[Timestamp](c.loadEndDate) === ts("2024-01-03 00:00:00"))
+  }
+
   test("property: hub load is idempotent — replay appends nothing") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
