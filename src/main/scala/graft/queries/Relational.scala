@@ -179,6 +179,17 @@ object Relational {
           unix_millis(col("window_end")).as("we"),
           col("event_type"), col("n_events"))),
 
+    // Sketch aggregates: HLL distinct-count and approximate median. No
+    // oracle entry (sketch internals differ per engine) — the driver
+    // records the weaker rows-only check, and exact bounds are asserted
+    // in tests instead.
+    "q21_approx_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_value"),
+          count(lit(1)).as("n"))),
+
     // Salted two-phase aggregation over a skewed key (5 event types for
     // the whole table) — must equal the plain GROUP BY the oracle runs.
     "s01_salted_agg" -> ((s, d) =>

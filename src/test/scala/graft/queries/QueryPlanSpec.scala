@@ -66,6 +66,20 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("q21: sketch aggregates stay within error bounds of exact answers") {
+    val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, u) =>
+      val approx = out(k).getAs[Long]("approx_users")
+      assert(math.abs(approx - u) <= math.max(2, u * 0.05),
+        s"$k: approx $approx vs exact $u") // HLL default rsd is 5%
+    }
+  }
+
   test("v02: satellite dedup anti-join keeps pushdown-friendly shape") {
     val p = plan("v02_sat_rows")
     assert(p.contains("LeftAnti"))
