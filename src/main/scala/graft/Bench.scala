@@ -24,21 +24,29 @@ object Bench {
     SparkEntry.queries("q01_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // best of 2 runs per query: the second run reuses warmed parquet
-    // footers/JIT, so the minimum reflects the plan, not ambient noise
+    // footers/JIT, so the minimum reflects the plan, not ambient noise.
+    // A failed run must not masquerade as a fast one: only successful
+    // attempts count, and a query with no successful attempt reports -1
+    // and lands in "errors".
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name: $e"); None
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
+    val errs = failed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

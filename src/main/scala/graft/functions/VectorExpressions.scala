@@ -86,12 +86,17 @@ case class DotProductFloat(left: Expression, right: Expression)
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot")
 
+  private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_dot expects exactly 2 arguments, got ${children.size}")
+    DotProductFloat(children(0), children(1))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
       s.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier("graft_dot"), dotInfo,
-        (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
+        FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -101,5 +106,5 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo,
-      (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+      GraftFunctions.dotBuilder))
 }

@@ -58,7 +58,6 @@ final case class Conventions(
     satPrefix: String = "SAT__",
     pitPrefix: String = "PIT__",
     effectivitySatSuffix: String = "EFFECTIVITY",
-    hkeyColumns: Seq[String] = Seq("$__HKEY"),
     /** source-system table prefixes stripped during normalization
       * (reference hardcodes CC_/CCX_/ALG_, DataVaultShared.py:239-246 —
       * configurable here). */
@@ -109,9 +108,14 @@ final case class Conventions(
     s"$satPrefix${effectivitySatSuffix}_${baseEntityName(hubOrLink)}"
   def pitName(hubOrSat: String): String =
     s"$pitPrefix${baseEntityName(hubOrSat)}"
-  /** FK hash column inside a link: `<HUB>_HKEY` (DataVaultShared.py:135-142). */
-  def hubHkeyColumn(hubName: String): String =
-    s"${hubName.toUpperCase.replace(hubPrefix, "")}_HKEY"
+  /** FK hash column inside a link: `<HUB>_HKEY` (DataVaultShared.py:135-142).
+    * Strips only a LEADING hub prefix — replace-all would mangle entity
+    * names that contain the prefix substring. */
+  def hubHkeyColumn(hubName: String): String = {
+    val upper = hubName.toUpperCase
+    val base = if (upper.startsWith(hubPrefix)) upper.drop(hubPrefix.length) else upper
+    s"${base}_HKEY"
+  }
 
   /** Entity name from a source table name (Curated.py:100-111). */
   def entityName(sourceTable: String): String = normalize(sourceTable)

@@ -83,14 +83,26 @@ object VaultMetadata {
         h.path("name").asText(),
         h.path("source_table").asText(),
         h.path("business_keys").elements().asScala.map(_.asText()).toSeq)).toSeq,
-      root.path("links").elements().asScala.map(l => LinkMapping(
-        l.path("name").asText(),
-        l.path("source_table").asText(),
-        l.path("to").elements().asScala.map(leg => LinkLeg(
-          leg.path("raw_column").asText(),
-          leg.path("source_column").asText(),
-          leg.path("source_foreign_key").path("table").asText(),
-          leg.path("source_foreign_key").path("column").asText())).toSeq)).toSeq,
+      root.path("links").elements().asScala.map { l =>
+        val source = l.path("source_table").asText()
+        // the reference format may declare the feeding table's own leg at
+        // link level (raw_column next to source_table,
+        // features/imdb-mapping.yaml:17-19) instead of inside `to` —
+        // normalize it into a self-leg so it is never silently dropped
+        val selfLeg =
+          if (l.hasNonNull("raw_column"))
+            Seq(LinkLeg(l.path("raw_column").asText(),
+              l.path("source_column").asText(), source, ""))
+          else Nil
+        LinkMapping(
+          l.path("name").asText(),
+          source,
+          selfLeg ++ l.path("to").elements().asScala.map(leg => LinkLeg(
+            leg.path("raw_column").asText(),
+            leg.path("source_column").asText(),
+            leg.path("source_foreign_key").path("table").asText(),
+            leg.path("source_foreign_key").path("column").asText())).toSeq)
+      }.toSeq,
       root.path("satellites").elements().asScala.map(s => SatelliteMapping(
         s.path("name").asText(),
         s.path("hub").asText(),
@@ -159,10 +171,14 @@ class MetadataVault(
       val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0,
         fkDefs.map(d => d -> vault.spark.table(
           s"${vault.config.rawDatabase}.`${c.hubName(d.name)}`")))
-      val (_, newRows) = RawVaultOps.newMultilinkRows(resolved,
+      val (stagedOut, newRows) = RawVaultOps.newMultilinkRows(resolved,
         vault.spark.table(s"${vault.config.rawDatabase}.`${c.linkName(l.name)}`"),
         l.to.map(_.rawColumn), vault.sourceSystemName, vault.loadClock)
       vault.appendToLink(l.name, newRows)
+      // keep the link's effectivity satellite loaded (CDC deletes for
+      // link-feeding rows must be visible), as loadMultilink does
+      vault.loadEffectivitySatelliteFromPreparedStageDataframe(stagedOut,
+        c.effectivitySatName(l.name))
     }
 
   /** Stage + load everything the mapping derives from every source table. */

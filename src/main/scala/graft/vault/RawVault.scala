@@ -641,5 +641,6 @@ class RawVault(
     }.reduce(_ union _)
     writeTable(newRows, config.rawDatabase, refName,
       Seq(c.group, idColumn, c.loadDate), "append")
+    refDf.unpersist(blocking = false)
   }
 }

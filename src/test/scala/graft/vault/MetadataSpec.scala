@@ -90,6 +90,25 @@ class MetadataSpec extends AnyFunSuite {
     assert(mapping.links.head.to.map(_.rawColumn) ===
       Seq("MOVIES_HKEY", "DIRECTORS_HKEY"))
     assert(mapping.satellites.size === 2)
+
+    // the reference format's link-level self-leg (raw_column next to
+    // source_table) must normalize into a leg, not be dropped
+    val refStyle = VaultMetadata.parseMapping(
+      """hubs: []
+        |links:
+        |  - name: LNK__MOVIES_DIRECTORS
+        |    raw_column: MOVIES__HKEY
+        |    source_column: ID
+        |    source_table: movies
+        |    to:
+        |      - raw_column: DIRECTORS__HKEY
+        |        source_column: DIRECTOR
+        |        source_foreign_key: {table: directors, column: ID}
+        |satellites: []
+        |""".stripMargin)
+    assert(refStyle.links.head.to.map(_.rawColumn) ===
+      Seq("MOVIES__HKEY", "DIRECTORS__HKEY"))
+    assert(refStyle.links.head.to.head.fkTable === "movies")
   }
 
   test("metadata drives create + load end to end") {
@@ -131,10 +150,14 @@ class MetadataSpec extends AnyFunSuite {
     assert(spark.table("meta_raw.`LNK__MOVIES__DIRECTORS`").count() === 2)
     assert(spark.table("meta_raw.`LNK__CASTINGS`").count() === 3)
 
+    // link effectivity satellites load alongside the links
+    assert(spark.table("meta_raw.`SAT__EFFECTIVITY_CASTINGS`").count() === 3)
+
     // replay is still idempotent through the generated calls
     meta.loadAll()
     assert(spark.table("meta_raw.`HUB__MOVIES`").count() === 2)
     assert(spark.table("meta_raw.`LNK__CASTINGS`").count() === 3)
+    assert(spark.table("meta_raw.`SAT__EFFECTIVITY_CASTINGS`").count() === 3)
 
     // SCD2 derived view over a versioned satellite
     write("movies", srcSchema("ID" -> StringType, "NAME" -> StringType,
