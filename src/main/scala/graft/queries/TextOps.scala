@@ -55,7 +55,12 @@ object TextOps {
     }),
 
     "d08_simhash" -> ((s, d) =>
-      Dedup.simHash(Tables.documents(s, d), "text", "doc_id", nBits = 16))
+      Dedup.simHash(Tables.documents(s, d), "text", "doc_id", nBits = 16)),
+
+    // The composed curation pipeline: quality gate -> exact dedup ->
+    // language annotation, one declarative plan.
+    "p01_clean_corpus" -> ((s, d) =>
+      graft.operators.Pipeline.cleanCorpus(Tables.documents(s, d), "text", "doc_id"))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -129,6 +134,25 @@ object TextOps {
          SELECT doc_id, ${(0 until 16).map(b =>
            s"(CASE WHEN 2 * len(list_filter(th, x -> ((x >> $b) & 1) = 1)) > len(th) THEN ${1 << b} ELSE 0 END)")
            .mkString(" + ")} AS simhash
-         FROM h"""
+         FROM h""",
+    "p01_clean_corpus" ->
+      """WITH q AS (SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(string_split(text, ' ')) AS stopword_ratio
+         FROM documents),
+         kept AS (SELECT doc_id, text, n_tokens FROM q
+           WHERE n_tokens >= 20 AND stopword_ratio < 0.5),
+         ded AS (SELECT min(doc_id) AS keep_id FROM kept GROUP BY md5(text)),
+         surv AS (SELECT k.* FROM kept k JOIN ded ON k.doc_id = ded.keep_id)
+         SELECT doc_id, n_tokens,
+           CASE WHEN en >= de AND en >= es THEN 'en'
+                WHEN de >= es THEN 'de' ELSE 'es' END AS pred_lang
+         FROM (SELECT doc_id, n_tokens,
+           len(list_filter(string_split(text, ' '), t -> t IN ('the','a','or'))) AS en,
+           len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und'))) AS de,
+           len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los'))) AS es
+         FROM surv)"""
   )
 }
