@@ -81,4 +81,25 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =
     df.select(idCols.map(col) :+
       md5(concat_ws(" ", array_sort(tokenSet(col(textCol))))).as("fingerprint"): _*)
+
+  /** Winnowing fingerprint (rolling hash): hash every word n-gram
+    * shingle, slide a window of `window` consecutive shingle hashes and
+    * keep each window's minimum — the classic local-fingerprint scheme
+    * whose selected hashes overlap for documents sharing long runs. The
+    * digest is md5 over the ordered distinct selected hashes. */
+  def winnowFingerprint(df: DataFrame, textCol: String, idCols: Seq[String],
+      shingleSize: Int = 3, window: Int = 4): DataFrame = {
+    val hashes = transform(col("__sh"),
+      t => conv(substring(md5(t), 1, 12), 16, 10).cast("long"))
+    val mins = expr(
+      s"transform(sequence(1, greatest(size(__h) - ${window - 1}, 1)), " +
+        s"i -> array_min(slice(__h, i, $window)))")
+    df.select(idCols.map(col) ++ Seq(col(textCol), tokens(col(textCol)).as("__tk")): _*)
+      .withColumn("__sh", shingles("__tk", textCol, shingleSize))
+      .withColumn("__h", hashes)
+      .select(idCols.map(col) :+
+        md5(concat_ws(",",
+          transform(array_sort(array_distinct(mins)), x => x.cast("string"))))
+          .as("winnow_fp"): _*)
+  }
 }

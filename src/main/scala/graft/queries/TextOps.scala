@@ -60,7 +60,11 @@ object TextOps {
     // The composed curation pipeline: quality gate -> exact dedup ->
     // language annotation, one declarative plan.
     "p01_clean_corpus" -> ((s, d) =>
-      graft.operators.Pipeline.cleanCorpus(Tables.documents(s, d), "text", "doc_id"))
+      graft.operators.Pipeline.cleanCorpus(Tables.documents(s, d), "text", "doc_id")),
+
+    // Winnowing (rolling-hash) document fingerprint.
+    "d10_winnow_fingerprint" -> ((s, d) =>
+      TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", Seq("doc_id")))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -153,6 +157,23 @@ object TextOps {
            len(list_filter(string_split(text, ' '), t -> t IN ('the','a','or'))) AS en,
            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und'))) AS de,
            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los'))) AS es
-         FROM surv)"""
+         FROM surv)""",
+    "d10_winnow_fingerprint" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents),
+         h AS (SELECT doc_id,
+           list_transform(sh, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hs
+         FROM sh),
+         mins AS (SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+             i -> list_aggregate(hs[i:i+3], 'min')) AS m
+         FROM h)
+         SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(m)), ',')) AS winnow_fp
+         FROM mins"""
   )
 }
