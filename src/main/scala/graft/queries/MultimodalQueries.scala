@@ -32,7 +32,9 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id, source AS kind,
          octet_length(encode(text))::INTEGER AS byte_len,
          (64 + (octet_length(encode(text)) % 512))::INTEGER AS width,
-         (64 + (ascii(substr(text, 1, 1)) % 512))::INTEGER AS height,
+         (64 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+                END % 512))::INTEGER AS height,
          md5(text) AS phash
          FROM documents""",
     "mm02_frame_sample" ->

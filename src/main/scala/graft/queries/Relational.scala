@@ -179,16 +179,28 @@ object Relational {
           unix_millis(col("window_end")).as("we"),
           col("event_type"), col("n_events"))),
 
-    // Sketch aggregates: HLL distinct-count and approximate median. No
-    // oracle entry (sketch internals differ per engine) — the driver
-    // records the weaker rows-only check, and exact bounds are asserted
-    // in tests instead.
+    // Sketch aggregates: HLL distinct-count and approximate median.
+    // Sketch internals differ per engine, so the raw estimates are not
+    // oracle-comparable — instead the query emits the EXACT stats (hash-
+    // checked against DuckDB) plus booleans asserting the sketch landed
+    // inside its error bound, which the oracle pins to literal TRUE.
+    // The estimates are deterministic for fixed data, so the booleans
+    // are stable; a sketch regression flips them and fails the hash gate.
     "q21_approx_stats" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("median_value"),
-          count(lit(1)).as("n"))),
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct("user_id").as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("amed"),
+          expr("percentile(value, array(0.45, 0.55))").as("mbounds"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          // HLL default rsd = 5%; 3 sigma ≈ 15% — generous but real bound
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("hll_ok"),
+          (col("amed") >= col("mbounds")(0) &&
+            col("amed") <= col("mbounds")(1)).as("median_ok"))),
 
     // Salted two-phase aggregation over a skewed key (5 event types for
     // the whole table) — must equal the plain GROUP BY the oracle runs.
@@ -304,6 +316,15 @@ object Relational {
          sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS k_total,
          max(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS k_max,
          count(*) AS n
+         FROM events GROUP BY 1""",
+    // exact stats hash-check; the sketch error-bound booleans are pinned
+    // to TRUE (see the query comment — estimates are deterministic).
+    "q21_approx_stats" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS exact_users,
+         count(*) AS n,
+         TRUE AS hll_ok,
+         TRUE AS median_ok
          FROM events GROUP BY 1"""
   )
 }

@@ -23,9 +23,18 @@ object Tables {
     * rejects outright. Read them as raw nanos (legacy long mode) and
     * convert with exact integer division (ns epochs overflow double, so
     * no floating-point path) to the µs timestamps Spark can process.
+    *
+    * The legacy flag must be set at session construction (Bench, Verify,
+    * TestSpark all do) — setting it here as a read side effect would
+    * silently change how every other ns-parquet in the session is read,
+    * and save/restore is unsound because the physical scan re-reads the
+    * conf at planning time, after this method returned.
     */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is ns-precision: build the SparkSession with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

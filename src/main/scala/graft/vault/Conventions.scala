@@ -104,8 +104,14 @@ final case class Conventions(
       .find(upper.startsWith).map(p => upper.drop(p.length)).getOrElse(upper)
     normalize(stripped)
   }
-  def effectivitySatName(hubOrLink: String): String =
-    s"$satPrefix${effectivitySatSuffix}_${baseEntityName(hubOrLink)}"
+  def effectivitySatName(hubOrLink: String): String = {
+    // idempotent, like the reference's startswith guard
+    // (DataVaultShared.py sat_effectivity_name): an already-derived name
+    // passes through unchanged instead of re-deriving from its suffix.
+    val effPrefix = s"$satPrefix${effectivitySatSuffix}_"
+    if (hubOrLink.toUpperCase.startsWith(effPrefix)) hubOrLink.toUpperCase
+    else s"$effPrefix${baseEntityName(hubOrLink)}"
+  }
   def pitName(hubOrSat: String): String =
     s"$pitPrefix${baseEntityName(hubOrSat)}"
   /** FK hash column inside a link: `<HUB>_HKEY` (DataVaultShared.py:135-142).

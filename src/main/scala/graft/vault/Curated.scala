@@ -99,10 +99,28 @@ class Curated(
 
   /** The latest (ID, PublicID, UserName) row per user — the reference's
     * groupBy-max + self-join (Curated.py:149-154); the user dimension is
-    * tiny so it broadcast-joins. Computed ONCE per enrichment pass and
-    * cached: a curated view commonly has several *UserID columns and
-    * each used to rebuild the full USER/CREDENTIAL read. */
-  private def latestUserInfo(): DataFrame = {
+    * tiny so it broadcast-joins. Memoized and cached ONCE per Curated
+    * instance: a curated view commonly has several *UserID columns, and
+    * repeated builds must not each pin a fresh copy in executor storage.
+    * Release with [[releaseUserInfoCache]] (the linkLoad
+    * unpersist-handle pattern) once enrichment passes are done. */
+  private var userInfoCache: Option[DataFrame] = None
+
+  /** Unpersist the memoized user lookup; the next enrichment rebuilds it. */
+  def releaseUserInfoCache(): Unit = synchronized {
+    userInfoCache.foreach(_.unpersist(blocking = false))
+    userInfoCache = None
+  }
+
+  private def latestUserInfo(): DataFrame = synchronized {
+    userInfoCache.getOrElse {
+      val built = buildLatestUserInfo()
+      userInfoCache = Some(built)
+      built
+    }
+  }
+
+  private def buildLatestUserInfo(): DataFrame = {
     val dfUser0 = businessVault.readDataFromHub("USER", Seq("ID", "PublicID"), includeHkey = true)
     val dfCredential = businessVault.readDataFromHub("CREDENTIAL", Seq("UserName"), includeHkey = true)
     val dfUserJoined = businessVault.joinLinkedDataframes(

@@ -21,6 +21,18 @@ import org.apache.spark.sql.types._
   */
 object RawVaultOps {
 
+  /** Dedup anti-join: `newRows` minus rows whose `keys` already exist in
+    * `existing`. Both sides often derive from the same staged DataFrame
+    * (sat/eff loads reuse the batch lineage), where bare parent-column
+    * references would build a trivially-true `col == col` predicate and
+    * correctness would hinge on the analyzer's self-join disambiguation —
+    * explicit aliases make the condition unambiguous by construction. */
+  private[vault] def antiExisting(newRows: DataFrame, existing: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => col(s"e.`$k`") === col(s"n.`$k`")).reduce(_ && _)
+    newRows.alias("n").join(existing.alias("e"), cond, "left_anti")
+  }
+
   /** Normalize a raw source batch into the prepared-staging shape
     * (reference `stage_table_df`, RawVault.py:1015-1043): rename the
     * configured load-date / CDC-operation columns to the system names, tag
@@ -66,8 +78,7 @@ object RawVaultOps {
   def newHubRows(staged: DataFrame, hub: DataFrame,
       businessKeyColumns: Seq[String])(implicit c: Conventions): DataFrame = {
     val cols = Seq(c.hkey, c.loadDate, c.recordSource) ++ businessKeyColumns
-    staged
-      .join(hub, hub(c.hkey) === staged(c.hkey), "left_anti")
+    RawVaultOps.antiExisting(staged, hub, Seq(c.hkey))
       .select(cols.map(col): _*)
       .distinct()
   }
@@ -87,9 +98,7 @@ object RawVaultOps {
       .withColumn(c.hdiff, Dv.hashNames(attributes))
       .select(cols.map(col): _*)
     repartitionSize.foreach(n => out = out.repartition(n, col(c.hkey), col(c.loadDate)))
-    out
-      .join(sat, Seq(sat(c.hkey) === out(c.hkey),
-        sat(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+    RawVaultOps.antiExisting(out, sat, Seq(c.hkey, c.loadDate))
       .distinct()
   }
 
@@ -109,9 +118,7 @@ object RawVaultOps {
       .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
       .select(cols.map(col): _*)
     repartitionSize.foreach(n => out = out.repartition(n, col(c.hkey), col(c.loadDate)))
-    out
-      .join(eff, Seq(eff(c.hkey) === out(c.hkey),
-        eff(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+    RawVaultOps.antiExisting(out, eff, Seq(c.hkey, c.loadDate))
       .distinct()
   }
 
@@ -124,9 +131,7 @@ object RawVaultOps {
       .withColumn(c.hdiff, Dv.hashNames(attributes))
       .select(cols.map(col): _*)
     repartitionSize.foreach(n => out = out.repartition(n, col(idColumn), col(c.loadDate)))
-    out
-      .join(ref, Seq(ref(idColumn) === out(idColumn),
-        ref(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+    RawVaultOps.antiExisting(out, ref, Seq(idColumn, c.loadDate))
       .distinct()
   }
 
@@ -142,10 +147,7 @@ object RawVaultOps {
       .select(cols.map(col): _*)
     repartitionSize.foreach(n =>
       out = out.repartition(n, col(c.group), col(idColumn), col(c.loadDate)))
-    out
-      .join(ref, Seq(ref(idColumn) === out(idColumn),
-        ref(c.group) === out(c.group),
-        ref(c.loadDate) === out(c.loadDate)).reduce(_ && _), "left_anti")
+    RawVaultOps.antiExisting(out, ref, Seq(idColumn, c.group, c.loadDate))
       .distinct()
   }
 
@@ -178,8 +180,7 @@ object RawVaultOps {
       .withColumn(c.recordSource, lit(sourceSystemName))
       .distinct()
     val cols = Seq(c.hkey, c.loadDate, c.recordSource) ++ hkeyColumnNames
-    val newRows = staged
-      .join(link, link(c.hkey) === staged(c.hkey), "left_anti")
+    val newRows = RawVaultOps.antiExisting(staged, link, Seq(c.hkey))
       .select(cols.map(col): _*)
       .distinct()
     (staged, newRows)
@@ -251,9 +252,8 @@ object RawVaultOps {
       .cache()
 
     // new LNK rows: exclude HKEYs already present (RawVault.py:563-567)
-    val newLinkRows = linkedDf
-      .dropDuplicates(Seq(c.hkey))
-      .join(linkDf, linkedDf(c.hkey) === linkDf(c.hkey), "left_anti")
+    val newLinkRows = RawVaultOps
+      .antiExisting(linkedDf.dropDuplicates(Seq(c.hkey)), linkDf, Seq(c.hkey))
       .select(linkDf.columns.toSeq.map(col): _*)
       .cache()
 
@@ -308,9 +308,8 @@ object RawVaultOps {
       .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
       .drop("prev")
 
-    val newEffRows = effFull
-      .join(effDf, Seq(effDf(c.hkey) === effFull(c.hkey),
-        effDf(c.loadDate) === effFull(c.loadDate)).reduce(_ && _), "left_anti")
+    val newEffRows = RawVaultOps
+      .antiExisting(effFull, effDf, Seq(c.hkey, c.loadDate))
       .distinct()
 
     val unpersist = () => {
@@ -634,9 +633,7 @@ class RawVault(
       val pre = repartitionSize
         .map(n => staged.repartition(n, col(c.group), col(idColumn), col(c.loadDate)))
         .getOrElse(staged)
-      pre.join(refDf, Seq(refDf(idColumn) === pre(idColumn),
-          refDf(c.group) === pre(c.group),
-          refDf(c.loadDate) === pre(c.loadDate)).reduce(_ && _), "left_anti")
+      RawVaultOps.antiExisting(pre, refDf, Seq(idColumn, c.group, c.loadDate))
         .distinct()
     }.reduce(_ union _)
     writeTable(newRows, config.rawDatabase, refName,

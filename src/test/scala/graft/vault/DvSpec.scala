@@ -51,6 +51,8 @@ class DvSpec extends AnyFunSuite {
     assert(c.effectivitySatName("CC_POLICY") === "SAT__EFFECTIVITY_POLICY")
     assert(c.pitName("SAT__MOVIES") === c.pitName("MOVIES"))
     assert(c.effectivitySatName("MOVIES") === "SAT__EFFECTIVITY_MOVIES")
+    // idempotent on already-derived names (reference startswith guard)
+    assert(c.effectivitySatName("SAT__EFFECTIVITY_POLICY") === "SAT__EFFECTIVITY_POLICY")
   }
 
   test("PIT closes a version at the EARLIEST delete when several fall inside it") {
