@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -180,6 +180,51 @@ object VaultQueries {
           unix_millis(date_trunc("MILLISECOND", col("ts"))).as("load_ms"))
         .withColumn("end_ms",
           coalesce(lead("load_ms", 1).over(w), lit(253402300799999L)))
+    }),
+
+    // v2 mode (LoadRaw.py): SCD2 satellite end-dating through the real
+    // upsert code. Versions = one row per (customer, order status) with
+    // its earliest order date; superseded versions close at the next
+    // strictly-later distinct date of the same key.
+    "v07_v2_enddate" -> ((s, d) => {
+      import graft.vault.LoadRawV2Ops
+      val versions = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderstatus"))
+        .agg(min("o_orderdate").as("od"))
+        .select(
+          Dv.hash(Seq(col("o_custkey"))).as(LoadRawV2Ops.Hkey),
+          Dv.hash(Seq(col("o_orderstatus"))).as(LoadRawV2Ops.Hdiff),
+          unix_millis(col("od").cast("timestamp")).as(LoadRawV2Ops.LoadDate),
+          lit(null).cast("long").as(LoadRawV2Ops.LoadEndDate),
+          col("o_orderstatus").as("status"))
+      LoadRawV2Ops.upsertSatellite(versions.limit(0), versions)
+        .select(col(LoadRawV2Ops.Hkey).as("hkey"),
+          col(LoadRawV2Ops.Hdiff).as("hdiff"),
+          col(LoadRawV2Ops.LoadDate).as("ld"),
+          col(LoadRawV2Ops.LoadEndDate).as("led"), col("status"))
+    }),
+
+    // v2 mode: hub/link last_seen upsert through the real code. Existing
+    // state = customers first ordering before 1996; the update batch =
+    // 1996+ orders. Matched keys keep their load_date and take the
+    // update's last_seen; new keys insert whole.
+    "v08_v2_lastseen" -> ((s, d) => {
+      import graft.vault.LoadRawV2Ops
+      def state(df: DataFrame, seenAgg: Column): DataFrame =
+        df.groupBy(col("o_custkey"))
+          .agg(min("o_orderdate").as("first_od"), seenAgg.as("seen_od"))
+          .select(Dv.hash(Seq(col("o_custkey"))).as(LoadRawV2Ops.Hkey),
+            unix_millis(col("first_od").cast("timestamp")).as(LoadRawV2Ops.LoadDate),
+            unix_millis(col("seen_od").cast("timestamp")).as(LoadRawV2Ops.LastSeenDate),
+            lit("orders").as(LoadRawV2Ops.RecordSource))
+      val orders = Tables.orders(s, d)
+      val cut = "1996-01-01"
+      val existing = state(orders.filter(col("o_orderdate") < lit(cut)), min("o_orderdate"))
+      val updates = state(orders.filter(col("o_orderdate") >= lit(cut)), max("o_orderdate"))
+      LoadRawV2Ops.upsertKeyed(existing, updates)
+        .select(col(LoadRawV2Ops.Hkey).as("hkey"),
+          col(LoadRawV2Ops.LoadDate).as("ld"),
+          col(LoadRawV2Ops.LastSeenDate).as("last_seen"))
     })
   )
 
@@ -263,6 +308,30 @@ object VaultQueries {
          epoch_ms(date_trunc('milliseconds', ts)) AS load_ms,
          coalesce(lead(epoch_ms(date_trunc('milliseconds', ts)))
            OVER (PARTITION BY user_id ORDER BY event_id), 253402300799999) AS end_ms
-         FROM events WHERE event_type IN ('signup', 'purchase', 'click')"""
+         FROM events WHERE event_type IN ('signup', 'purchase', 'click')""",
+    "v07_v2_enddate" ->
+      """WITH v AS (
+           SELECT md5(o_custkey::VARCHAR) AS hkey, md5(o_orderstatus) AS hdiff,
+             epoch_ms(min(o_orderdate))::BIGINT AS ld, o_orderstatus AS status
+           FROM orders GROUP BY o_custkey, o_orderstatus),
+         n AS (
+           SELECT hkey, ld,
+             lead(ld) OVER (PARTITION BY hkey ORDER BY ld) AS nxt
+           FROM (SELECT DISTINCT hkey, ld FROM v))
+         SELECT v.hkey, v.hdiff, v.ld, n.nxt AS led, v.status
+         FROM v JOIN n ON v.hkey = n.hkey AND v.ld = n.ld""",
+    "v08_v2_lastseen" ->
+      """WITH e AS (
+           SELECT o_custkey AS k, epoch_ms(min(o_orderdate))::BIGINT AS ld,
+             epoch_ms(min(o_orderdate))::BIGINT AS ls
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+         u AS (
+           SELECT o_custkey AS k, epoch_ms(min(o_orderdate))::BIGINT AS ld,
+             epoch_ms(max(o_orderdate))::BIGINT AS ls
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1)
+         SELECT md5(coalesce(e.k, u.k)::VARCHAR) AS hkey,
+           coalesce(e.ld, u.ld) AS ld,
+           coalesce(u.ls, e.ls) AS last_seen
+         FROM e FULL OUTER JOIN u ON e.k = u.k"""
   )
 }

@@ -1,0 +1,131 @@
+package graft.vault
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** End-to-end v2 (LoadRaw) mode: three staged batches through the
+  * catalog-backed loaders, asserting the v2-specific semantics —
+  * last_seen_date updated in place on hubs/links, SCD2 satellites keyed
+  * on (hkey, hdiff) where a flip-flop back to a previously-seen version
+  * inserts nothing, end-dating at the next distinct load date.
+  * Reference scenario shape: LoadRaw.py:442-535 usage.
+  */
+class LoadRawV2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val t1 = "2024-01-01T00:00:00Z"
+  private val t2 = "2024-01-02T00:00:00Z"
+  private val t3 = "2024-01-03T00:00:00Z"
+  private def ts(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  private lazy val srcDir =
+    java.nio.file.Files.createTempDirectory("graft-v2-src").toString
+
+  // (PublicID, NAME, RANK, DIRECTOR_ID) per batch; m1 flips back to its
+  // batch-1 attribute values (and director) in batch 3.
+  private val batches = Map(
+    t1 -> (Seq(("m1", "A", 1, "d1"), ("m2", "B", 2, "d1")), Seq("d1")),
+    t2 -> (Seq(("m1", "A", 9, "d2"), ("m2", "B", 2, "d1"), ("m3", "C", 3, "d1")),
+      Seq("d1", "d2")),
+    t3 -> (Seq(("m1", "A", 1, "d1")), Seq("d1")))
+
+  private def loadBatch(loadDate: String): LoadRawV2 = {
+    val (movies, directors) = batches(loadDate)
+    movies.toDF("PublicID", "NAME", "RANK", "DIRECTOR_ID")
+      .write.mode("overwrite").parquet(s"$srcDir/movies")
+    directors.toDF("PublicID")
+      .write.mode("overwrite").parquet(s"$srcDir/directors")
+    val v2 = new LoadRawV2(spark, loadDate, "test_v2", "tv2", srcDir)
+    v2.initializeDatabase()
+    v2.createHub("HUB__MOVIES", Seq(("PublicID", "STRING")))
+    v2.createHub("HUB__DIRECTORS", Seq(("PublicID", "STRING")))
+    v2.createSatellite("SAT__MOVIES", Seq(("NAME", "STRING"), ("RANK", "INT")))
+    v2.createLink("LNK__MOVIE__DIRECTOR", Seq("MOVIE_HKEY", "DIRECTOR_HKEY"))
+    v2.stageTable("movies", "movies", hkeyColumns = Seq("PublicID"))
+    v2.stageTable("directors", "directors", hkeyColumns = Seq("PublicID"))
+    v2.loadHubFromStagingTable("movies", "HUB__MOVIES", Seq("PublicID"),
+      Seq(("SAT__MOVIES", Seq("NAME", "RANK"))))
+    v2.loadHubFromStagingTable("directors", "HUB__DIRECTORS", Seq("PublicID"))
+    v2.loadLinkFromLinkedStagingTables("movies", "directors",
+      "DIRECTOR_ID", "PublicID", "MOVIE_HKEY", "DIRECTOR_HKEY",
+      "LNK__MOVIE__DIRECTOR")
+    v2
+  }
+
+  private lazy val loaded: LoadRawV2 = {
+    loadBatch(t1); loadBatch(t2); loadBatch(t3)
+  }
+
+  private def hub(name: String): Map[String, Row] = {
+    loaded
+    spark.table(s"tv2__raw.`$name`").collect()
+      .map(r => r.getAs[String]("PublicID") -> r).toMap
+  }
+
+  test("hub keeps original load_date, bumps last_seen_date in place") {
+    val movies = hub("HUB__MOVIES")
+    assert(movies.size === 3)
+    assert(movies("m1").getAs[java.sql.Timestamp]("load_date") === ts(t1))
+    assert(movies("m3").getAs[java.sql.Timestamp]("load_date") === ts(t2))
+    assert(movies("m1").getAs[java.sql.Timestamp]("last_seen_date") === ts(t3))
+    assert(movies("m2").getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
+    assert(movies("m3").getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
+  }
+
+  test("satellite: new version end-dates the old; flip-flop inserts nothing") {
+    loaded
+    val m1Hkey = hub("HUB__MOVIES")("m1").getAs[String]("hkey")
+    val sat = spark.table("tv2__raw.`SAT__MOVIES`").collect()
+      .groupBy(_.getAs[String]("hkey"))
+    val m1 = sat(m1Hkey).sortBy(_.getAs[java.sql.Timestamp]("load_date").getTime)
+    // batch 3 re-sent the (A, 1) version already recorded at t1: the
+    // (hkey, hdiff) merge key means NO third row appears, and the open
+    // (A, 9) version stays open — observable v2 semantics.
+    assert(m1.length === 2)
+    assert(m1(0).getAs[Int]("RANK") === 1)
+    assert(m1(0).getAs[java.sql.Timestamp]("load_end_date") === ts(t2))
+    assert(m1(1).getAs[Int]("RANK") === 9)
+    assert(m1(1).getAs[java.sql.Timestamp]("load_end_date") === null)
+    // unchanged m2: a single still-open version from t1
+    val m2Hkey = hub("HUB__MOVIES")("m2").getAs[String]("hkey")
+    assert(sat(m2Hkey).length === 1)
+    assert(sat(m2Hkey).head.getAs[java.sql.Timestamp]("load_end_date") === null)
+  }
+
+  test("link records every seen pair; re-point adds, re-seeing bumps last_seen") {
+    loaded
+    val movies = hub("HUB__MOVIES"); val dirs = hub("HUB__DIRECTORS")
+    def pair(m: String, d: String) =
+      (movies(m).getAs[String]("hkey"), dirs(d).getAs[String]("hkey"))
+    val links = spark.table("tv2__raw.`LNK__MOVIE__DIRECTOR`").collect()
+      .map(r => (r.getAs[String]("MOVIE_HKEY"), r.getAs[String]("DIRECTOR_HKEY")) -> r)
+      .toMap
+    assert(links.size === 4)
+    // m1→d1 seen in batches 1 and 3: inserted at t1, last seen t3 (v2
+    // has no delete concept — the t2 re-point to d2 just adds a pair)
+    assert(links(pair("m1", "d1")).getAs[java.sql.Timestamp]("load_date") === ts(t1))
+    assert(links(pair("m1", "d1")).getAs[java.sql.Timestamp]("last_seen_date") === ts(t3))
+    assert(links(pair("m1", "d2")).getAs[java.sql.Timestamp]("load_date") === ts(t2))
+    assert(links(pair("m1", "d2")).getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
+    assert(links(pair("m2", "d1")).getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
+    assert(links(pair("m3", "d1")).getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
+  }
+
+  test("v2 load is idempotent: replaying the last batch changes nothing") {
+    loaded
+    val before = (
+      spark.table("tv2__raw.`HUB__MOVIES`").collect().toSet,
+      spark.table("tv2__raw.`SAT__MOVIES`").collect().toSet,
+      spark.table("tv2__raw.`LNK__MOVIE__DIRECTOR`").collect().toSet)
+    loadBatch(t3)
+    val after = (
+      spark.table("tv2__raw.`HUB__MOVIES`").collect().toSet,
+      spark.table("tv2__raw.`SAT__MOVIES`").collect().toSet,
+      spark.table("tv2__raw.`LNK__MOVIE__DIRECTOR`").collect().toSet)
+    assert(before === after)
+  }
+}
