@@ -59,15 +59,43 @@ object Dedup {
     signatures.select(col(idCol), explode(array(bands: _*)).as("band"))
   }
 
+  /** Band self-join with both sides shaped for exchange reuse: identical
+    * alias-only projections canonicalize to the same plan, and the
+    * shuffle-hash hint keeps Catalyst from broadcasting one side (which
+    * would both recompute the banding pipeline AND be the wrong plan at
+    * corpus scale — the band frame is O(corpus)). AQE then computes the
+    * banding shuffle once and wires a ReusedExchange for the other side
+    * (pinned by QueryPlanSpec).
+    */
+  private def bandSelfJoin(banded: DataFrame, idCol: String,
+      pairCondition: (Column, Column) => Column): DataFrame = {
+    val a = banded.select(col(idCol).as("a_id"), col("band").as("a_band"))
+    val b = banded.select(col(idCol).as("b_id"), col("band").as("b_band"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"),
+        col("a_band") === col("b_band") && pairCondition(col("a_id"), col("b_id")))
+  }
+
   /** Near-duplicate candidate pairs (a < b) sharing at least one band. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3): DataFrame = {
     val banded = lshBands(minHashSignatures(df, textCol, idCol, k, shingleSize),
       idCol, k, bandWidth)
-    val other = banded.select(col(idCol).as("__o_id"), col("band").as("__o_band"))
-    banded.join(other, col("band") === col("__o_band") && col(idCol) < col("__o_id"))
-      .select(col(idCol).as("a_id"), col("__o_id").as("b_id"))
+    bandSelfJoin(banded, idCol, _ < _)
+      .select(col("a_id"), col("b_id"))
       .distinct()
+  }
+
+  /** Per-document count of distinct LSH candidates — the linear-output
+    * form for the degenerate everything-similar corpus. */
+  def lshCandidateCounts(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3): DataFrame = {
+    val banded = lshBands(minHashSignatures(df, textCol, idCol, k, shingleSize),
+      idCol, k, bandWidth)
+    bandSelfJoin(banded, idCol, _ =!= _)
+      .select(col("a_id").as("doc_id"), col("b_id"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
   }
 
   /** SimHash (nBits <= 24): per bit, majority vote of token-hash bits
@@ -94,7 +122,12 @@ object Dedup {
     val a = base.select(col(idCol).as("a_id"), col(blockCol).as("__a_bk"), col("__tk").as("__a_tk"))
     val b = base.select(col(idCol).as("b_id"), col(blockCol).as("__b_bk"), col("__tk").as("__b_tk"))
     val inter = size(array_intersect(col("__a_tk"), col("__b_tk")))
-    a.join(b, col("__a_bk") === col("__b_bk") && col("a_id") < col("b_id"))
+    // symmetric alias-projections + shuffle hints: the two block-key
+    // exchanges canonicalize identically, so the tokenization runs once
+    // and the other side is a ReusedExchange (see bandSelfJoin).
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"),
+        col("__a_bk") === col("__b_bk") && col("a_id") < col("b_id"))
       .withColumn("jaccard",
         inter.cast("double") / (size(col("__a_tk")) + size(col("__b_tk")) - inter))
       .filter(col("jaccard") > threshold)

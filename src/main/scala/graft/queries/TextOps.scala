@@ -43,16 +43,10 @@ object TextOps {
     // MinHash(6) + LSH(3 bands of 2) over word-trigram shingles; output
     // is the per-doc candidate count so the degenerate all-similar case
     // stays linear in the output.
-    "d07_minhash_lsh" -> ((s, d) => {
-      val banded = Dedup.lshBands(
-        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id", k = 6),
-        "doc_id", k = 6, bandWidth = 2)
-      val other = banded.select(col("doc_id").as("o_id"), col("band").as("o_band"))
-      banded
-        .join(other, col("band") === col("o_band") && col("doc_id") =!= col("o_id"))
-        .select(col("doc_id"), col("o_id")).distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    }),
+    "d07_minhash_lsh" -> ((s, d) =>
+      Dedup.lshCandidateCounts(Tables.documents(s, d), "text", "doc_id",
+          k = 6, bandWidth = 2)
+        .select(col("doc_id"), col("n_candidates"))),
 
     "d08_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "text", "doc_id", nBits = 16)),

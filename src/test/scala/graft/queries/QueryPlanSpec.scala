@@ -66,6 +66,15 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("d06/d07: self-join sides share one exchange (no double compute)") {
+    Seq("d06_jaccard_pairs", "d07_minhash_lsh").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes stage reuse only at execution
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        s"$q: tokenization/banding pipeline computed twice")
+    }
+  }
+
   test("q21: sketch aggregates stay within error bounds of exact answers") {
     val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
     assert(out.nonEmpty)
