@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.vault.{Conventions, Dv, LoadRawV2Ops, RawVaultOps}
+
+/** ScalaCheck invariants over the load kernels (SURVEY §5: "idempotent
+  * re-load ⇒ no new rows; anti-join dedup invariants") plus the naming
+  * conventions. DataFrame properties run few cases with tiny generated
+  * batches — each case is several Spark jobs — while the driver-side
+  * naming properties run the full default case count.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property through scalatest (no scalatestplus
+    * bridge in the offline dependency set). */
+  private def check(cases: Int, prop: Prop): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(cases).withMaxSize(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+  private def forAllP[A](gen: Gen[A], cases: Int = 100)(f: A => Unit): Unit =
+    check(cases, Prop.forAll(gen) { a => f(a); true })
+  private def forAll2P[A](g1: Gen[A], g2: Gen[A], cases: Int)(f: (A, A) => Unit): Unit =
+    check(cases, Prop.forAll(g1, g2) { (a, b) => f(a, b); true })
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val c = Conventions.default
+
+  // ---- driver-side: naming conventions ----
+
+  private val entityGen: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    s <- Gen.stringOfN(n, Gen.alphaNumChar)
+  } yield s
+
+  test("naming: every derived table name is idempotent under re-derivation") {
+    forAllP(entityGen) { name =>
+        assert(c.hubName(c.hubName(name)) === c.hubName(name))
+        assert(c.linkName(c.linkName(name)) === c.linkName(name))
+        assert(c.satName(c.satName(name)) === c.satName(name))
+        assert(c.refName(c.refName(name)) === c.refName(name))
+        assert(c.effectivitySatName(c.effectivitySatName(name)) ===
+          c.effectivitySatName(name))
+        assert(c.pitName(c.pitName(name)) === c.pitName(name))
+    }
+  }
+
+  test("naming: create path (source name) and load path (vault name) agree") {
+    forAllP(entityGen) { name =>
+      assert(c.effectivitySatName(name) === c.effectivitySatName(c.hubName(name)))
+      assert(c.pitName(name) === c.pitName(c.satName(name)))
+    }
+  }
+
+  // ---- DataFrame kernels: small generated CDC batches, few cases ----
+
+  /** (key, op, loadMs, attr) rows — keys collide on purpose. */
+  private val batchGen: Gen[List[(Int, Int, Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0, 5)
+      op <- Gen.oneOf(0, 1, 2, 3, 4)
+      ld <- Gen.choose(0L, 4L)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (key, op, ld * 86400000L, attr))
+
+  private def staged(rows: List[(Int, Int, Long, String)]): DataFrame =
+    rows.toDF("key", "op", "ld", "attr")
+      .withColumn(c.hkey, Dv.hash(Seq(col("key"))))
+      .withColumn(c.operation, col("op"))
+      .withColumn(c.loadDate, col("ld"))
+      .withColumn(c.cdcLoadDate, col("ld"))
+      .withColumn(c.recordSource, lit("prop"))
+
+  test("hub/satellite/effectivity loads are idempotent: replay adds zero rows") {
+    implicit val conv: Conventions = c
+    forAllP(batchGen, cases = 5) { rows =>
+      val st = staged(rows)
+      val hub0 = st.limit(0).select(col(c.hkey), col(c.loadDate), col(c.recordSource), col("key"))
+      val hubNew = RawVaultOps.newHubRows(st, hub0, Seq("key"))
+      assert(RawVaultOps.newHubRows(st, hub0.unionByName(hubNew), Seq("key")).isEmpty)
+
+      val sat0 = st.limit(0).select(col(c.hkey), col(c.loadDate))
+      val satNew = RawVaultOps.newSatelliteRows(st, sat0, Seq("attr"))
+      assert(RawVaultOps.newSatelliteRows(st,
+        sat0.unionByName(satNew.select(col(c.hkey), col(c.loadDate))), Seq("attr")).isEmpty)
+
+      val effNew = RawVaultOps.newEffectivityRows(st, sat0)
+      assert(RawVaultOps.newEffectivityRows(st,
+        sat0.unionByName(effNew.select(col(c.hkey), col(c.loadDate)))).isEmpty)
+    }
+  }
+
+  test("hub load never duplicates a hash key already in the hub") {
+    implicit val conv: Conventions = c
+    forAll2P(batchGen, batchGen, cases = 5) { (preRows, rows) =>
+      // hub loads run on stampForLoad output: ONE technical load clock
+      // per batch (the reference stamps current_timestamp, RawVault.py:239).
+      // Per-row load dates would legitimately yield one hub row each.
+      def stamped(rs: List[(Int, Int, Long, String)]) =
+        staged(rs).withColumn(c.loadDate, lit(0L))
+      val pre = stamped(preRows)
+        .select(col(c.hkey), col(c.loadDate), col(c.recordSource), col("key"))
+        .distinct()
+      val added = RawVaultOps.newHubRows(stamped(rows), pre, Seq("key"))
+      assert(added.join(pre, Seq(c.hkey), "left_semi").isEmpty)
+      // and the result itself is unique per hkey
+      val n = added.select(c.hkey).count()
+      assert(added.select(c.hkey).distinct().count() === n)
+    }
+  }
+
+  /** v2 satellite updates: unique (hkey, hdiff). */
+  private val v2Gen: Gen[List[(Int, String, Long)]] =
+    Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0, 3)
+      attr <- Gen.oneOf("a", "b", "c", "d")
+      ld <- Gen.choose(0L, 6L)
+    } yield (key, attr, ld * 1000L)).map(
+      _.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+
+  private def v2Updates(rows: List[(Int, String, Long)]): DataFrame =
+    rows.toDF("key", "attr", "ld")
+      .select(Dv.hash(Seq(col("key"))).as(LoadRawV2Ops.Hkey),
+        Dv.hash(Seq(col("attr"))).as(LoadRawV2Ops.Hdiff),
+        col("ld").as(LoadRawV2Ops.LoadDate),
+        lit(null).cast("long").as(LoadRawV2Ops.LoadEndDate),
+        col("attr"))
+
+  test("v2 satellite upsert is idempotent and end-dates consistently") {
+    forAllP(v2Gen, cases = 5) { rows =>
+      val updates = v2Updates(rows)
+      val s1 = LoadRawV2Ops.upsertSatellite(updates.limit(0), updates)
+      val s2 = LoadRawV2Ops.upsertSatellite(s1, updates)
+      assert(s1.collect().toSet === s2.collect().toSet)
+      // open rows are exactly the rows at each key's max load date
+      val got = s1.collect()
+      got.groupBy(_.getAs[String](LoadRawV2Ops.Hkey)).foreach { case (_, vs) =>
+        val maxLd = vs.map(_.getAs[Long](LoadRawV2Ops.LoadDate)).max
+        vs.foreach { r =>
+          val open = r.isNullAt(r.fieldIndex(LoadRawV2Ops.LoadEndDate))
+          assert(open === (r.getAs[Long](LoadRawV2Ops.LoadDate) == maxLd))
+        }
+      }
+    }
+  }
+}

@@ -115,6 +115,27 @@ class LoadRawV2Spec extends AnyFunSuite {
     assert(links(pair("m3", "d1")).getAs[java.sql.Timestamp]("last_seen_date") === ts(t2))
   }
 
+  test("query-driven loaders (S3): link and satellite load from Spark SQL") {
+    loaded
+    val v2 = new LoadRawV2(spark, t3, "test_v2", "tv2", srcDir)
+    v2.createSatellite("SAT__MOVIES_Q", Seq(("NAME", "STRING"), ("RANK", "INT")))
+    v2.loadSatelliteFromQuery(
+      s"SELECT dv__hkey, dv__load_date, NAME, RANK FROM tv2__staging.movies",
+      "SAT__MOVIES_Q", Seq("NAME", "RANK"))
+    val sat = spark.table("tv2__raw.`SAT__MOVIES_Q`").collect()
+    assert(sat.length === 1 && sat.head.getAs[String]("NAME") === "A")
+
+    v2.createLink("LNK__Q", Seq("MOVIE_HKEY", "DIRECTOR_HKEY"))
+    v2.loadLinkFromQuery(
+      """SELECT DISTINCT f.dv__hkey AS MOVIE_HKEY, t.dv__hkey AS DIRECTOR_HKEY
+         FROM tv2__staging.movies f
+         JOIN tv2__staging.directors t ON f.DIRECTOR_ID = t.PublicID""",
+      "LNK__Q", Seq("MOVIE_HKEY", "DIRECTOR_HKEY"))
+    val lnk = spark.table("tv2__raw.`LNK__Q`").collect()
+    assert(lnk.length === 1)
+    assert(lnk.head.getAs[java.sql.Timestamp]("last_seen_date") === ts(t3))
+  }
+
   test("v2 load is idempotent: replaying the last batch changes nothing") {
     loaded
     val before = (
