@@ -52,6 +52,33 @@ object Similarity {
       .select(col(idCol), col("cid"), col("v"), col("nrm"))
   }
 
+  /** Deterministic ±1 random-hyperplane weights for sign-LSH: plane `p`
+    * dimension `i` weighs +1 when the first byte of md5("p,i") is below
+    * 0x80. The derivation is pure and engine-independent, so an external
+    * oracle can inline the identical constants. */
+  def hyperplaneWeights(nPlanes: Int, dim: Int): Seq[Array[Float]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"$p,$i".getBytes("UTF-8"))
+        if ((h(0) & 0xff) < 0x80) 1.0f else -1.0f
+      }.toArray
+    }
+
+  /** Random-hyperplane (sign) LSH bucketing — the alternative blocker to
+    * [[assignToCentroids]]: bucket id = the sign-bit string of the
+    * vector against each hyperplane. Same output shape (`cid` column),
+    * so [[knnIvf]] and [[nearDupPairs]] probe LSH buckets unchanged.
+    * One narrow codegen'd pass, no shuffle, no training step — vs IVF's
+    * broadcast-assign — at the cost of recall tuned only by the plane
+    * count. */
+  def assignLshBuckets(base: DataFrame, idCol: String,
+      weights: Seq[Array[Float]]): DataFrame = {
+    val bits = weights.map(w =>
+      when(dot(col("v"), typedlit(w.toSeq)) > 0d, "1").otherwise("0"))
+    base.select(col(idCol), concat(bits: _*).as("cid"), col("v"), col("nrm"))
+  }
+
   /** Embedding-cosine near-duplicate pairs inside centroid blocks:
     * after assignToCentroids, only same-bucket pairs are compared — the
     * blocked shape that avoids the all-pairs join at corpus scale. */

@@ -14,6 +14,18 @@ object VectorOps {
 
   private val K = 5
   private val NQ = 10
+  private val NPlanes = 6
+  private val Dim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
+
+  /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
+    * ±1 weights inlined as list literals (hyperplaneWeights is pure, so
+    * both engines see identical constants; list_dot_product on DOUBLE[]
+    * is a sequential double fold, matching graft_dot's widening fold). */
+  private def lshBucketSql(v: String): String =
+    Similarity.hyperplaneWeights(NPlanes, Dim).map { w =>
+      val lst = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($v, $lst::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute" -> ((s, d) => {
@@ -26,6 +38,15 @@ object VectorOps {
       val assigned = Similarity.assignToCentroids(
         base, base.filter(col("vec_id") % 50 === 0), "vec_id")
       Similarity.knnIvf(assigned, col("vec_id") < NQ, "vec_id", K)
+    }),
+
+    // Sign-LSH ANN: 6 deterministic ±1 hyperplanes bucket the corpus in
+    // one narrow pass; probes run inside the query's bucket only.
+    "e03_knn_lsh" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val bucketed = Similarity.assignLshBuckets(
+        base, "vec_id", Similarity.hyperplaneWeights(NPlanes, Dim))
+      Similarity.knnIvf(bucketed, col("vec_id") < NQ, "vec_id", K)
     }),
 
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
@@ -64,6 +85,18 @@ object VectorOps {
          sims AS (SELECT q.qid, a.vec_id,
            list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
            FROM assigned a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e03_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         bucketed AS (SELECT vec_id, ${lshBucketSql("v")} AS cid, v, nrm FROM e),
+         q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
+           FROM bucketed WHERE vec_id < $NQ),
+         sims AS (SELECT q.qid, b.vec_id,
+           list_dot_product(b.v, q.qv) / (b.nrm * q.qn) AS sim
+           FROM bucketed b JOIN q ON b.cid = q.qcid AND b.vec_id <> q.qid),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",

@@ -29,6 +29,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("sign-LSH bucketing: deterministic, exhaustive, probe-compatible") {
+    val weights = Similarity.hyperplaneWeights(6, 64)
+    assert(weights.map(_.toSeq) ===
+      Similarity.hyperplaneWeights(6, 64).map(_.toSeq)) // pure derivation
+    val bucketed = Similarity.assignLshBuckets(base, "vec_id", weights)
+    assert(bucketed.count() === base.count())
+    // buckets actually split the corpus (not all vectors in one bucket)
+    assert(bucketed.select("cid").distinct().count() > 1)
+    val out = Similarity.knnIvf(bucketed, col("vec_id") < 5, "vec_id", 3)
+    assert(out.filter(col("qid") === col("neighbor_id")).count() === 0)
+    assert(out.groupBy("qid").agg(max("rank")).collect().forall(_.getInt(1) <= 3))
+  }
+
   test("persisted IVF index probes equal in-memory IVF results") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)
