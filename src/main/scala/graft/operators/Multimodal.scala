@@ -69,6 +69,28 @@ object Multimodal {
     }
   }
 
+  /** Resize: payload → payload transform with target dimensions — the
+    * media-in/media-out pipeline stage (between decode and re-encode in
+    * a real pipeline). The stub "re-encodes" deterministically as
+    * md5(payload ++ "WxH") repeated to a length scaled by the target
+    * area; a real codec drops in without touching the pipeline shape:
+    * still one narrow typed pass, payload never shuffled. */
+  def resizeStub(r: MediaRow, w: Int, h: Int): MediaRow = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(r.payload)
+    md.update(s":${w}x$h".getBytes("UTF-8"))
+    val digest = md.digest()
+    val outLen = math.max(1, (r.payload.length * (w.toLong * h) /
+      (512L * 512L)).toInt min r.payload.length)
+    val out = Array.tabulate[Byte](outLen)(i => digest(i % digest.length))
+    MediaRow(r.media_id, r.kind, out)
+  }
+
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
   /** Lift any DataFrame with (id, kind, string payload) into the media
     * schema — the fixture stand-in for real binary columns. */
   def asMedia(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): Dataset[MediaRow] = {

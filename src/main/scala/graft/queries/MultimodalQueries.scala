@@ -24,6 +24,17 @@ object MultimodalQueries {
       val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
       Multimodal.sampleFrames(media).toDF()
         .select(col("media_id"), col("frame_idx"), col("frame_hash"))
+    }),
+
+    // Payload-in/payload-out resize stage; the payload itself is only
+    // observed through its length and hex-digest (binary columns do not
+    // round-trip a SQL oracle directly).
+    "mm03_resize" -> ((s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
+      Multimodal.resize(media, 128, 96).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("out_len"),
+          md5(hex(col("payload"))).as("out_hash"))
     })
   )
 
@@ -42,6 +53,19 @@ object MultimodalQueries {
          md5(text || ':' || i) AS frame_hash
          FROM documents,
            LATERAL (SELECT unnest(generate_series(0,
-             (octet_length(encode(text)) % 4))) AS i)"""
+             (octet_length(encode(text)) % 4))) AS i)""",
+    // resizeStub: output bytes = md5(payload ++ ':128x96') cycled to
+    // max(1, min(len*128*96/512^2, len)) bytes; observed as hex digest.
+    "mm03_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, source AS kind,
+           octet_length(encode(text)) AS len, md5(text || ':128x96') AS dh
+           FROM documents),
+         r AS (SELECT media_id, kind,
+           greatest(1, least((len * 12288) // 262144, len)) AS out_len, dh
+           FROM m)
+         SELECT media_id, kind, out_len::INTEGER AS out_len,
+           md5(upper(substr(repeat(dh, ((out_len + 15) // 16)::INTEGER),
+             1, (out_len * 2)::INTEGER))) AS out_hash
+         FROM r"""
   )
 }
