@@ -103,7 +103,13 @@ class Curated(
     * instance: a curated view commonly has several *UserID columns, and
     * repeated builds must not each pin a fresh copy in executor storage.
     * Release with [[releaseUserInfoCache]] (the linkLoad
-    * unpersist-handle pattern) once enrichment passes are done. */
+    * unpersist-handle pattern) once enrichment passes are done.
+    *
+    * Cache coherence: every engine write ends in
+    * `spark.catalog.refreshTable`, which re-caches dependent plans — so
+    * loads that land AFTER this cache is built still surface here
+    * (pinned by the CuratedSpec coherence test). Only writes that bypass
+    * the engine (and its refresh) require an explicit release. */
   private var userInfoCache: Option[DataFrame] = None
 
   /** Unpersist the memoized user lookup; the next enrichment rebuilds it. */

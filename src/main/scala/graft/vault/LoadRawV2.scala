@@ -77,8 +77,17 @@ object LoadRawV2Ops {
     */
   def upsertSatellite(existing: DataFrame, updates: DataFrame): DataFrame = {
     val cols = existing.columns.toSeq
-    val inserted = RawVaultOps.antiExisting(
-        updates.dropDuplicates(Seq(Hkey, Hdiff)), existing, Seq(Hkey, Hdiff))
+    // dedup per (hkey, hdiff) keeps the EARLIEST sighting of a version:
+    // dropDuplicates would pick a partition-order-dependent row when the
+    // same version recurs at different load dates in one batch, making
+    // end-dating nondeterministic. min-load-date matches the
+    // first-insert-wins effect of loading the dates as separate batches.
+    val vw = Window.partitionBy(Hkey, Hdiff).orderBy(LoadDate)
+    val firstSeen = updates
+      .withColumn("__vrn", row_number().over(vw))
+      .filter(col("__vrn") === 1)
+      .drop("__vrn")
+    val inserted = RawVaultOps.antiExisting(firstSeen, existing, Seq(Hkey, Hdiff))
       .select(cols.map(col): _*)
     val all = existing.union(inserted)
     val w = Window.partitionBy("n_hkey").orderBy("n_load")
@@ -203,6 +212,7 @@ class LoadRawV2(
           .select((common.map(n => col(s"$DvPrefix$n")) ++
             businessKeyColumnNames.map(col)): _*),
         common)
+      .distinct() // batch stamps are constant: duplicate keys collapse
     overwriteWithState(hub, upsertKeyed(rawTable(hub), updates))
     satellites.foreach { case (sat, attrs) =>
       loadSatelliteFromStagingTable(staging, sat, attrs)
@@ -252,8 +262,13 @@ class LoadRawV2(
       .withColumn(LoadDate, loadDateCol)
       .withColumn(LastSeenDate, loadDateCol)
       .withColumn(RecordSource, lit(sourceSystemName))
+    // link rows with equal hkey are identical in every kept column
+    // (hkey hashes the hkey columns; stamps are batch-constant), so
+    // distinct() enforces upsertKeyed's unique-key precondition
+    // deterministically even when satellite attrs differed upstream.
     overwriteWithState(link,
-      upsertKeyed(rawTable(link), updates.select((common ++ hkeyColumns).map(col): _*)))
+      upsertKeyed(rawTable(link),
+        updates.select((common ++ hkeyColumns).map(col): _*).distinct()))
     satellites.foreach { case (sat, attrs) =>
       loadSatelliteFromDf(updates, sat, attrs)
     }
@@ -268,11 +283,16 @@ class LoadRawV2(
       attributeColumnNames: Seq[String]): Unit = {
     // root carries the hkey; attributes live in a second staged table
     // joined on its FK to root (LoadRaw.py:325-349).
+    // both staged tables carry the dv__ system columns, so each side
+    // projects ONLY what it contributes before the join — otherwise the
+    // post-join dv__ references would be ambiguous.
     val root = stagedTable(stagingRoot._1)
       .select(col(s"$DvPrefix$Hkey"), col(s"$DvPrefix$LoadDate"),
         col(stagingRoot._2).as("__root_key"))
     val attrs = stagedTable(stagingAttributes._1)
-    val joined = attrs.join(root, attrs(stagingAttributes._2) === root("__root_key"))
+      .select((col(stagingAttributes._2).as("__attr_key") +:
+        attributeColumnNames.map(col)): _*)
+    val joined = attrs.join(root, col("__attr_key") === col("__root_key"))
       .select((Seq(s"$DvPrefix$Hkey", s"$DvPrefix$LoadDate") ++
         attributeColumnNames).map(col): _*)
     loadSatelliteFromDf(joined, sat, attributeColumnNames)

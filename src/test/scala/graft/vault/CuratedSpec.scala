@@ -170,6 +170,48 @@ class CuratedSpec extends AnyFunSuite {
     assert(row.getAs[String]("CreateUserID_UserName") === "alice")
   }
 
+  test("memoized user lookup stays coherent across subsequent vault loads") {
+    // first enrichment builds + caches the user lookup
+    val claims = business.readDataFromHub("CLAIM",
+      Seq("PublicID", "ClaimNumber", "CreateUserID"))
+    curated.joinUserInformation(claims).collect()
+    // a NEW user + credential arrive through the normal load path
+    // (writeTable refreshes the catalog, which recaches dependent plans)
+    val t1 = Timestamp.valueOf("2024-03-02 00:00:00")
+    writeBatch("USER", df(entitySchema("ID" -> IntegerType),
+      Row(0, t1, "u3", Integer.valueOf(300))))
+    vault.loadHubFromSourceTable("USER", "USER", Seq("PublicID"),
+      Seq(SatelliteDefinition(c.satName("USER"),
+        Seq(ColumnDefinition("ID", IntegerType)))))
+    business.createPointInTimeTableForSingleSatellite("USER", "USER")
+    writeBatch("CREDENTIAL", df(entitySchema("UserName" -> StringType),
+      Row(0, t1, "cr3", "carol")))
+    vault.loadHubFromSourceTable("CREDENTIAL", "CREDENTIAL", Seq("PublicID"),
+      Seq(SatelliteDefinition(c.satName("CREDENTIAL"),
+        Seq(ColumnDefinition("UserName", StringType)))))
+    business.createPointInTimeTableForSingleSatellite("CREDENTIAL", "CREDENTIAL")
+    val linkSchema = StructType(Seq(
+      StructField("OPERATION", IntegerType, false),
+      StructField("LOAD_DATE", TimestampType, false),
+      StructField("FROM_ID", StringType, false),
+      StructField("TO_ID", StringType, false)))
+    writeBatch("USER_CRED", df(linkSchema, Row(0, t1, "u3", "cr3")))
+    vault.loadLinkFromSourceTable("USER_CRED",
+      Seq(
+        LinkedHubDefinition("USER", "USER_HKEY",
+          ForeignKey("FROM_ID", ColumnReference("HUB__USER", "PublicID"))),
+        LinkedHubDefinition("CREDENTIAL", "CREDENTIAL_HKEY",
+          ForeignKey("TO_ID", ColumnReference("HUB__CREDENTIAL", "PublicID")))),
+      "USER__CREDENTIAL")
+    // the SAME Curated instance must see the new user without an
+    // explicit releaseUserInfoCache call
+    val enriched = curated.joinUserInformation(
+      spark.createDataFrame(Seq((300, "x"))).toDF("CreateUserID", "payload"))
+    val row = enriched.filter(col("payload") === "x").head()
+    assert(row.getAs[String]("CreateUserID") === "u3")
+    assert(row.getAs[String]("CreateUserID_UserName") === "carol")
+  }
+
   test("mapToCurated: flat renamed multi-entity view, retired rows dropped") {
     val fields = Seq(
       FieldDefinition("CC_CLAIM", "ClaimNumber"),

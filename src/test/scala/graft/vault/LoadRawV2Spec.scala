@@ -1,6 +1,7 @@
 package graft.vault
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -134,6 +135,40 @@ class LoadRawV2Spec extends AnyFunSuite {
     val lnk = spark.table("tv2__raw.`LNK__Q`").collect()
     assert(lnk.length === 1)
     assert(lnk.head.getAs[java.sql.Timestamp]("last_seen_date") === ts(t3))
+  }
+
+  test("satellite from linked staging tables joins root hkey to attributes") {
+    loaded
+    val v2 = new LoadRawV2(spark, t3, "test_v2", "tv2", srcDir)
+    // attribute rows live in a separate staged table keyed by PublicID
+    Seq(("m1", "extra-payload")).toDF("MOVIE_ID", "EXTRA")
+      .write.mode("overwrite").parquet(s"$srcDir/movie_extras")
+    v2.stageTable("movie_extras", "movie_extras")
+    v2.createSatellite("SAT__MOVIE_EXTRAS", Seq(("EXTRA", "STRING")))
+    v2.loadSatelliteFromLinkedStagingTable(
+      ("movies", "PublicID"), ("movie_extras", "MOVIE_ID"),
+      "SAT__MOVIE_EXTRAS", Seq("EXTRA"))
+    val sat = spark.table("tv2__raw.`SAT__MOVIE_EXTRAS`").collect()
+    assert(sat.length === 1)
+    assert(sat.head.getAs[String]("EXTRA") === "extra-payload")
+    assert(sat.head.getAs[String]("hkey") ===
+      hub("HUB__MOVIES")("m1").getAs[String]("hkey"))
+  }
+
+  test("duplicate business keys in one staged batch insert a single hub row") {
+    loaded
+    val v2 = new LoadRawV2(spark, t3, "test_v2", "tv2", srcDir)
+    Seq(("dup1", "X", 1, "d1"), ("dup1", "X", 2, "d1"))
+      .toDF("PublicID", "NAME", "RANK", "DIRECTOR_ID")
+      .write.mode("overwrite").parquet(s"$srcDir/movies")
+    v2.stageTable("movies", "movies", hkeyColumns = Seq("PublicID"))
+    v2.loadHubFromStagingTable("movies", "HUB__MOVIES", Seq("PublicID"))
+    def dupCount() = spark.table("tv2__raw.`HUB__MOVIES`")
+      .filter(col("PublicID") === "dup1").count()
+    assert(dupCount() === 1)
+    // replay must not multiply matched keys either (the kept-join path)
+    v2.loadHubFromStagingTable("movies", "HUB__MOVIES", Seq("PublicID"))
+    assert(dupCount() === 1)
   }
 
   test("v2 load is idempotent: replaying the last batch changes nothing") {
