@@ -152,7 +152,16 @@ class MetadataVault(
 
   /** Load the links fed by one source table. Legs that point at the
     * feeding table's own hub resolve through the staged hash key; other
-    * legs resolve by FK equi-join against their hub. */
+    * legs resolve by FK equi-join against their hub.
+    *
+    * A 2-way link owned by the feeding table (one self leg + one FK leg,
+    * the `movies → directors` shape) gets the FULL reconciliation
+    * semantics the BDD suite specifies — FK re-point, FK→null, and
+    * entity-delete all end the previously-current pair
+    * (RawVaultOps.reconcileLinkStates). Links whose source is a pure
+    * association table (all-FK legs, the `castings` shape) load through
+    * the multilink path, where CDC deletes flag the pair's effectivity
+    * directly. */
   def loadLinksFor(sourceTable: String): Unit =
     mapping.links.filter(_.sourceTable == sourceTable).foreach { l =>
       val selfKeys = mapping.hubForSource(sourceTable).map(_.businessKeys).getOrElse(Nil)
@@ -160,25 +169,76 @@ class MetadataVault(
         if (selfKeys.nonEmpty) selfKeys
         else l.to.map(_.sourceColumn))
       val (selfLegs, fkLegs) = l.to.partition(_.fkTable == sourceTable)
-      val resolved0 = selfLegs.foldLeft(staged)(
-        (df, leg) => df.withColumn(leg.rawColumn, df(c.hkey)))
-      val fkDefs = fkLegs.map { leg =>
-        val targetHub = mapping.hubForSource(leg.fkTable).getOrElse(
-          throw new IllegalArgumentException(s"no hub maps source table ${leg.fkTable}"))
-        LinkedHubDefinition(targetHub.name, leg.rawColumn,
-          ForeignKey(leg.sourceColumn, ColumnReference(targetHub.name, leg.fkColumn)))
+      val linkTable = vault.spark.table(
+        s"${vault.config.rawDatabase}.`${c.linkName(l.name)}`")
+
+      (selfLegs, fkLegs) match {
+        case (Seq(selfLeg), Seq(fkLeg)) =>
+          val targetHub = mapping.hubForSource(fkLeg.fkTable).getOrElse(
+            throw new IllegalArgumentException(s"no hub maps source table ${fkLeg.fkTable}"))
+          val hubDf = vault.spark.table(
+            s"${vault.config.rawDatabase}.`${c.hubName(targetHub.name)}`")
+          val resolved = RawVaultOps.resolveMultilinkHubKeys(staged, Seq(
+            LinkedHubDefinition(targetHub.name, fkLeg.rawColumn,
+              ForeignKey(fkLeg.sourceColumn,
+                ColumnReference(targetHub.name, fkLeg.fkColumn))) -> hubDf))
+          val events = resolved
+            .filter(col(c.operation).isin(
+              CdcOp.Create, CdcOp.Update, CdcOp.Snapshot, CdcOp.Delete))
+            .withColumn(selfLeg.rawColumn, col(c.hkey))
+            .withColumn(fkLeg.rawColumn,
+              when(col(c.operation) === CdcOp.Delete, lit(null).cast(StringType))
+                .otherwise(col(fkLeg.rawColumn)))
+            .select(col(selfLeg.rawColumn), col(fkLeg.rawColumn),
+              col(c.loadDate), col(c.operation))
+          val effName = c.effectivitySatName(l.name)
+          val (newLinks, newEff) = RawVaultOps.reconcileLinkStates(
+            events, linkTable,
+            vault.spark.table(s"${vault.config.rawDatabase}.`$effName`"),
+            selfLeg.rawColumn, fkLeg.rawColumn, vault.sourceSystemName,
+            vault.loadClock,
+            tieBreak = when(col(c.operation) === CdcOp.Delete, 1).otherwise(0))
+          vault.appendToLink(l.name, newLinks)
+          vault.appendToEffectivity(effName, newEff)
+
+        case _ =>
+          val resolved0 = selfLegs.foldLeft(staged)(
+            (df, leg) => df.withColumn(leg.rawColumn, df(c.hkey)))
+          val fkDefs = fkLegs.map { leg =>
+            val targetHub = mapping.hubForSource(leg.fkTable).getOrElse(
+              throw new IllegalArgumentException(s"no hub maps source table ${leg.fkTable}"))
+            LinkedHubDefinition(targetHub.name, leg.rawColumn,
+              ForeignKey(leg.sourceColumn, ColumnReference(targetHub.name, leg.fkColumn)))
+          }
+          // resolve each FK leg against the target's hub where the hub
+          // carries the FK column (business-key FKs), otherwise against
+          // the target's STAGED table, which always carries both the FK
+          // column and the computed hash key (the v3 staged-to-staged
+          // resolution, RawVault.py:512-524 — needed when the hub is
+          // keyed on other business keys, e.g. castings→movies.ID with
+          // movies keyed on NAME+YEAR)
+          val resolvers = fkDefs.zip(fkLegs).map { case (d, leg) =>
+            val hubDf = vault.spark.table(
+              s"${vault.config.rawDatabase}.`${c.hubName(d.name)}`")
+            val frame =
+              if (hubDf.columns.contains(leg.fkColumn)) hubDf
+              else {
+                val targetKeys = mapping.hubForSource(leg.fkTable)
+                  .map(_.businessKeys).getOrElse(Seq(leg.fkColumn))
+                vault.stageTableDf(s"${leg.fkTable}.parquet", targetKeys)
+                  .select(col(leg.fkColumn), col(c.hkey)).distinct()
+              }
+            d -> frame
+          }
+          val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0, resolvers)
+          val (stagedOut, newRows) = RawVaultOps.newMultilinkRows(resolved,
+            linkTable, l.to.map(_.rawColumn), vault.sourceSystemName, vault.loadClock)
+          vault.appendToLink(l.name, newRows)
+          // keep the link's effectivity satellite loaded (CDC deletes for
+          // link-feeding rows must be visible), as loadMultilink does
+          vault.loadEffectivitySatelliteFromPreparedStageDataframe(stagedOut,
+            c.effectivitySatName(l.name))
       }
-      val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0,
-        fkDefs.map(d => d -> vault.spark.table(
-          s"${vault.config.rawDatabase}.`${c.hubName(d.name)}`")))
-      val (stagedOut, newRows) = RawVaultOps.newMultilinkRows(resolved,
-        vault.spark.table(s"${vault.config.rawDatabase}.`${c.linkName(l.name)}`"),
-        l.to.map(_.rawColumn), vault.sourceSystemName, vault.loadClock)
-      vault.appendToLink(l.name, newRows)
-      // keep the link's effectivity satellite loaded (CDC deletes for
-      // link-feeding rows must be visible), as loadMultilink does
-      vault.loadEffectivitySatelliteFromPreparedStageDataframe(stagedOut,
-        c.effectivitySatName(l.name))
     }
 
   /** Stage + load everything the mapping derives from every source table. */

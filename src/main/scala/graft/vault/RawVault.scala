@@ -161,9 +161,15 @@ object RawVaultOps {
       val hubSel = hub
         .withColumnRenamed(c.hkey, link.hkeyColumnName)
         .select(col(link.foreignKey.to.column), col(link.hkeyColumnName))
-      acc
+      val joined = acc
         .join(hubSel, hubSel(link.foreignKey.to.column) === acc(link.foreignKey.column), "left")
         .drop(hubSel(link.foreignKey.to.column))
+      // mappings may name the link's hkey column after the source FK
+      // column itself (imdb-mapping.yaml's castings legs) — drop the
+      // staged FK column then, or every later reference is ambiguous
+      if (link.hkeyColumnName == link.foreignKey.column)
+        joined.drop(acc(link.foreignKey.column))
+      else joined
     }
 
   /** Multilink load (RawVault.py:660-708) after FK resolution: stamp, hash
@@ -318,6 +324,103 @@ object RawVaultOps {
     }
     (newLinkRows, newEffRows, unpersist)
   }
+
+  /** Window-based link reconciliation — the semantics the reference's BDD
+    * suite specifies for the metadata-driven API
+    * (features/raw-vault.feature:247-452), generalizing the v3 theta-join
+    * port in [[linkLoad]] (RawVault.py:574-632):
+    *
+    *  - an entity DELETE ends the entity's current link (the theta join
+    *    never sees delete rows — they are filtered before it);
+    *  - FK re-point / FK→null end the old pair and (re-point) start the
+    *    new one;
+    *  - a state change only affects the pair that was CURRENT at that
+    *    time — the theta join pairs every previous link with every
+    *    change event, which back-dates deletes onto links born later.
+    *
+    * Scale shape: ONE window exchange on the from-entity key instead of
+    * a pair-exploding self-join; the lag-dedup/anti-join tail is shared
+    * with [[linkLoad]].
+    *
+    * @param fkEvents one row per CDC event of the from-entity, columns
+    *   (fromHkeyColumnName, toHkeyColumnName nullable, c.loadDate): live
+    *   ops carry the resolved target hkey (null if the FK is null or
+    *   unresolvable), DELETE ops carry null. `tieBreak` orders
+    *   same-timestamp events (deletes last by convention).
+    */
+  def reconcileLinkStates(
+      fkEvents: DataFrame,
+      linkDf: DataFrame,
+      effDf: DataFrame,
+      fromHkeyColumnName: String,
+      toHkeyColumnName: String,
+      sourceSystemName: String,
+      clock: Column = current_timestamp(),
+      tieBreak: Column = lit(0))(
+      implicit c: Conventions): (DataFrame, DataFrame) = {
+    val fromC = col(fromHkeyColumnName)
+    val toC = col(toHkeyColumnName)
+
+    // seed: the live pair per link hkey (latest effectivity state joined
+    // back to the link members), entering the window at its eff date
+    val wEff = Window.partitionBy(c.hkey).orderBy(col(c.loadDate).desc)
+    val live = effDf
+      .withColumn("__rn", row_number().over(wEff))
+      .filter(col("__rn") === 1 && !col(c.deleted))
+      .select(col(c.hkey).as("__live_hkey"), col(c.loadDate).as("__live_ld"))
+    val seeds = linkDf
+      .join(live, col(c.hkey) === col("__live_hkey"), "inner")
+      .select(fromC, toC, col("__live_ld").as(c.loadDate),
+        lit(true).as("__seed"), lit(-1).as("__tb"))
+
+    val evts = fkEvents.select(fromC, toC, col(c.loadDate),
+      lit(false).as("__seed"), tieBreak.as("__tb"))
+
+    val w = Window.partitionBy(fromHkeyColumnName)
+      .orderBy(col(c.loadDate), col("__tb"), toC.asc_nulls_first)
+    val marked = seeds.union(evts)
+      .withColumn("__prev_to", lag(toHkeyColumnName, 1).over(w))
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+
+    val effCols = Seq(col(c.hkey), col(c.hdiff), col(c.loadDate), col(c.deleted))
+    val deletes = marked
+      .filter(!col("__seed") && col("__has_prev") === 1 &&
+        col("__prev_to").isNotNull &&
+        (toC.isNull || toC =!= col("__prev_to")))
+      .select(Dv.hash(Seq(fromC, col("__prev_to"))).as(c.hkey),
+        Dv.hash(Seq(lit(true))).as(c.hdiff),
+        col(c.loadDate), lit(true).as(c.deleted))
+    val lives = marked
+      .filter(!col("__seed") && toC.isNotNull)
+      .select(Dv.hash(Seq(fromC, toC)).as(c.hkey),
+        Dv.hash(Seq(lit(false))).as(c.hdiff),
+        col(c.loadDate), lit(false).as(c.deleted))
+
+    // shared tail: drop unchanged states, keep only rows absent from the
+    // current effectivity (linkLoad's lag-dedup + anti-join idiom)
+    val wState = Window.partitionBy(c.hkey).orderBy(c.loadDate)
+    val effFull = lives.union(deletes)
+      .union(effDf.select(effCols: _*))
+      .distinct()
+      .withColumn("prev", lag(c.deleted, 1).over(wState))
+      .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
+      .drop("prev")
+    val newEffRows = RawVaultOps
+      .antiExisting(effFull, effDf, Seq(c.hkey, c.loadDate))
+      .distinct()
+
+    val newLinkRows = RawVaultOps.antiExisting(
+        fkEvents.filter(toC.isNotNull)
+          .select(fromC, toC).distinct()
+          .withColumn(c.hkey, Dv.hashNames(Seq(fromHkeyColumnName, toHkeyColumnName)))
+          .withColumn(c.loadDate, clock)
+          .withColumn(c.recordSource, lit(sourceSystemName)),
+        linkDf, Seq(c.hkey))
+      .select(linkDf.columns.toSeq.map(col): _*)
+      .distinct()
+
+    (newLinkRows, newEffRows)
+  }
 }
 
 /** Catalog-backed raw vault, mirroring the reference's public API surface
@@ -350,6 +453,11 @@ class RawVault(
   def appendToLink(linkTableName: String, rows: DataFrame): Unit =
     writeTable(rows, config.rawDatabase, conventions.linkName(linkTableName),
       Seq(conventions.hkey), "append")
+
+  /** Append pre-computed effectivity rows (metadata-driven loader). */
+  def appendToEffectivity(effTableName: String, rows: DataFrame): Unit =
+    writeTable(rows, config.rawDatabase, effTableName,
+      Seq(conventions.hkey, conventions.loadDate), "append")
 
   def initializeDatabase(): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.stagingPreparedDatabase}")
