@@ -182,6 +182,34 @@ object VaultQueries {
           coalesce(lead("load_ms", 1).over(w), lit(253402300799999L)))
     }),
 
+    // Window-based link reconciliation (the BDD-specified semantics)
+    // through the real code: each user's purchase/error feed acts as FK
+    // state events (error = delete → null state); output is the link
+    // effectivity history. One event per (user, ms) keeps ordering
+    // deterministic on both engines.
+    "v09_link_reconcile" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("ld", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      val w1 = Window.partitionBy("user_id", "ld").orderBy("event_id")
+      val one = ev.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      val fkEvents = one.select(
+        Dv.hash(Seq(col("user_id"))).as("FROM_HKEY"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(Dv.hash(Seq(col("event_type")))).as("TO_HKEY"),
+        col("ld").as(c.loadDate), col("event_id"))
+      val emptyLink = fkEvents.limit(0).select(lit("").as(c.hkey),
+        lit(0L).as(c.loadDate), lit("").as(c.recordSource),
+        lit("").as("FROM_HKEY"), lit("").as("TO_HKEY"))
+      val emptyEff = fkEvents.limit(0).select(lit("").as(c.hkey),
+        lit("").as(c.hdiff), lit(0L).as(c.loadDate), lit(false).as(c.deleted))
+      val (_, eff) = RawVaultOps.reconcileLinkStates(
+        fkEvents, emptyLink, emptyEff, "FROM_HKEY", "TO_HKEY", "events",
+        clock = lit(0L), tieBreak = col("event_id"))
+      eff.select(col(c.hkey).as("hkey"), col(c.loadDate).as("ld"),
+        col(c.deleted).as("deleted"))
+    }),
+
     // v2 mode (LoadRaw.py): SCD2 satellite end-dating through the real
     // upsert code. Versions = one row per (customer, order status) with
     // its earliest order date; superseded versions close at the next
@@ -309,6 +337,34 @@ object VaultQueries {
          coalesce(lead(epoch_ms(date_trunc('milliseconds', ts)))
            OVER (PARTITION BY user_id ORDER BY event_id), 253402300799999) AS end_ms
          FROM events WHERE event_type IN ('signup', 'purchase', 'click')""",
+    "v09_link_reconcile" ->
+      """WITH ev AS (
+           SELECT md5(user_id::VARCHAR) AS f,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE md5(event_type) END AS t,
+             epoch_ms(date_trunc('milliseconds', ts)) AS ld, event_id
+           FROM events WHERE event_type IN ('purchase', 'error')),
+         one AS (
+           SELECT * FROM (SELECT ev.*, row_number()
+             OVER (PARTITION BY f, ld ORDER BY event_id) AS rn FROM ev)
+           WHERE rn = 1),
+         m AS (
+           SELECT f, t, ld,
+             lag(t) OVER w AS prev_to, lag(1) OVER w AS has_prev
+           FROM one
+           WINDOW w AS (PARTITION BY f ORDER BY ld, event_id, t NULLS FIRST)),
+         del AS (
+           SELECT md5(f || ',' || prev_to) AS hkey, ld, TRUE AS deleted
+           FROM m WHERE has_prev = 1 AND prev_to IS NOT NULL
+             AND (t IS NULL OR t <> prev_to)),
+         liv AS (
+           SELECT md5(f || ',' || t) AS hkey, ld, FALSE AS deleted
+           FROM m WHERE t IS NOT NULL),
+         uni AS (SELECT DISTINCT hkey, ld, deleted
+           FROM (SELECT * FROM del UNION ALL SELECT * FROM liv)),
+         ded AS (SELECT hkey, ld, deleted,
+           lag(deleted) OVER (PARTITION BY hkey ORDER BY ld) AS prev FROM uni)
+         SELECT hkey, ld, deleted FROM ded WHERE prev IS NULL OR prev <> deleted""",
     "v07_v2_enddate" ->
       """WITH v AS (
            SELECT md5(o_custkey::VARCHAR) AS hkey, md5(o_orderstatus) AS hdiff,
