@@ -2,6 +2,7 @@ package graft.vault
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
@@ -162,6 +163,31 @@ class MetadataVault(
     * association table (all-FK legs, the `castings` shape) load through
     * the multilink path, where CDC deletes flag the pair's effectivity
     * directly. */
+  /** Resolution frame for one FK leg: the target's hub when it carries
+    * the FK column (business-key FKs); otherwise the v3-style staged +
+    * satellite fallback (RawVault.py:512-536) — the STAGED batch covers
+    * entities delivered now, the hub's satellite covers entities loaded
+    * in EARLIER batches, so association rows referencing unchanged
+    * entities still resolve. If an entity's business keys ever change,
+    * the FK id maps to both hash keys (inherent to id→business-key
+    * indirection; same in the reference's hub+sat fallback). */
+  private def resolverFrame(leg: LinkLeg): DataFrame = {
+    val targetHub = mapping.hubForSource(leg.fkTable).getOrElse(
+      throw new IllegalArgumentException(s"no hub maps source table ${leg.fkTable}"))
+    val hubDf = vault.spark.table(
+      s"${vault.config.rawDatabase}.`${c.hubName(targetHub.name)}`")
+    if (hubDf.columns.contains(leg.fkColumn)) hubDf
+    else {
+      val stagedRes = vault.stageTableDf(s"${leg.fkTable}.parquet", targetHub.businessKeys)
+        .select(col(leg.fkColumn), col(c.hkey))
+      val satRes = mapping.satellites.filter(_.hub == targetHub.name)
+        .map(s => vault.spark.table(s"${vault.config.rawDatabase}.`${c.satName(s.name)}`"))
+        .filter(_.columns.contains(leg.fkColumn))
+        .map(_.select(col(leg.fkColumn), col(c.hkey)))
+      (stagedRes +: satRes).reduce(_ union _).distinct()
+    }
+  }
+
   def loadLinksFor(sourceTable: String): Unit =
     mapping.links.filter(_.sourceTable == sourceTable).foreach { l =>
       val selfKeys = mapping.hubForSource(sourceTable).map(_.businessKeys).getOrElse(Nil)
@@ -176,12 +202,10 @@ class MetadataVault(
         case (Seq(selfLeg), Seq(fkLeg)) =>
           val targetHub = mapping.hubForSource(fkLeg.fkTable).getOrElse(
             throw new IllegalArgumentException(s"no hub maps source table ${fkLeg.fkTable}"))
-          val hubDf = vault.spark.table(
-            s"${vault.config.rawDatabase}.`${c.hubName(targetHub.name)}`")
           val resolved = RawVaultOps.resolveMultilinkHubKeys(staged, Seq(
             LinkedHubDefinition(targetHub.name, fkLeg.rawColumn,
               ForeignKey(fkLeg.sourceColumn,
-                ColumnReference(targetHub.name, fkLeg.fkColumn))) -> hubDf))
+                ColumnReference(targetHub.name, fkLeg.fkColumn))) -> resolverFrame(fkLeg)))
           val events = resolved
             .filter(col(c.operation).isin(
               CdcOp.Create, CdcOp.Update, CdcOp.Snapshot, CdcOp.Delete))
@@ -210,27 +234,8 @@ class MetadataVault(
             LinkedHubDefinition(targetHub.name, leg.rawColumn,
               ForeignKey(leg.sourceColumn, ColumnReference(targetHub.name, leg.fkColumn)))
           }
-          // resolve each FK leg against the target's hub where the hub
-          // carries the FK column (business-key FKs), otherwise against
-          // the target's STAGED table, which always carries both the FK
-          // column and the computed hash key (the v3 staged-to-staged
-          // resolution, RawVault.py:512-524 — needed when the hub is
-          // keyed on other business keys, e.g. castings→movies.ID with
-          // movies keyed on NAME+YEAR)
-          val resolvers = fkDefs.zip(fkLegs).map { case (d, leg) =>
-            val hubDf = vault.spark.table(
-              s"${vault.config.rawDatabase}.`${c.hubName(d.name)}`")
-            val frame =
-              if (hubDf.columns.contains(leg.fkColumn)) hubDf
-              else {
-                val targetKeys = mapping.hubForSource(leg.fkTable)
-                  .map(_.businessKeys).getOrElse(Seq(leg.fkColumn))
-                vault.stageTableDf(s"${leg.fkTable}.parquet", targetKeys)
-                  .select(col(leg.fkColumn), col(c.hkey)).distinct()
-              }
-            d -> frame
-          }
-          val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0, resolvers)
+          val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0,
+            fkDefs.zip(fkLegs).map { case (d, leg) => d -> resolverFrame(leg) })
           val (stagedOut, newRows) = RawVaultOps.newMultilinkRows(resolved,
             linkTable, l.to.map(_.rawColumn), vault.sourceSystemName, vault.loadClock)
           vault.appendToLink(l.name, newRows)

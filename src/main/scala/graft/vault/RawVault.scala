@@ -305,24 +305,38 @@ object RawVaultOps {
 
     // suppress rows whose deleted-flag did not change (lag window,
     // RawVault.py:614-620), then anti-join vs existing effectivity
-    val w = Window.partitionBy(c.hkey).orderBy(c.loadDate)
-    val effFull = effNew
-      .union(deleteOldLinks)
-      .union(effDf)
-      .distinct()
-      .withColumn("prev", lag(c.deleted, 1).over(w))
-      .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
-      .drop("prev")
-
-    val newEffRows = RawVaultOps
-      .antiExisting(effFull, effDf, Seq(c.hkey, c.loadDate))
-      .distinct()
+    val newEffRows = RawVaultOps.effStateDedup(effNew.union(deleteOldLinks), effDf)
 
     val unpersist = () => {
       Seq(fromDf, joined, linkedDf, newLinkRows).foreach(_.unpersist(blocking = false))
       ()
     }
     (newLinkRows, newEffRows, unpersist)
+  }
+
+  /** Shared effectivity tail (the linkLoad idiom, RawVault.py:614-620):
+    * union candidate state rows with the RELEVANT existing effectivity
+    * history, drop rows whose deleted-flag did not change, return only
+    * rows absent from the current table. `newStates` must have effDf's
+    * column set; the existing history is semi-joined down to the touched
+    * hash keys first, so the window cost scales with the batch, not the
+    * table. Ties on (hkey, loadDate) order by the deleted flag — a
+    * deterministic order even if the table already holds contradictory
+    * same-instant rows. */
+  private[vault] def effStateDedup(newStates: DataFrame, effDf: DataFrame)(
+      implicit c: Conventions): DataFrame = {
+    val effCols = effDf.columns.toSeq
+    val touched = newStates.select(col(c.hkey).as("t_hkey")).distinct()
+    val relevant = effDf.join(touched, col(c.hkey) === col("t_hkey"), "left_semi")
+    val w = Window.partitionBy(c.hkey).orderBy(col(c.loadDate), col(c.deleted))
+    val effFull = newStates.select(effCols.map(col): _*)
+      .union(relevant)
+      .distinct()
+      .withColumn("prev", lag(c.deleted, 1).over(w))
+      .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
+      .drop("prev")
+    RawVaultOps.antiExisting(effFull, effDf, Seq(c.hkey, c.loadDate))
+      .distinct()
   }
 
   /** Window-based link reconciliation — the semantics the reference's BDD
@@ -338,15 +352,22 @@ object RawVaultOps {
     *    time — the theta join pairs every previous link with every
     *    change event, which back-dates deletes onto links born later.
     *
-    * Scale shape: ONE window exchange on the from-entity key instead of
-    * a pair-exploding self-join; the lag-dedup/anti-join tail is shared
-    * with [[linkLoad]].
+    * Scale shape: the previous state is semi-joined down to the batch's
+    * from-entities before anything is windowed, so load cost follows the
+    * batch; ONE window exchange on the from-entity key replaces the
+    * pair-exploding self-join; the lag-dedup/anti-join tail is
+    * [[effStateDedup]], shared with [[linkLoad]].
     *
     * @param fkEvents one row per CDC event of the from-entity, columns
     *   (fromHkeyColumnName, toHkeyColumnName nullable, c.loadDate): live
     *   ops carry the resolved target hkey (null if the FK is null or
-    *   unresolvable), DELETE ops carry null. `tieBreak` orders
-    *   same-timestamp events (deletes last by convention).
+    *   unresolvable), DELETE ops carry null.
+    * @param tieBreak total order for same-timestamp events of one
+    *   entity — pass the CDC sequence if there is one, else the op code
+    *   with deletes last. The LAST event at an instant defines the
+    *   surviving state: contradictory same-instant transitions collapse
+    *   to it instead of appending both. The default (lit(0)) falls back
+    *   to ordering null targets (deletes) first.
     */
   def reconcileLinkStates(
       fkEvents: DataFrame,
@@ -361,14 +382,24 @@ object RawVaultOps {
     val fromC = col(fromHkeyColumnName)
     val toC = col(toHkeyColumnName)
 
+    // restrict previous state to this batch's from-entities (the
+    // linkLoad left_semi idiom) — everything below scales with the batch
+    val batchFroms = fkEvents.select(fromC).distinct()
+    val linkRel = linkDf.join(batchFroms, Seq(fromHkeyColumnName), "left_semi")
+
     // seed: the live pair per link hkey (latest effectivity state joined
-    // back to the link members), entering the window at its eff date
-    val wEff = Window.partitionBy(c.hkey).orderBy(col(c.loadDate).desc)
+    // back to the link members), entering the window at its eff date.
+    // Same-instant ties resolve deleted-first, so a contradictory
+    // history reads as dead (conservative: a later live event re-creates).
+    val wEff = Window.partitionBy(c.hkey)
+      .orderBy(col(c.loadDate).desc, col(c.deleted).desc)
     val live = effDf
+      .join(linkRel.select(col(c.hkey).as("l_hkey")).distinct(),
+        col(c.hkey) === col("l_hkey"), "left_semi")
       .withColumn("__rn", row_number().over(wEff))
       .filter(col("__rn") === 1 && !col(c.deleted))
       .select(col(c.hkey).as("__live_hkey"), col(c.loadDate).as("__live_ld"))
-    val seeds = linkDf
+    val seeds = linkRel
       .join(live, col(c.hkey) === col("__live_hkey"), "inner")
       .select(fromC, toC, col("__live_ld").as(c.loadDate),
         lit(true).as("__seed"), lit(-1).as("__tb"))
@@ -381,33 +412,31 @@ object RawVaultOps {
     val marked = seeds.union(evts)
       .withColumn("__prev_to", lag(toHkeyColumnName, 1).over(w))
       .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .withColumn("__seq", row_number().over(w))
 
-    val effCols = Seq(col(c.hkey), col(c.hdiff), col(c.loadDate), col(c.deleted))
     val deletes = marked
       .filter(!col("__seed") && col("__has_prev") === 1 &&
         col("__prev_to").isNotNull &&
         (toC.isNull || toC =!= col("__prev_to")))
       .select(Dv.hash(Seq(fromC, col("__prev_to"))).as(c.hkey),
         Dv.hash(Seq(lit(true))).as(c.hdiff),
-        col(c.loadDate), lit(true).as(c.deleted))
+        col(c.loadDate), lit(true).as(c.deleted), col("__seq"))
     val lives = marked
       .filter(!col("__seed") && toC.isNotNull)
       .select(Dv.hash(Seq(fromC, toC)).as(c.hkey),
         Dv.hash(Seq(lit(false))).as(c.hdiff),
-        col(c.loadDate), lit(false).as(c.deleted))
+        col(c.loadDate), lit(false).as(c.deleted), col("__seq"))
 
-    // shared tail: drop unchanged states, keep only rows absent from the
-    // current effectivity (linkLoad's lag-dedup + anti-join idiom)
-    val wState = Window.partitionBy(c.hkey).orderBy(c.loadDate)
-    val effFull = lives.union(deletes)
-      .union(effDf.select(effCols: _*))
-      .distinct()
-      .withColumn("prev", lag(c.deleted, 1).over(wState))
-      .filter(col("prev") =!= col(c.deleted) || col("prev").isNull)
-      .drop("prev")
-    val newEffRows = RawVaultOps
-      .antiExisting(effFull, effDf, Seq(c.hkey, c.loadDate))
-      .distinct()
+    // same pair, same instant: the LAST event wins — a create+delete in
+    // one millisecond must not append contradictory rows
+    val wInstant = Window.partitionBy(c.hkey, c.loadDate)
+      .orderBy(col("__seq").desc)
+    val candidates = lives.union(deletes)
+      .withColumn("__irn", row_number().over(wInstant))
+      .filter(col("__irn") === 1)
+      .drop("__irn", "__seq")
+
+    val newEffRows = RawVaultOps.effStateDedup(candidates, effDf)
 
     val newLinkRows = RawVaultOps.antiExisting(
         fkEvents.filter(toC.isNotNull)

@@ -308,6 +308,63 @@ class GoldenVaultSpec extends AnyFunSuite {
       Map("$__HKEY" -> lnk("shawshank", 2), "$__DELETED" -> true, "$__LOAD_DATE" -> t4)))
   }
 
+  test("association rows resolve FKs to entities from EARLIER batches") {
+    loaded
+    // batch 4: only a new casting arrives; movie 1 is NOT re-delivered,
+    // so its hash key must resolve through the satellite fallback
+    // (the hub is keyed on NAME+YEAR, not ID)
+    val t6 = Timestamp.valueOf("2024-05-04 00:00:00")
+    Seq((CRE, t6, "1", "3"))
+      .toDF("OPERATION", "LOAD_DATE", "MOVIE_ID", "ACTOR_ID")
+      .withColumn("LAST_UPDATE", org.apache.spark.sql.functions.lit("t0"))
+      .write.mode("overwrite").parquet(s"$stagingDir/castings.parquet")
+    val config = RawVaultConfig(
+      stagingBasePath = stagingDir,
+      stagingPreparedDatabase = "golden_stg",
+      rawDatabase = "golden_raw",
+      partitionSize = 2)
+    val vault = new RawVault(spark, config, "imdb",
+      org.apache.spark.sql.functions.lit(loadClock))
+    new MetadataVault(vault,
+      VaultMetadata.parseSchema(schemaJson), VaultMetadata.parseMapping(mappingYaml))
+      .loadLinksFor("castings")
+    val rows = spark.table("golden_raw.`LNK__CASTINGS`").collect()
+      .map(r => (r.getAs[String]("MOVIE_ID"), r.getAs[String]("ACTOR_ID")))
+    assert(rows.contains((hkMovie("shawshank"), hk("3"))),
+      "casting for a not-redelivered movie must resolve via the satellite")
+    assert(!rows.exists { case (m, a) => m == null || a == null },
+      "no casting row may carry an unresolved (null) leg")
+  }
+
+  test("same-instant create+delete collapses to the last event's state") {
+    implicit val c: Conventions = Conventions.default
+    import org.apache.spark.sql.functions.{col, lit}
+    // entity f: live pair A from t0; at t1 (same ms) CREATE→B then
+    // DELETE — delete sorts last via tieBreak, so B must end up dead
+    // with NO contradictory same-instant rows
+    val fkEvents = Seq(
+      ("f", "B", 1000L, 0), // create→B
+      ("f", null.asInstanceOf[String], 1000L, 1)) // delete, tieBreak last
+      .toDF("F", "T", c.loadDate, "op")
+    val linkDf = Seq((hk("f", "A"), 0L, "src", "f", "A"))
+      .toDF(c.hkey, c.loadDate, c.recordSource, "F", "T")
+    val effDf = Seq((hk("f", "A"), "x", 0L, false))
+      .toDF(c.hkey, c.hdiff, c.loadDate, c.deleted)
+    val (_, newEff) = RawVaultOps.reconcileLinkStates(
+      fkEvents, linkDf, effDf, "F", "T", "src",
+      clock = lit(0L), tieBreak = col("op"))
+    val rows = newEff.collect()
+      .map(r => (r.getAs[String](c.hkey), r.getAs[Long](c.loadDate),
+        r.getAs[Boolean](c.deleted)))
+    // pair A ends at t1; pair B: at most one same-instant row survives,
+    // and the survivor is the delete (last event wins)
+    assert(rows.count(_._1 == hk("f", "A")) === 1)
+    assert(rows.filter(_._1 == hk("f", "A")).head === ((hk("f", "A"), 1000L, true)))
+    val bRows = rows.filter(_._1 == hk("f", "B"))
+    assert(bRows.length === 1, s"contradictory same-instant rows: ${bRows.toSeq}")
+    assert(bRows.head._3 === true)
+  }
+
   test("hub effectivity satellites carry the event-derived state history") {
     // feature "Test" scenario golden rows for SAT__EFFECTIVITY_MOVIES (9)
     exactlyOnce("SAT__EFFECTIVITY_MOVIES", Seq(

@@ -157,17 +157,19 @@ class LoadRawV2Spec extends AnyFunSuite {
 
   test("duplicate business keys in one staged batch insert a single hub row") {
     loaded
+    // throwaway source + hub: must not disturb the shared movies fixtures
     val v2 = new LoadRawV2(spark, t3, "test_v2", "tv2", srcDir)
+    v2.createHub("HUB__MOVIES_DUP", Seq(("PublicID", "STRING")))
     Seq(("dup1", "X", 1, "d1"), ("dup1", "X", 2, "d1"))
       .toDF("PublicID", "NAME", "RANK", "DIRECTOR_ID")
-      .write.mode("overwrite").parquet(s"$srcDir/movies")
-    v2.stageTable("movies", "movies", hkeyColumns = Seq("PublicID"))
-    v2.loadHubFromStagingTable("movies", "HUB__MOVIES", Seq("PublicID"))
-    def dupCount() = spark.table("tv2__raw.`HUB__MOVIES`")
+      .write.mode("overwrite").parquet(s"$srcDir/movies_dup")
+    v2.stageTable("movies_dup", "movies_dup", hkeyColumns = Seq("PublicID"))
+    v2.loadHubFromStagingTable("movies_dup", "HUB__MOVIES_DUP", Seq("PublicID"))
+    def dupCount() = spark.table("tv2__raw.`HUB__MOVIES_DUP`")
       .filter(col("PublicID") === "dup1").count()
     assert(dupCount() === 1)
     // replay must not multiply matched keys either (the kept-join path)
-    v2.loadHubFromStagingTable("movies", "HUB__MOVIES", Seq("PublicID"))
+    v2.loadHubFromStagingTable("movies_dup", "HUB__MOVIES_DUP", Seq("PublicID"))
     assert(dupCount() === 1)
   }
 
