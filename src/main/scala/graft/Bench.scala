@@ -17,7 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // normalize the usual env-toggle spellings; SQLConf only accepts
+      // literal true/false and would abort the whole bench otherwise
+      .config("spark.sql.adaptive.enabled",
+        (!Set("false", "0", "off", "no").contains(
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -163,28 +163,47 @@ class MetadataVault(
     * association table (all-FK legs, the `castings` shape) load through
     * the multilink path, where CDC deletes flag the pair's effectivity
     * directly. */
+  private def hubFor(table: String): HubMapping =
+    mapping.hubForSource(table).getOrElse(
+      throw new IllegalArgumentException(s"no hub maps source table $table"))
+
   /** Resolution frame for one FK leg: the target's hub when it carries
     * the FK column (business-key FKs); otherwise the v3-style staged +
-    * satellite fallback (RawVault.py:512-536) — the STAGED batch covers
-    * entities delivered now, the hub's satellite covers entities loaded
-    * in EARLIER batches, so association rows referencing unchanged
-    * entities still resolve. If an entity's business keys ever change,
-    * the FK id maps to both hash keys (inherent to id→business-key
-    * indirection; same in the reference's hub+sat fallback). */
-  private def resolverFrame(leg: LinkLeg): DataFrame = {
-    val targetHub = mapping.hubForSource(leg.fkTable).getOrElse(
-      throw new IllegalArgumentException(s"no hub maps source table ${leg.fkTable}"))
+    * satellite fallback (RawVault.py:512-536) — the STAGED batch (if
+    * delivered this batch; a missing staging file is fine) covers
+    * entities changing now, the hub's satellite covers entities loaded
+    * in EARLIER batches. Exactly ONE hash key survives per FK id:
+    * staged beats history, then latest load date — so a re-assigned or
+    * renamed id resolves to its current entity, never fans out. */
+  private def resolverFrame(leg: LinkLeg, targetHub: HubMapping): DataFrame = {
     val hubDf = vault.spark.table(
       s"${vault.config.rawDatabase}.`${c.hubName(targetHub.name)}`")
     if (hubDf.columns.contains(leg.fkColumn)) hubDf
     else {
-      val stagedRes = vault.stageTableDf(s"${leg.fkTable}.parquet", targetHub.businessKeys)
-        .select(col(leg.fkColumn), col(c.hkey))
+      val stagedPath = new org.apache.hadoop.fs.Path(
+        s"${vault.config.stagingBasePath}/${leg.fkTable}.parquet")
+      val fs = stagedPath.getFileSystem(
+        vault.spark.sparkContext.hadoopConfiguration)
+      val stagedRes =
+        if (!fs.exists(stagedPath)) Nil
+        else Seq(vault.stageTableDf(s"${leg.fkTable}.parquet", targetHub.businessKeys)
+          .select(col(leg.fkColumn), col(c.hkey), lit(0).as("__prio"),
+            col(c.loadDate).cast("long").as("__ld")))
       val satRes = mapping.satellites.filter(_.hub == targetHub.name)
         .map(s => vault.spark.table(s"${vault.config.rawDatabase}.`${c.satName(s.name)}`"))
         .filter(_.columns.contains(leg.fkColumn))
-        .map(_.select(col(leg.fkColumn), col(c.hkey)))
-      (stagedRes +: satRes).reduce(_ union _).distinct()
+        .map(_.select(col(leg.fkColumn), col(c.hkey), lit(1).as("__prio"),
+          col(c.loadDate).cast("long").as("__ld")))
+      val all = stagedRes ++ satRes
+      require(all.nonEmpty,
+        s"cannot resolve FK ${leg.fkTable}.${leg.fkColumn}: no staged file and no satellite carries it")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(leg.fkColumn)
+        .orderBy(col("__prio"), col("__ld").desc, col(c.hkey))
+      all.reduce(_ union _)
+        .withColumn("__rrn", row_number().over(w))
+        .filter(col("__rrn") === 1)
+        .select(col(leg.fkColumn), col(c.hkey))
     }
   }
 
@@ -200,12 +219,12 @@ class MetadataVault(
 
       (selfLegs, fkLegs) match {
         case (Seq(selfLeg), Seq(fkLeg)) =>
-          val targetHub = mapping.hubForSource(fkLeg.fkTable).getOrElse(
-            throw new IllegalArgumentException(s"no hub maps source table ${fkLeg.fkTable}"))
+          val targetHub = hubFor(fkLeg.fkTable)
           val resolved = RawVaultOps.resolveMultilinkHubKeys(staged, Seq(
             LinkedHubDefinition(targetHub.name, fkLeg.rawColumn,
               ForeignKey(fkLeg.sourceColumn,
-                ColumnReference(targetHub.name, fkLeg.fkColumn))) -> resolverFrame(fkLeg)))
+                ColumnReference(targetHub.name, fkLeg.fkColumn))) ->
+              resolverFrame(fkLeg, targetHub)))
           val events = resolved
             .filter(col(c.operation).isin(
               CdcOp.Create, CdcOp.Update, CdcOp.Snapshot, CdcOp.Delete))
@@ -229,13 +248,12 @@ class MetadataVault(
           val resolved0 = selfLegs.foldLeft(staged)(
             (df, leg) => df.withColumn(leg.rawColumn, df(c.hkey)))
           val fkDefs = fkLegs.map { leg =>
-            val targetHub = mapping.hubForSource(leg.fkTable).getOrElse(
-              throw new IllegalArgumentException(s"no hub maps source table ${leg.fkTable}"))
-            LinkedHubDefinition(targetHub.name, leg.rawColumn,
-              ForeignKey(leg.sourceColumn, ColumnReference(targetHub.name, leg.fkColumn)))
+            val targetHub = hubFor(leg.fkTable)
+            (LinkedHubDefinition(targetHub.name, leg.rawColumn,
+              ForeignKey(leg.sourceColumn, ColumnReference(targetHub.name, leg.fkColumn))),
+              resolverFrame(leg, targetHub))
           }
-          val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0,
-            fkDefs.zip(fkLegs).map { case (d, leg) => d -> resolverFrame(leg) })
+          val resolved = RawVaultOps.resolveMultilinkHubKeys(resolved0, fkDefs)
           val (stagedOut, newRows) = RawVaultOps.newMultilinkRows(resolved,
             linkTable, l.to.map(_.rawColumn), vault.sourceSystemName, vault.loadClock)
           vault.appendToLink(l.name, newRows)

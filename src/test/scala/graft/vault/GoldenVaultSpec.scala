@@ -310,14 +310,18 @@ class GoldenVaultSpec extends AnyFunSuite {
 
   test("association rows resolve FKs to entities from EARLIER batches") {
     loaded
-    // batch 4: only a new casting arrives; movie 1 is NOT re-delivered,
-    // so its hash key must resolve through the satellite fallback
-    // (the hub is keyed on NAME+YEAR, not ID)
+    // batch 4: ONLY a new casting arrives — movies.parquet is removed
+    // entirely (nothing changed, the orchestrator delivers no file), so
+    // movie 1's hash key must resolve through the satellite fallback
+    // alone (the hub is keyed on NAME+YEAR, not ID)
     val t6 = Timestamp.valueOf("2024-05-04 00:00:00")
     Seq((CRE, t6, "1", "3"))
       .toDF("OPERATION", "LOAD_DATE", "MOVIE_ID", "ACTOR_ID")
       .withColumn("LAST_UPDATE", org.apache.spark.sql.functions.lit("t0"))
       .write.mode("overwrite").parquet(s"$stagingDir/castings.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stagingDir/movies.parquet"), true)
     val config = RawVaultConfig(
       stagingBasePath = stagingDir,
       stagingPreparedDatabase = "golden_stg",
@@ -334,6 +338,15 @@ class GoldenVaultSpec extends AnyFunSuite {
       "casting for a not-redelivered movie must resolve via the satellite")
     assert(!rows.exists { case (m, a) => m == null || a == null },
       "no casting row may carry an unresolved (null) leg")
+    // restore the batch-3 staging fixtures so later tests (and any
+    // future castings assertions) see the golden three-batch state
+    castingsBatches(2).toDF("OPERATION", "LOAD_DATE", "MOVIE_ID", "ACTOR_ID")
+      .withColumn("LAST_UPDATE", org.apache.spark.sql.functions.lit("t0"))
+      .write.mode("overwrite").parquet(s"$stagingDir/castings.parquet")
+    moviesBatches(2)
+      .toDF("OPERATION", "LOAD_DATE", "ID", "NAME", "YEAR", "DIRECTOR", "RATING", "RANK")
+      .withColumn("LAST_UPDATE", org.apache.spark.sql.functions.lit("t0"))
+      .write.mode("overwrite").parquet(s"$stagingDir/movies.parquet")
   }
 
   test("same-instant create+delete collapses to the last event's state") {
