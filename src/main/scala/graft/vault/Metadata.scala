@@ -184,16 +184,22 @@ class MetadataVault(
         s"${vault.config.stagingBasePath}/${leg.fkTable}.parquet")
       val fs = stagedPath.getFileSystem(
         vault.spark.sparkContext.hadoopConfiguration)
+      // BEFORE_UPDATE rows carry the PRE-update business keys: a
+      // business-key-changing update ships BEFORE_UPDATE + UPDATE at the
+      // same CDC instant, and keeping both would let the tiebreak resolve
+      // the FK to the stale entity hash key. `__ld` is microsecond
+      // precision so successive intra-second updates order correctly.
       val stagedRes =
         if (!fs.exists(stagedPath)) Nil
         else Seq(vault.stageTableDf(s"${leg.fkTable}.parquet", targetHub.businessKeys)
+          .filter(col(c.operation) =!= CdcOp.BeforeUpdate)
           .select(col(leg.fkColumn), col(c.hkey), lit(0).as("__prio"),
-            col(c.loadDate).cast("long").as("__ld")))
+            unix_micros(col(c.loadDate)).as("__ld")))
       val satRes = mapping.satellites.filter(_.hub == targetHub.name)
         .map(s => vault.spark.table(s"${vault.config.rawDatabase}.`${c.satName(s.name)}`"))
         .filter(_.columns.contains(leg.fkColumn))
         .map(_.select(col(leg.fkColumn), col(c.hkey), lit(1).as("__prio"),
-          col(c.loadDate).cast("long").as("__ld")))
+          unix_micros(col(c.loadDate)).as("__ld")))
       val all = stagedRes ++ satRes
       require(all.nonEmpty,
         s"cannot resolve FK ${leg.fkTable}.${leg.fkColumn}: no staged file and no satellite carries it")
@@ -220,14 +226,23 @@ class MetadataVault(
       (selfLegs, fkLegs) match {
         case (Seq(selfLeg), Seq(fkLeg)) =>
           val targetHub = hubFor(fkLeg.fkTable)
-          val resolved = RawVaultOps.resolveMultilinkHubKeys(staged, Seq(
-            LinkedHubDefinition(targetHub.name, fkLeg.rawColumn,
-              ForeignKey(fkLeg.sourceColumn,
-                ColumnReference(targetHub.name, fkLeg.fkColumn))) ->
-              resolverFrame(fkLeg, targetHub)))
+          // capture FK presence BEFORE resolution: the resolver may drop
+          // the staged FK column on name collision, and a left-join miss
+          // leaves the resolved hkey null — which must read as "skip this
+          // row" (the reference's multilink 'we just skip it'), NOT as an
+          // FK→null event that would end-date the currently-live pair
+          val resolved = RawVaultOps.resolveMultilinkHubKeys(
+            staged.withColumn("__fk_present", col(fkLeg.sourceColumn).isNotNull),
+            Seq(
+              LinkedHubDefinition(targetHub.name, fkLeg.rawColumn,
+                ForeignKey(fkLeg.sourceColumn,
+                  ColumnReference(targetHub.name, fkLeg.fkColumn))) ->
+                resolverFrame(fkLeg, targetHub)))
           val events = resolved
             .filter(col(c.operation).isin(
               CdcOp.Create, CdcOp.Update, CdcOp.Snapshot, CdcOp.Delete))
+            .filter(col(c.operation) === CdcOp.Delete ||
+              !col("__fk_present") || col(fkLeg.rawColumn).isNotNull)
             .withColumn(selfLeg.rawColumn, col(c.hkey))
             .withColumn(fkLeg.rawColumn,
               when(col(c.operation) === CdcOp.Delete, lit(null).cast(StringType))
