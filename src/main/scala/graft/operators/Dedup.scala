@@ -98,6 +98,64 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
   }
 
+  /** Near-duplicate group resolution: connected components over the
+    * candidate-pair graph, labeling every document with the minimum
+    * doc id of its component — the keep/drop decision a corpus curation
+    * run executes after LSH ("keep the representative, drop the rest").
+    *
+    * Iterative min-label propagation: each round combines one
+    * neighbor-min step (label(x) := min over neighbors' labels) with one
+    * pointer-jump step (label(x) := label(label(x))), so convergence is
+    * O(log diameter) rounds rather than O(diameter) — a 1000-link chain
+    * resolves in ~10 rounds. Each round is two key shuffles over the
+    * label table (two bigints per doc — tiny next to the corpus), the
+    * round result is `localCheckpoint`ed so the plan stays flat and the
+    * per-round cost is constant, and iteration stops at the first round
+    * that changes no label (`maxIter` caps pathological inputs).
+    *
+    * Output: one row per document that has at least one candidate pair —
+    * (doc_id, group_id = min id of its component, group_size). Documents
+    * with no candidates are trivially their own singleton group and are
+    * not emitted.
+    */
+  def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = edges.groupBy("src").agg(min("dst").as("lbl"))
+      .select(col("src").as("id"), least(col("src"), col("lbl")).as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // alias every union-branch column: the right branch's lineage
+      // contains `labels` itself, and a union whose children share
+      // expression ids trips Catalyst's constraint rewriting
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl").as("lbl"))
+      val folded = labels.select(col("id").as("id"), col("lbl").as("lbl"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      val jumped = folded.alias("a")
+        .join(folded.alias("b"), col("a.lbl") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = jumped.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = jumped
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
+  }
+
   /** SimHash (nBits <= 24): per bit, majority vote of token-hash bits
     * over the distinct token set. */
   def simHash(df: DataFrame, textCol: String, idCol: String, nBits: Int = 16): DataFrame = {

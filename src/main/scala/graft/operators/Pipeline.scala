@@ -15,20 +15,36 @@ object Pipeline {
       minTokens: Int = 20,
       maxStopwordRatio: Double = 0.5)
 
+  /** Optional near-duplicate stage parameters: LSH banding (see
+    * [[Dedup.lshCandidatePairs]]) + group-resolution iteration cap. */
+  final case class NearDupConfig(
+      k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3, maxIter: Int = 20)
+
   /** Clean a document corpus: drop low-quality rows, keep one
-    * representative per exact content hash (minimum id), annotate with
-    * token count and predicted language. */
+    * representative per exact content hash (minimum id), optionally
+    * resolve LSH near-dup groups and keep only their representatives,
+    * annotate with token count and predicted language. */
   def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
       thresholds: QualityThresholds = QualityThresholds(),
       langMarkers: Seq[(String, Seq[String])] = Seq(
         "en" -> Seq("the", "a", "or"),
         "de" -> Seq("der", "die", "und"),
-        "es" -> Seq("el", "la", "los"))): DataFrame = {
+        "es" -> Seq("el", "la", "los")),
+      nearDup: Option[NearDupConfig] = None): DataFrame = {
     val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
     val kept = docs.join(quality, idCol)
       .filter(col("n_tokens") >= thresholds.minTokens &&
         col("stopword_ratio") < thresholds.maxStopwordRatio)
-    val deduped = Dedup.dropExactDuplicates(kept, textCol, idCol)
+    val exact = Dedup.dropExactDuplicates(kept, textCol, idCol)
+    val deduped = nearDup.fold(exact) { cfg =>
+      val groups = Dedup.nearDupGroups(
+        Dedup.lshCandidatePairs(exact, textCol, idCol,
+          cfg.k, cfg.bandWidth, cfg.shingleSize),
+        maxIter = cfg.maxIter)
+      // drop every doc whose component representative is another doc
+      exact.join(groups.filter(col("doc_id") =!= col("group_id"))
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    }
     TextAnalysis.languageId(deduped, textCol, Seq(idCol, "n_tokens"), langMarkers)
       .select(col(idCol), col("n_tokens"), col("pred_lang"))
   }

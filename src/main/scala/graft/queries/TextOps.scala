@@ -58,7 +58,13 @@ object TextOps {
 
     // Winnowing (rolling-hash) document fingerprint.
     "d10_winnow_fingerprint" -> ((s, d) =>
-      TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", Seq("doc_id")))
+      TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", Seq("doc_id"))),
+
+    // Near-dup group resolution: connected components over the LSH
+    // candidate pairs (min-id label), the keep/drop step after d07.
+    "d11_neardup_groups" -> ((s, d) =>
+      Dedup.nearDupGroups(Dedup.lshCandidatePairs(
+        Tables.documents(s, d), "text", "doc_id", k = 6, bandWidth = 2)))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -152,6 +158,30 @@ object TextOps {
            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und'))) AS de,
            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los'))) AS es
          FROM surv)""",
+    "d11_neardup_groups" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents),
+         banded AS (SELECT doc_id,
+           unnest([${(0 until 3).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, ${shingleMinhashSql(2 * b + 1)}))")
+             .mkString(", ")}]) AS band
+         FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         edges AS (SELECT a_id AS x, b_id AS y FROM cand
+           UNION SELECT b_id, a_id FROM cand),
+         reach(id, lbl) AS (
+           SELECT DISTINCT x, x FROM edges
+           UNION
+           SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.id),
+         grp AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY id)
+         SELECT g.id AS doc_id, g.group_id, s.group_size
+         FROM grp g JOIN (SELECT group_id, count(*) AS group_size
+           FROM grp GROUP BY 1) s USING (group_id)""",
     "d10_winnow_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
