@@ -112,11 +112,64 @@ object Similarity {
     val q = assigned.filter(queryIds)
       .select(col(idCol).as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn"))
+    knnProbe(assigned, q, idCol, k)
+  }
+
+  /** Shared probe tail: rank every (query bucket-probe × bucket member)
+    * candidate, keep top-k per query. `probes` columns: (qid, qcid, qv,
+    * qn) — one row per bucket a query wants scanned; a corpus vector
+    * lives in exactly one bucket, so multi-probe never duplicates a
+    * candidate. The probe side is Q×P rows — broadcast at any corpus
+    * size. */
+  private def knnProbe(assigned: DataFrame, probes: DataFrame,
+      idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol).asc)
-    assigned.join(broadcast(q), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
+    assigned.join(broadcast(probes), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** Hamming-distance<=1 probe set of a sign-LSH bucket id: the bucket
+    * itself plus each single-bit flip (nPlanes+1 buckets). Fixes the
+    * boundary-recall gap of single-probe LSH — a query whose own bucket
+    * holds fewer than k candidates still fills its top-k from adjacent
+    * buckets. */
+  def lshProbeBuckets(cid: Column, nPlanes: Int): Column =
+    array((cid +: (0 until nPlanes).map { i =>
+      val bit = substring(cid, i + 1, 1)
+      concat(substring(cid, 1, i),
+        when(bit === "1", lit("0")).otherwise(lit("1")),
+        substring(cid, i + 2, nPlanes - i - 1))
+    }): _*)
+
+  /** Multi-probe ANN over sign-LSH buckets: each query scans its own
+    * bucket plus every Hamming-1 neighbor bucket. */
+  def knnLshMultiProbe(bucketed: DataFrame, queryIds: Column, idCol: String,
+      k: Int, nPlanes: Int): DataFrame = {
+    val q = bucketed.filter(queryIds)
+      .select(col(idCol).as("qid"),
+        explode(lshProbeBuckets(col("cid"), nPlanes)).as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    knnProbe(bucketed, q, idCol, k)
+  }
+
+  /** Multi-probe IVF ANN: each query scans its `probes` highest-cosine
+    * centroid buckets (ties: lowest centroid id) instead of only the
+    * nearest one. `centroids` is a withNorm projection keyed by idCol. */
+  def knnIvfMultiProbe(assigned: DataFrame, centroids: DataFrame,
+      queryIds: Column, idCol: String, k: Int, probes: Int): DataFrame = {
+    val cent = centroids.select(col(idCol).as("pcid"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val wp = Window.partitionBy("qid").orderBy(col("psim").desc, col("pcid").asc)
+    val q = assigned.filter(queryIds)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cent))
+      .withColumn("psim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= probes)
+      .select(col("qid"), col("pcid").as("qcid"), col("qv"), col("qn"))
+    knnProbe(assigned, q, idCol, k)
   }
 }

@@ -49,6 +49,16 @@ object VectorOps {
       Similarity.knnIvf(bucketed, col("vec_id") < NQ, "vec_id", K)
     }),
 
+    // Multi-probe sign-LSH ANN: each query also scans every Hamming-1
+    // bucket, closing e03's boundary-recall gap (a bucket with < k
+    // members no longer truncates the query's top-k).
+    "e04_knn_multiprobe" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val bucketed = Similarity.assignLshBuckets(
+        base, "vec_id", Similarity.hyperplaneWeights(NPlanes, Dim))
+      Similarity.knnLshMultiProbe(bucketed, col("vec_id") < NQ, "vec_id", K, NPlanes)
+    }),
+
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
     "d09_embed_neardup" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -97,6 +107,24 @@ object VectorOps {
          sims AS (SELECT q.qid, b.vec_id,
            list_dot_product(b.v, q.qv) / (b.nrm * q.qn) AS sim
            FROM bucketed b JOIN q ON b.cid = q.qcid AND b.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e04_knn_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         bucketed AS (SELECT vec_id, ${lshBucketSql("v")} AS cid, v, nrm FROM e),
+         q AS (SELECT vec_id AS qid, cid, v AS qv, nrm AS qn
+           FROM bucketed WHERE vec_id < $NQ),
+         probes AS (SELECT qid, qv, qn,
+           unnest(list_prepend(cid, list_transform(generate_series(1, $NPlanes),
+             i -> substr(cid, 1, i - 1)
+               || (CASE WHEN substr(cid, i, 1) = '1' THEN '0' ELSE '1' END)
+               || substr(cid, i + 1)))) AS qcid
+           FROM q),
+         sims AS (SELECT p.qid, b.vec_id,
+           list_dot_product(b.v, p.qv) / (b.nrm * p.qn) AS sim
+           FROM bucketed b JOIN probes p ON b.cid = p.qcid AND b.vec_id <> p.qid),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",

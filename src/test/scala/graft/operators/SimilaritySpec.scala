@@ -42,6 +42,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.groupBy("qid").agg(max("rank")).collect().forall(_.getInt(1) <= 3))
   }
 
+  test("multi-probe fills top-k where a single bucket runs short") {
+    val weights = Similarity.hyperplaneWeights(6, 64)
+    val bucketed = Similarity.assignLshBuckets(base, "vec_id", weights)
+    val k = 5
+    val single = Similarity.knnIvf(bucketed, col("vec_id") < 10, "vec_id", k)
+    val multi = Similarity.knnLshMultiProbe(bucketed, col("vec_id") < 10, "vec_id", k, 6)
+    assert(multi.count() === 10L * k, "every query must fill its full top-k")
+    assert(multi.count() >= single.count())
+    // a probed candidate set is a superset per query, so ranks 1..k exist
+    assert(multi.groupBy("qid").agg(max("rank")).collect().forall(_.getInt(1) === k))
+
+    val ivfMulti = Similarity.knnIvfMultiProbe(assigned,
+      base.filter(col("vec_id") % 50 === 0), col("vec_id") < 10, "vec_id", k, probes = 2)
+    assert(ivfMulti.count() === 10L * k)
+    assert(ivfMulti.filter(col("qid") === col("neighbor_id")).count() === 0)
+  }
+
   test("persisted IVF index probes equal in-memory IVF results") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)
