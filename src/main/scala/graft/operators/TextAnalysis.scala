@@ -76,6 +76,34 @@ object TextAnalysis {
     withHits.withColumn("pred_lang", pred)
   }
 
+  /** Repetition-based quality signals (the public Gopher/MassiveText
+    * family of heuristics): fraction of repeated tokens, fraction of
+    * repeated lines, and the occurrence share of the most frequent word
+    * n-gram. Ratios are single int/int divisions — bit-deterministic.
+    *
+    * The per-row signals are narrow; top-n-gram mass explodes the
+    * shingle stream and counts per (doc, gram) — the distributed shape
+    * (a per-row nested fold would be O(len²) interpreted per document,
+    * and the explode/groupBy pair is the same plan family as MinHash). */
+  def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String],
+      n: Int = 2): DataFrame = {
+    val tk = tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val narrow = df.select(idCols.map(col) ++ Seq(
+      ((size(tk) - size(array_distinct(tk))).cast("double") / size(tk))
+        .as("dup_token_ratio"),
+      ((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+        .as("dup_line_ratio")): _*)
+    val grams = df
+      .select(idCols.map(col) ++ Seq(col(textCol), tk.as("__tk")): _*)
+      .select(idCols.map(col) :+ explode(shingles("__tk", textCol, n)).as("__g"): _*)
+    val mass = grams
+      .groupBy((idCols :+ "__g").map(col): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(idCols.map(col): _*)
+      .agg((max("__c").cast("double") / sum("__c")).as("top_ngram_mass"))
+    narrow.join(mass, idCols)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering and duplication. */
   def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =

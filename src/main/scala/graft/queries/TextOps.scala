@@ -64,7 +64,12 @@ object TextOps {
     // candidate pairs (min-id label), the keep/drop step after d07.
     "d11_neardup_groups" -> ((s, d) =>
       Dedup.nearDupGroups(Dedup.lshCandidatePairs(
-        Tables.documents(s, d), "text", "doc_id", k = 6, bandWidth = 2)))
+        Tables.documents(s, d), "text", "doc_id", k = 6, bandWidth = 2))),
+
+    // Repetition quality signals: repeated-token/line fractions and
+    // top-bigram occurrence mass.
+    "d12_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", Seq("doc_id")))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -182,6 +187,21 @@ object TextOps {
          SELECT g.id AS doc_id, g.group_id, s.group_size
          FROM grp g JOIN (SELECT group_id, count(*) AS group_size
            FROM grp GROUP BY 1) s USING (group_id)""",
+    "d12_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS ln, text FROM documents),
+         narrow AS (SELECT doc_id,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) AS dup_token_ratio,
+           (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln) AS dup_line_ratio
+         FROM t),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM t),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_ngram_mass
+           FROM gc GROUP BY 1)
+         SELECT n.doc_id, n.dup_token_ratio, n.dup_line_ratio, m.top_ngram_mass
+         FROM narrow n JOIN mass m USING (doc_id)""",
     "d10_winnow_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
