@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.vault.{BusinessVaultOps, CdcOp, Conventions, Dv, RawVaultOps}
+import graft.vault.{BusinessVaultOps, CdcOp, ColumnDefinition, Conventions,
+  Dv, RawVault, RawVaultConfig, RawVaultOps, SatelliteDefinition}
 
 /** Data Vault operator coverage driven through the real engine code
   * (RawVaultOps / BusinessVaultOps), using `events` as a CDC feed:
@@ -232,6 +233,42 @@ object VaultQueries {
           col(LoadRawV2Ops.LoadEndDate).as("led"), col("status"))
     }),
 
+    // S5/S6/S10 through the oracle gate: a full load through the
+    // catalog-backed engine — databases created at an explicit warehouse
+    // LOCATION, bucketed saveAsTable writes, REFRESH, then a re-read of
+    // hub + satellite off the catalog. The DB is rebuilt from scratch
+    // every run, so the output is a pure function of the CDC feed.
+    "v10_catalog_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val loc = java.nio.file.Files.createTempDirectory("graft-v10").toString
+      s.sql("DROP DATABASE IF EXISTS v10_raw CASCADE")
+      s.sql("DROP DATABASE IF EXISTS v10_stg CASCADE")
+      val config = RawVaultConfig(
+        stagingBasePath = loc,
+        stagingPreparedDatabase = "v10_stg",
+        rawDatabase = "v10_raw",
+        partitionSize = 4,
+        stagingPreparedBasePath = Some(s"$loc/stg.db"),
+        rawBasePath = Some(s"$loc/raw.db"))
+      val vault = new RawVault(s, config, "events",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      vault.initializeDatabase()
+      val sat = SatelliteDefinition("SAT__USERS", Seq(
+        ColumnDefinition("event_type", StringType),
+        ColumnDefinition("props", StringType)))
+      vault.createHub("USERS", Seq(ColumnDefinition("user_id", LongType)))
+      vault.createSatellite("USERS", sat.attributes)
+      val staged = stagedEvents(s, d)
+        .withColumn(c.loadDate, timestamp_millis(col(c.loadDate)))
+      vault.loadHub(staged, "USERS", Seq("user_id"), Seq(sat))
+      val hub = s.table("v10_raw.`HUB__USERS`").select(col(c.hkey), col("user_id"))
+      s.table("v10_raw.`SAT__USERS`")
+        .join(hub, Seq(c.hkey))
+        .select(col(c.hkey).as("hkey"), col("user_id"),
+          col(c.hdiff).as("hdiff"), unix_millis(col(c.loadDate)).as("load_ms"),
+          col("event_type"), col("props"))
+    }),
+
     // v2 mode: hub/link last_seen upsert through the real code. Existing
     // state = customers first ordering before 1996; the update batch =
     // 1996+ orders. Matched keys keep their load_date and take the
@@ -365,6 +402,13 @@ object VaultQueries {
          ded AS (SELECT hkey, ld, deleted,
            lag(deleted) OVER (PARTITION BY hkey ORDER BY ld) AS prev FROM uni)
          SELECT hkey, ld, deleted FROM ded WHERE prev IS NULL OR prev <> deleted""",
+    "v10_catalog_roundtrip" ->
+      s"""WITH $stagedSql,
+         sat AS (SELECT DISTINCT hkey, md5(concat_ws(',', event_type, props)) AS hdiff,
+           ld AS load_ms, event_type, props FROM staged WHERE op IN (0,2,4)),
+         hub AS (SELECT DISTINCT hkey, user_id FROM staged)
+         SELECT s.hkey, h.user_id, s.hdiff, s.load_ms, s.event_type, s.props
+         FROM sat s JOIN hub h USING (hkey)""",
     "v07_v2_enddate" ->
       """WITH v AS (
            SELECT md5(o_custkey::VARCHAR) AS hkey, md5(o_orderstatus) AS hdiff,

@@ -202,7 +202,8 @@ object BusinessVaultOps {
   * tables (PIT, active code references) land in `businessDatabase` when
   * given, else alongside the raw vault. */
 class BusinessVault(val spark: SparkSession, val rawDatabase: String,
-    val businessDatabase: Option[String] = None)(
+    val businessDatabase: Option[String] = None,
+    val basePath: Option[String] = None)(
     implicit val conventions: Conventions) {
   private val c = conventions
   import BusinessVaultOps._
@@ -212,9 +213,10 @@ class BusinessVault(val spark: SparkSession, val rawDatabase: String,
   private def rawTable(name: String): DataFrame =
     spark.table(s"$rawDatabase.`$name`")
 
-  /** Create the derived-table database (BusinessVault.py:130-134). */
+  /** Create the derived-table database, optionally at an explicit
+    * warehouse LOCATION (BusinessVault.py:130-134). */
   def initializeDatabase(): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $outDatabase")
+    spark.sql(VaultSql.createDatabase(outDatabase, basePath))
 
   def createPointInTimeTableForSingleSatellite(pitName: String,
       satelliteName: String): Unit = {

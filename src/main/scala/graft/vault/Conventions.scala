@@ -131,7 +131,10 @@ object Conventions {
   val default: Conventions = Conventions()
 }
 
-/** Raw-vault configuration (RawVault.py:13-50). */
+/** Raw-vault configuration (RawVault.py:13-50). The optional base paths
+  * mirror the reference's `staging_prepared_base_path` / `raw_base_path`:
+  * when set, `initializeDatabase` creates the database at that explicit
+  * warehouse LOCATION; when absent, the session warehouse decides. */
 final case class RawVaultConfig(
     stagingBasePath: String,
     stagingPreparedDatabase: String,
@@ -141,4 +144,15 @@ final case class RawVaultConfig(
     snapshotOverrideColumn: Option[String] = None,
     optimizePartitioning: Boolean = true,
     partitionSize: Int = 32,
-    conventions: Conventions = Conventions.default)
+    conventions: Conventions = Conventions.default,
+    stagingPreparedBasePath: Option[String] = None,
+    rawBasePath: Option[String] = None)
+
+private[vault] object VaultSql {
+  /** CREATE DATABASE with the reference's optional explicit LOCATION
+    * (RawVault.py:187-192, BusinessVault.py:130-134, LoadRaw.py:160-166,
+    * Curated.py:114-118). */
+  def createDatabase(db: String, location: Option[String]): String =
+    s"CREATE DATABASE IF NOT EXISTS $db" +
+      location.map(l => s" LOCATION '$l'").getOrElse("")
+}

@@ -30,11 +30,14 @@ class Curated(
     val businessVault: BusinessVault,
     val typelists: TypelistsConfig,
     val curatedDatabase: String,
-    val rawDatabase: String)(implicit val conventions: Conventions) {
+    val rawDatabase: String,
+    val basePath: Option[String] = None)(implicit val conventions: Conventions) {
   private val c = conventions
 
+  /** Create the curated database, optionally at an explicit warehouse
+    * LOCATION (Curated.py:114-118). */
   def initializeDatabase(): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $curatedDatabase")
+    spark.sql(VaultSql.createDatabase(curatedDatabase, basePath))
 
   /** Drop retired rows when the column exists (Curated.py:87-97). */
   def filterRetired(df: DataFrame): DataFrame =

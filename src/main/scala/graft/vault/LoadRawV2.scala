@@ -135,7 +135,9 @@ class LoadRawV2(
     val loadDate: String,
     val sourceSystemName: String,
     val sourceSystemShortName: String,
-    val sourceBasePath: String) {
+    val sourceBasePath: String,
+    val stagingDatabasePath: Option[String] = None,
+    val rawDatabasePath: Option[String] = None) {
 
   import LoadRawV2Ops._
 
@@ -144,9 +146,11 @@ class LoadRawV2(
 
   private def loadDateCol: Column = Dv.parseTimestamp(lit(loadDate))
 
+  /** Create both databases, optionally at explicit warehouse LOCATIONs
+    * (LoadRaw.py:160-166). */
   def initializeDatabase(): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $stagingDatabaseName")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $rawDatabaseName")
+    spark.sql(VaultSql.createDatabase(stagingDatabaseName, stagingDatabasePath))
+    spark.sql(VaultSql.createDatabase(rawDatabaseName, rawDatabasePath))
   }
 
   // ---- DDL (LoadRaw.py:100-167): create-if-not-exists, typed by SQL

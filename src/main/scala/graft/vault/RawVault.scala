@@ -511,8 +511,9 @@ class RawVault(
       Seq(conventions.hkey, conventions.loadDate), "append")
 
   def initializeDatabase(): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.stagingPreparedDatabase}")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.rawDatabase}")
+    spark.sql(VaultSql.createDatabase(
+      config.stagingPreparedDatabase, config.stagingPreparedBasePath))
+    spark.sql(VaultSql.createDatabase(config.rawDatabase, config.rawBasePath))
   }
 
   // ---- DDL (create-if-not-exists via empty DF + mode ignore,

@@ -174,4 +174,29 @@ class MetadataSpec extends AnyFunSuite {
     val current = BusinessVaultOps.scd2Current(spark.table("meta_raw.`SAT__MOVIES`"))
     assert(current.filter(col("NAME") === "Heat").head().getAs[Long]("RATING") === 90L)
   }
+
+  test("initializeDatabase honors an explicit warehouse LOCATION") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-loc").toString
+    val config = RawVaultConfig(loc, "loc_stg", "loc_raw", partitionSize = 2,
+      stagingPreparedBasePath = Some(s"$loc/stg.db"),
+      rawBasePath = Some(s"$loc/raw.db"))
+    val vault = new RawVault(spark, config, "loc_test")
+    vault.initializeDatabase()
+    val dbLoc = spark.sql("DESCRIBE DATABASE loc_raw")
+      .filter(col("info_name") === "Location").head().getString(1)
+    assert(dbLoc.endsWith("raw.db"))
+    // created tables land under the explicit database location
+    vault.createHub("THINGS", Seq(ColumnDefinition("ID", StringType)))
+    val tblLoc = spark.sql("DESCRIBE EXTENDED loc_raw.`HUB__THINGS`")
+      .filter(col("col_name") === "Location").head().getString(1)
+    assert(tblLoc.contains("raw.db"))
+
+    val bv = new BusinessVault(spark, "loc_raw",
+      businessDatabase = Some("loc_biz"),
+      basePath = Some(s"$loc/biz.db"))(config.conventions)
+    bv.initializeDatabase()
+    val bizLoc = spark.sql("DESCRIBE DATABASE loc_biz")
+      .filter(col("info_name") === "Location").head().getString(1)
+    assert(bizLoc.endsWith("biz.db"))
+  }
 }
