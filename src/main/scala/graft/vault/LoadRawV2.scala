@@ -122,6 +122,22 @@ object LoadRawV2Ops {
     names.foldLeft(df)((d, n) => d.withColumnRenamed(s"$DvPrefix$n", n))
 }
 
+/** Where the intermediate full-table copy of a v2 overwrite lives.
+  *
+  * The v2 rewrite must fully materialize the new table state before
+  * overwriting the table it read (see [[LoadRawV2Ops]]). The default
+  * pins it to executor memory+disk — fastest, but doubles peak executor
+  * storage by the table size per load. `DiskCheckpoint` keeps the copy
+  * on executor disk only; `TempTableSwap` writes it as a temp catalog
+  * table on the warehouse filesystem and swaps — no executor storage
+  * pinned at all, at the cost of one extra table write. */
+sealed trait V2Overwrite
+object V2Overwrite {
+  case object MemoryCheckpoint extends V2Overwrite
+  case object DiskCheckpoint extends V2Overwrite
+  case object TempTableSwap extends V2Overwrite
+}
+
 /** Catalog-backed v2 raw vault, mirroring LoadRaw's public API surface
   * (SURVEY §2.12: create_hub:100 ... stage_table:397). Naming follows the
   * reference: `{shortName}__staging` / `{shortName}__raw` databases
@@ -137,7 +153,8 @@ class LoadRawV2(
     val sourceSystemShortName: String,
     val sourceBasePath: String,
     val stagingDatabasePath: Option[String] = None,
-    val rawDatabasePath: Option[String] = None) {
+    val rawDatabasePath: Option[String] = None,
+    val overwriteMode: V2Overwrite = V2Overwrite.MemoryCheckpoint) {
 
   import LoadRawV2Ops._
 
@@ -192,14 +209,30 @@ class LoadRawV2(
 
   // ---- Loads (LoadRaw.py:169-395) ----
 
-  /** Overwrite a raw-vault table with its computed new state. The state
-    * frame reads the table it replaces, so the lineage is cut with an
-    * eager localCheckpoint before the overwrite — the parquet-storage
-    * stand-in for the reference's Delta MERGE. */
+  /** Overwrite a raw-vault table with its computed new state — the
+    * parquet-storage stand-in for the reference's Delta MERGE. The state
+    * frame reads the table it replaces, so the read must complete before
+    * the overwrite starts; [[V2Overwrite]] picks where the intermediate
+    * full-table copy lives (executor memory, executor disk, or a
+    * temp-table swap on the warehouse filesystem). */
   private def overwriteWithState(name: String, state: DataFrame): Unit = {
-    val materialized = state.localCheckpoint(true)
-    materialized.write.mode("overwrite").saveAsTable(s"$rawDatabaseName.`$name`")
-    spark.catalog.refreshTable(s"$rawDatabaseName.`$name`")
+    val target = s"$rawDatabaseName.`$name`"
+    overwriteMode match {
+      case V2Overwrite.MemoryCheckpoint =>
+        state.localCheckpoint(true)
+          .write.mode("overwrite").saveAsTable(target)
+      case V2Overwrite.DiskCheckpoint =>
+        state.localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          .write.mode("overwrite").saveAsTable(target)
+      case V2Overwrite.TempTableSwap =>
+        val tmp = s"$rawDatabaseName.`${name}__SWAP`"
+        state.write.mode("overwrite").saveAsTable(tmp)
+        spark.catalog.refreshTable(tmp)
+        spark.table(tmp).write.mode("overwrite").saveAsTable(target)
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
+    spark.catalog.refreshTable(target)
   }
 
   private def rawTable(name: String): DataFrame =
