@@ -89,4 +89,34 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q18: orderBy.limit collapses to TakeOrderedAndProject") {
+    // a global sort before the limit would shuffle the whole input; the
+    // top-k operator keeps per-partition heaps + one singleton exchange
+    val p = plan("q18_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), "top-k must not plan a global sort")
+  }
+
+  test("persisted-IVF probe never shuffles the corpus side") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val base = Similarity.withNorm(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(
+      base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+    spark.sql("CREATE DATABASE IF NOT EXISTS plan_idx")
+    Similarity.buildIvfIndex(assigned, "plan_idx.ivf_probe", buckets = 4)
+    val df = Similarity.probeIvfIndex(spark, "plan_idx.ivf_probe",
+      col("vec_id") < 5, "vec_id", 3)
+    df.collect() // AQE finalizes the plan only at execution
+    val executed = df.queryExecution.executedPlan.toString
+    // the probe set broadcasts; the only data shuffle is the top-k
+    // window on qid over the already-probed candidates
+    assert(executed.contains("BroadcastHashJoin"), executed)
+    val shuffles = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(executed).map(_.group(1)).toList
+    assert(shuffles.forall(_ == "qid"),
+      s"corpus-side shuffle leaked into the probe plan: $shuffles\n$executed")
+  }
 }
