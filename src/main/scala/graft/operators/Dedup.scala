@@ -120,9 +120,14 @@ object Dedup {
     */
   def nearDupGroups(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .cache()
+    // cache the PAIRS, not just the edge union: both symmetric branches
+    // read the cached pair set, so the (expensive) candidate pipeline
+    // feeding this operator runs once, not twice
+    val p = pairs.persist()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    val lblType = pairs.schema(aCol).dataType
     var labels = edges.groupBy("src").agg(min("dst").as("lbl"))
       .select(col("src").as("id"), least(col("src"), col("lbl")).as("lbl"))
       .localCheckpoint(true)
@@ -131,25 +136,34 @@ object Dedup {
     while (!converged && round < maxIter) {
       // alias every union-branch column: the right branch's lineage
       // contains `labels` itself, and a union whose children share
-      // expression ids trips Catalyst's constraint rewriting
+      // expression ids trips Catalyst's constraint rewriting. The `old`
+      // column rides along (exactly one non-null per id, so min() picks
+      // it) to make the convergence check a narrow scan of the round's
+      // checkpoint instead of a join against the previous round.
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("lbl").as("lbl"))
-      val folded = labels.select(col("id").as("id"), col("lbl").as("lbl"))
+        .select(edges("src").as("id"), col("lbl").as("lbl"),
+          lit(null).cast(lblType).as("old"))
+      val folded = labels
+        .select(col("id").as("id"), col("lbl").as("lbl"), col("lbl").as("old"))
         .union(viaNeighbors)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-      val jumped = folded.alias("a")
-        .join(folded.alias("b"), col("a.lbl") === col("b.id"), "left")
+        .groupBy("id").agg(min("lbl").as("lbl"), min("old").as("old"))
+      // one checkpointed job per round: the jump self-join's two sides
+      // are identical aggregate subtrees, so AQE wires a ReusedExchange
+      // for the second (shuffle-hash hints keep a broadcast from
+      // replacing — and thereby recomputing — the shared subtree)
+      val jumped = folded.alias("a").hint("shuffle_hash")
+        .join(folded.alias("b").hint("shuffle_hash"),
+          col("a.lbl") === col("b.id"), "left")
         .select(col("a.id").as("id"),
-          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
+          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"),
+          col("a.old").as("old"))
         .localCheckpoint(true)
-      converged = jumped.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = jumped
+      converged = jumped.filter(col("lbl") =!= col("old")).isEmpty
+      labels = jumped.drop("old")
       round += 1
     }
+    p.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")

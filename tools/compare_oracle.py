@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [skip1,skip2]
 
 Runs each SQL in <verifyOutDir>/oracle_sql.json in DuckDB with views over
 the same parquet tables, reads the Spark result parquet from
 <verifyOutDir>/<name>/, and compares: column names (sorted), row count,
 and exact values after sorting rows by all columns.
+
+The optional third argument names queries to skip (comma-separated) —
+e.g. d11_neardup_groups at sf0.1, whose recursive-CTE oracle is a
+transitive closure that cannot finish on that scale's giant component
+(the driver's gate runs at sf0.01, where it is fast).
 """
 import json, sys, glob, math
 import duckdb
@@ -32,13 +37,17 @@ def frame_to_rows(df):
     return cols, rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=""):
+    skipped = set(filter(None, skip.split(",")))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skipped:
+            print(f"SKIP {name}")
+            continue
         sql = oracle[name]
         try:
             odf = con.sql(sql).df()
@@ -78,4 +87,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
