@@ -122,8 +122,12 @@ object Dedup {
       bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
     // cache the PAIRS, not just the edge union: both symmetric branches
     // read the cached pair set, so the (expensive) candidate pipeline
-    // feeding this operator runs once, not twice
-    val p = pairs.persist()
+    // feeding this operator runs once, not twice. A frame the CALLER
+    // already persisted is used as-is (and left persisted — unpersisting
+    // it here would clobber the caller's cache).
+    val callerCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerCached) pairs else pairs.persist()
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
@@ -163,8 +167,16 @@ object Dedup {
       labels = jumped.drop("old")
       round += 1
     }
-    p.unpersist(blocking = false)
+    if (!callerCached) p.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    // an unconverged result silently under-merges duplicate groups —
+    // refuse it. maxIter=20 covers component diameters around a million
+    // (rounds grow with log2(diameter)); hitting the cap means the pair
+    // graph is pathological, which the caller must decide how to handle.
+    if (!converged) throw new IllegalStateException(
+      s"nearDupGroups did not converge within $maxIter rounds — " +
+        "the candidate-pair graph has an extreme-diameter component; " +
+        "raise maxIter or tighten the LSH banding")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("group_id"), col("group_size"))

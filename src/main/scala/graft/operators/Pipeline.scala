@@ -37,12 +37,18 @@ object Pipeline {
         col("stopword_ratio") < thresholds.maxStopwordRatio)
     val exact = Dedup.dropExactDuplicates(kept, textCol, idCol)
     val deduped = nearDup.fold(exact) { cfg =>
+      // persisted because it has two consumers: the candidate pipeline
+      // (materialized eagerly inside nearDupGroups) and the final
+      // anti-join — without the cache the full quality+exact-dedup scan
+      // runs twice. Left persisted for the session: the returned frame
+      // is lazy, so there is no safe point here to unpersist.
+      val exactC = exact.persist()
       val groups = Dedup.nearDupGroups(
-        Dedup.lshCandidatePairs(exact, textCol, idCol,
+        Dedup.lshCandidatePairs(exactC, textCol, idCol,
           cfg.k, cfg.bandWidth, cfg.shingleSize),
         maxIter = cfg.maxIter)
       // drop every doc whose component representative is another doc
-      exact.join(groups.filter(col("doc_id") =!= col("group_id"))
+      exactC.join(groups.filter(col("doc_id") =!= col("group_id"))
         .select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
     }
     TextAnalysis.languageId(deduped, textCol, Seq(idCol, "n_tokens"), langMarkers)

@@ -154,5 +154,5 @@ private[vault] object VaultSql {
     * Curated.py:114-118). */
   def createDatabase(db: String, location: Option[String]): String =
     s"CREATE DATABASE IF NOT EXISTS $db" +
-      location.map(l => s" LOCATION '$l'").getOrElse("")
+      location.map(l => s" LOCATION '${l.replace("'", "''")}'").getOrElse("")
 }

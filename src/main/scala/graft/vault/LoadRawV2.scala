@@ -226,11 +226,14 @@ class LoadRawV2(
             org.apache.spark.storage.StorageLevel.DISK_ONLY)
           .write.mode("overwrite").saveAsTable(target)
       case V2Overwrite.TempTableSwap =>
+        // one table-sized write, then a metadata-level rename (a
+        // directory move for managed tables) — NOT a second rewrite.
+        // The drop→rename window is not atomic; a crash between the two
+        // leaves the fully-written swap table to recover from.
         val tmp = s"$rawDatabaseName.`${name}__SWAP`"
         state.write.mode("overwrite").saveAsTable(tmp)
-        spark.catalog.refreshTable(tmp)
-        spark.table(tmp).write.mode("overwrite").saveAsTable(target)
-        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        spark.sql(s"DROP TABLE IF EXISTS $target")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $target")
     }
     spark.catalog.refreshTable(target)
   }

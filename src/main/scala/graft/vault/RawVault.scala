@@ -399,32 +399,22 @@ object RawVaultOps {
       .withColumn("__rn", row_number().over(wEff))
       .filter(col("__rn") === 1 && !col(c.deleted))
       .select(col(c.hkey).as("__live_hkey"), col(c.loadDate).as("__live_ld"))
-    // Consistent prior state has at most one live pair per from-entity,
-    // but pre-existing contradictory data may hold several — a lag chain
-    // only lets the LAST seed act as predecessor, so surplus seeds would
-    // never be end-dated. Keep the newest live pair as THE seed and
-    // end-date the rest at the batch's first event (or their own eff
-    // date, if later — no back-dated deletes), so reconciliation
-    // converges to at most one live pair even from inconsistent state.
-    val wSeed = Window.partitionBy(fromHkeyColumnName)
-      .orderBy(col(c.loadDate).desc, toC.desc)
-    val allLive = linkRel
+    // Every live pair of the entity enters the chain as a seed at its
+    // recorded eff date. Seeds EMIT predecessor deletes like events do:
+    // when prior state is contradictory (several live pairs) the later
+    // recording end-dates the earlier one, and when a late-arriving
+    // event orders before an already-recorded pair, that pair's seed
+    // end-dates the event's pair at its recorded date — so the chain
+    // converges to at most one live pair per entity without inventing
+    // timestamps (each delete lands at a date that is genuinely in the
+    // data). The single irreducible case is two live pairs recorded at
+    // the SAME instant: ending one would collide with its own live row
+    // on (HKEY, LOAD_DATE), which replay-idempotency must reject.
+    // Seeds do NOT re-emit their own liveness (already in the table).
+    val seeds = linkRel
       .join(live, col(c.hkey) === col("__live_hkey"), "inner")
-      .select(fromC, toC, col("__live_ld").as(c.loadDate))
-      .withColumn("__srn", row_number().over(wSeed))
-    val seeds = allLive.filter(col("__srn") === 1)
-      .select(fromC, toC, col(c.loadDate),
+      .select(fromC, toC, col("__live_ld").as(c.loadDate),
         lit(true).as("__seed"), lit(-1).as("__tb"))
-    val firstEvt = fkEvents.groupBy(fromC).agg(min(col(c.loadDate)).as("__first_ld"))
-    val surplusDeletes = allLive.filter(col("__srn") > 1)
-      .join(firstEvt, Seq(fromHkeyColumnName))
-      .select(Dv.hash(Seq(fromC, toC)).as(c.hkey),
-        Dv.hash(Seq(lit(true))).as(c.hdiff),
-        greatest(col("__first_ld"), col(c.loadDate)).as(c.loadDate),
-        lit(true).as(c.deleted),
-        // below any event's window sequence: a same-instant event row
-        // for the same pair (a re-affirming live) must win the instant
-        lit(0).as("__seq"))
 
     val evts = fkEvents.select(fromC, toC, col(c.loadDate),
       lit(false).as("__seed"), tieBreak.as("__tb"))
@@ -437,7 +427,7 @@ object RawVaultOps {
       .withColumn("__seq", row_number().over(w))
 
     val deletes = marked
-      .filter(!col("__seed") && col("__has_prev") === 1 &&
+      .filter(col("__has_prev") === 1 &&
         col("__prev_to").isNotNull &&
         (toC.isNull || toC =!= col("__prev_to")))
       .select(Dv.hash(Seq(fromC, col("__prev_to"))).as(c.hkey),
@@ -453,7 +443,7 @@ object RawVaultOps {
     // one millisecond must not append contradictory rows
     val wInstant = Window.partitionBy(c.hkey, c.loadDate)
       .orderBy(col("__seq").desc)
-    val candidates = lives.union(deletes).union(surplusDeletes)
+    val candidates = lives.union(deletes)
       .withColumn("__irn", row_number().over(wInstant))
       .filter(col("__irn") === 1)
       .drop("__irn", "__seq")

@@ -98,10 +98,33 @@ class AdviceRegressionSpec extends AnyFunSuite {
       events, link, eff, FROM, TO, "test", lit(clock))
 
     val state = finalState(eff, newEff)
-    assert(state(hk("X", "A")) === false, "re-affirmed pair must stay live")
+    assert(state(hk("X", "A")) === false, "re-affirmed pair must end up live")
     assert(state(hk("X", "B")) === true, "superseded seed must be end-dated")
-    // no redundant live row may be appended for the already-live pair
-    assert(newEff.filter(col(c.hkey) === hk("X", "A")).count() === 0)
+    // converged history: A superseded when B was recorded (rt2), then
+    // re-established by the rt3 event — two rows, ending live
+    val aRows = newEff.filter(col(c.hkey) === hk("X", "A"))
+      .orderBy(c.loadDate).collect()
+    assert(aRows.map(r => (r.getTimestamp(2), r.getBoolean(3))).toSeq ===
+      Seq((rt2, true), (rt3, false)))
+  }
+
+  test("reconcile converges: late-arriving event older than the live pairs") {
+    // the rt1 event predates BOTH recorded live pairs: its pair C is
+    // created at rt1 and end-dated at rt2 (A's recording), A is
+    // end-dated at rt3 (B's recording), and only B stays live
+    val link = df(linkSchema, linkRow("X", "A", rt2), linkRow("X", "B", rt3))
+    val eff = df(effSchema,
+      effRow("X", "A", rt2, deleted = false),
+      effRow("X", "B", rt3, deleted = false))
+    val events = df(evtSchema, Row("X", "C", rt1))
+
+    val (_, newEff) = RawVaultOps.reconcileLinkStates(
+      events, link, eff, FROM, TO, "test", lit(clock))
+
+    val state = finalState(eff, newEff)
+    assert(state(hk("X", "C")) === true, "late event's pair must not stay live")
+    assert(state(hk("X", "A")) === true, "contradictory older pair must be end-dated")
+    assert(state(hk("X", "B")) === false, "newest recorded pair wins")
   }
 
   // ---- 1 + 2: metadata-driven FK resolution, end to end ----
