@@ -37,6 +37,20 @@ object CdcStream {
         col(s"window.end").as("window_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming exact deduplication: keep the first occurrence of each
+    * content hash, dropping duplicates that arrive within the watermark
+    * horizon. The streaming-ingest counterpart of `Dedup.exactGroups` —
+    * at continuous-ingest scale the dedup state must be bounded by
+    * TIME (watermark eviction), not grow with the corpus; cross-horizon
+    * duplicates are the batch dedup's job downstream. Only the 32-byte
+    * md5 enters the state store, never the payload. */
+  def dedupByContent(stream: DataFrame, tsCol: String, contentCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** A closed user session produced by gap-timeout sessionization. */
   final case class Session(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
 

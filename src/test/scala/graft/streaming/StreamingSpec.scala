@@ -94,6 +94,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest.getAs[String]("V") === "v2")
   }
 
+  test("streaming exact dedup drops within-horizon duplicates, keeps firsts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = CdcStream.dedupByContent(
+      input.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+
+    val query = deduped.writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode("append")
+      .start()
+
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "alpha"),
+      (Timestamp.valueOf("2024-01-01 00:01:30"), "alpha"), // in-batch dup
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "beta"))
+    query.processAllAvailable()
+    // cross-micro-batch duplicate inside the horizon
+    input.addData((Timestamp.valueOf("2024-01-01 00:05:00"), "alpha"))
+    query.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 00:06:00"), "gamma"))
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("stream_dedup").collect()
+      .map(r => r.getAs[String]("text"))
+    assert(out.sorted.toSeq === Seq("alpha", "beta", "gamma"),
+      s"got ${out.mkString(",")}")
+  }
+
   test("gap-timeout sessionization with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
