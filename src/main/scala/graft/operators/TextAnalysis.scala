@@ -104,6 +104,29 @@ object TextAnalysis {
     narrow.join(mass, idCols)
   }
 
+  /** Rare-token ratio: the fraction of a document's token occurrences
+    * whose corpus-wide document frequency is below `maxDf` — a cheap
+    * proxy for OOV/gibberish density (the public CCNet-style frequency
+    * heuristic family, computed against the corpus itself instead of an
+    * external LM).
+    *
+    * Shape: one distinct-token explode → groupBy(token) builds the
+    * document-frequency table (vocabulary-sized, far smaller than the
+    * corpus — AQE broadcasts it when it fits), one occurrence explode
+    * joins against it, one groupBy(doc) folds the ratio. Ratios are
+    * int/int divisions — bit-deterministic. */
+  def rareTokenRatio(df: DataFrame, textCol: String, idCol: String,
+      maxDf: Int): DataFrame = {
+    val docFreq = df
+      .select(col(idCol), explode(tokenSet(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__df"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .join(docFreq, "__t")
+      .groupBy(idCol)
+      .agg((sum(when(col("__df") < maxDf, 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("rare_token_ratio"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering and duplication. */
   def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =

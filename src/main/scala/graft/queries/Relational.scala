@@ -202,6 +202,15 @@ object Relational {
           (col("amed") >= col("mbounds")(0) &&
             col("amed") <= col("mbounds")(1)).as("median_ok"))),
 
+    // Multi-level aggregation: ROLLUP over (status, priority). Sums run
+    // on exact decimals — a double sum at grand-total magnitude is not
+    // oracle-comparable even at 2-decimal rounding.
+    "q22_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
+
     // Salted two-phase aggregation over a skewed key (5 event types for
     // the whole table) — must equal the plain GROUP BY the oracle runs.
     "s01_salted_agg" -> ((s, d) =>
@@ -308,6 +317,10 @@ object Relational {
          epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) + 600000 AS we,
          event_type, count(*) AS n_events
          FROM events GROUP BY 1, 2, 3""",
+    "q22_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(o_totalprice::DECIMAL(18,2)) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "s01_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1""",

@@ -69,7 +69,11 @@ object TextOps {
     // Repetition quality signals: repeated-token/line fractions and
     // top-bigram occurrence mass.
     "d12_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", Seq("doc_id")))
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "text", Seq("doc_id"))),
+
+    // Rare-token (corpus document-frequency) ratio.
+    "d13_rare_tokens" -> ((s, d) =>
+      TextAnalysis.rareTokenRatio(Tables.documents(s, d), "text", "doc_id", maxDf = 5))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -202,6 +206,14 @@ object TextOps {
            FROM gc GROUP BY 1)
          SELECT n.doc_id, n.dup_token_ratio, n.dup_line_ratio, m.top_ngram_mass
          FROM narrow n JOIN mass m USING (doc_id)""",
+    "d13_rare_tokens" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+         SELECT doc_id,
+           sum(CASE WHEN df < 5 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS rare_token_ratio
+         FROM tok JOIN dfreq USING (t) GROUP BY doc_id""",
     "d10_winnow_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]

@@ -134,13 +134,16 @@ class Curated(
     val dfCredential = businessVault.readDataFromHub("CREDENTIAL", Seq("UserName"), includeHkey = true)
     val dfUserJoined = businessVault.joinLinkedDataframes(
       dfUser0, dfCredential, "LNK__USER__CREDENTIAL", "USER_HKEY", "CREDENTIAL_HKEY")
+    // latest-per-ID as one row_number window (the engine's standard
+    // rewrite of the reference's groupBy-max + self-join, Curated.py's
+    // idiom) — one exchange, and the full tiebreak keeps the picked row
+    // deterministic even if two rows share the max load date
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ID"))
+      .orderBy(col(c.loadDate).desc, col("PublicID"), col("UserName"))
     dfUserJoined
-      .groupBy(col("ID"))
-      .agg(max(col(c.loadDate)).as("LD"))
-      .as("l")
-      .join(dfUserJoined.as("r"),
-        col("l.ID") === col("r.ID") && col("l.LD") === col(s"r.${c.loadDate}"))
-      .select(col("l.ID"), col("r.PublicID"), col("r.UserName"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("ID"), col("PublicID"), col("UserName"))
       .cache()
   }
 
