@@ -211,6 +211,17 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // Pivot: event counts per user bucketed by event type, with the
+    // pivot values FIXED so no extra distinct-collect job runs and the
+    // output schema is static on both engines.
+    "q23_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("user_bucket", col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("signup", "purchase", "click", "view", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Salted two-phase aggregation over a skewed key (5 event types for
     // the whole table) — must equal the plain GROUP BY the oracle runs.
     "s01_salted_agg" -> ((s, d) =>
@@ -321,6 +332,14 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q23_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'error') AS error
+         FROM events GROUP BY 1""",
     "s01_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1""",

@@ -90,6 +90,12 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("e04: multi-probe stays an equi join with a broadcast probe set") {
+    val p = plan("e04_knn_multiprobe")
+    assert(!p.contains("CartesianProduct"), "multi-probe degenerated to cartesian")
+    assert(p.contains("Broadcast"), "probe set not broadcast")
+  }
+
   test("q18: orderBy.limit collapses to TakeOrderedAndProject") {
     // a global sort before the limit would shuffle the whole input; the
     // top-k operator keeps per-partition heaps + one singleton exchange
