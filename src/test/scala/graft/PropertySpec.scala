@@ -57,6 +57,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- near-dup groups vs a union-find reference ----
+
+  private val pairsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40) // node id space
+    m <- Gen.choose(1, 60) // edges
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges.distinct
+
+  /** Plain driver-side union-find over the same pairs. */
+  private def unionFindGroups(pairs: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: every node labelled by its component minimum
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("nearDupGroups matches union-find on random pair graphs") {
+    forAllP(pairsGen, cases = 8) { pairs =>
+      if (pairs.nonEmpty) {
+        val expected = unionFindGroups(pairs)
+        val got = graft.operators.Dedup
+          .nearDupGroups(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   // ---- DataFrame kernels: small generated CDC batches, few cases ----
 
   /** (key, op, loadMs, attr) rows — keys collide on purpose. */
