@@ -155,6 +155,68 @@ object Similarity {
     knnProbe(bucketed, q, idCol, k)
   }
 
+  /** Product-quantization codebooks: M subspaces, codewords taken from
+    * a deterministic sample of the corpus (collected sorted by id — the
+    * sample is configuration-sized, codewords × dims floats, never the
+    * corpus). No k-means: sampled codebooks trade quantization error
+    * for a train-free, fully deterministic build; the encode/ADC
+    * machinery is unchanged if a trained codebook is substituted. */
+  def pqTrainSampled(sample: DataFrame, idCol: String, m: Int): Seq[Seq[Array[Float]]] = {
+    val vecs = sample.select(col(idCol), col("v")).orderBy(col(idCol))
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(vecs.nonEmpty, "PQ sample is empty")
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    (0 until m).map(mi => vecs.toSeq.map(_.slice(mi * sub, mi * sub + sub)))
+  }
+
+  /** PQ encode: per subspace the 0-based index of the squared-L2
+    * nearest codeword (ties: lowest index). The |v|² term is constant
+    * per subspace, so the argmin scores are `|c|² − 2·v·c` with |c|²
+    * a driver-side constant. Output: (idCol, v, pq_code: array<int>) —
+    * at corpus scale only (id, pq_code) needs persisting: M bytes-ish
+    * per vector instead of dim floats. */
+  def pqEncode(base: DataFrame, idCol: String, codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val sub = codebooks.head.head.length
+    val codeCols = codebooks.zipWithIndex.map { case (cws, mi) =>
+      val vSlice = slice(col("v"), mi * sub + 1, sub)
+      val scored = cws.zipWithIndex.map { case (cw, k) =>
+        val cc = cw.map(x => x.toDouble * x.toDouble).sum
+        struct((lit(cc) - lit(2.0) * dot(vSlice, typedlit(cw.toSeq))).as("d"),
+          lit(k).as("k"))
+      }
+      array_min(array(scored: _*)).getField("k")
+    }
+    base.select(col(idCol), col("v"), array(codeCols: _*).as("pq_code"))
+  }
+
+  /** PQ ADC top-k: approximate q·x = Σ_m qtab[m][code[m]] where
+    * qtab[m][k] = q_sub[m]·codeword[m][k] — the query-side table is
+    * Q×M×K doubles computed once and broadcast; the corpus side reads
+    * only the M-byte codes. Ranks carry the total (sim DESC, id ASC)
+    * tiebreak like every other kNN here. */
+  def knnPq(encoded: DataFrame, queries: DataFrame, idCol: String,
+      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
+    val sub = codebooks.head.head.length
+    val qtabCols = codebooks.zipWithIndex.map { case (cws, mi) =>
+      val qSlice = slice(col("qv"), mi * sub + 1, sub)
+      array(cws.map(cw => dot(qSlice, typedlit(cw.toSeq))): _*)
+    }
+    val q = queries.select(col(idCol).as("qid"), col("v").as("qv"))
+      .select(col("qid"), array(qtabCols: _*).as("qtab"))
+    val approx = codebooks.indices.map(mi =>
+        element_at(element_at(col("qtab"), mi + 1),
+          element_at(col("pq_code"), mi + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col(idCol).asc)
+    encoded.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("approx_sim", approx)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   /** Multi-probe IVF ANN: each query scans its `probes` highest-cosine
     * centroid buckets (ties: lowest centroid id) instead of only the
     * nearest one. `centroids` is a withNorm projection keyed by idCol. */

@@ -16,6 +16,7 @@ object VectorOps {
   private val NQ = 10
   private val NPlanes = 6
   private val Dim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
+  private val PqM = 8 // PQ subspaces (Dim / PqM dims each)
 
   /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
     * ±1 weights inlined as list literals (hyperplaneWeights is pure, so
@@ -57,6 +58,17 @@ object VectorOps {
       val bucketed = Similarity.assignLshBuckets(
         base, "vec_id", Similarity.hyperplaneWeights(NPlanes, Dim))
       Similarity.knnLshMultiProbe(bucketed, col("vec_id") < NQ, "vec_id", K, NPlanes)
+    }),
+
+    // Product-quantized ANN: sampled codebooks (vec_id % 50 == 0, M=8
+    // subspaces), L2-argmin encode, dot-product ADC scan. The corpus
+    // side carries only the M-int codes; the Q×M×K table broadcasts.
+    "e05_knn_pq" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM)
+      Similarity.knnPq(Similarity.pqEncode(base, "vec_id", cb),
+        base.filter(col("vec_id") < NQ), "vec_id", cb, K)
     }),
 
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
@@ -127,6 +139,40 @@ object VectorOps {
            FROM bucketed b JOIN probes p ON b.cid = p.qcid AND b.vec_id <> p.qid),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e05_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
+           FROM e WHERE vec_id % 50 = 0),
+         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+         -- encode: argmin_k of |c|^2 - 2*v.c per subspace (|v|^2 constant)
+         dists AS (SELECT e.vec_id, s.m, c.k,
+           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
+           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
+           FROM e CROSS JOIN sub s CROSS JOIN c),
+         code AS (SELECT vec_id, m, k - 1 AS code FROM (
+           SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+           FROM dists) WHERE rn = 1),
+         -- query-side table: q_sub . codeword per (m, k)
+         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
+           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
+           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
+         -- fixed-order m=0..M-1 summation (one value per leg) mirrors the
+         -- engine's expression fold; a bare SUM() would be order-free only
+         -- by accident
+         approx AS (SELECT qt.qid, cd.vec_id,
+           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
+             .mkString(" + ")} AS asim
+           FROM code cd JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1
+             AND cd.vec_id <> qt.qid
+           GROUP BY 1, 2),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     "d09_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,

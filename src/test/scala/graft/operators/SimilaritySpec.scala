@@ -59,6 +59,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfMulti.filter(col("qid") === col("neighbor_id")).count() === 0)
   }
 
+  test("PQ encode/ADC: codes in range, full top-k, self excluded") {
+    val cb = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8)
+    assert(cb.length === 8)
+    val kWords = cb.head.length
+    val encoded = Similarity.pqEncode(base, "vec_id", cb)
+    val codes = encoded.select(explode(col("pq_code")).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") >= kWords).count() === 0)
+    val out = Similarity.knnPq(encoded, base.filter(col("vec_id") < 5), "vec_id", cb, 4)
+    assert(out.count() === 5 * 4)
+    assert(out.filter(col("qid") === col("neighbor_id")).count() === 0)
+  }
+
   test("persisted IVF index probes equal in-memory IVF results") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)
