@@ -211,6 +211,13 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // CUBE: all grouping-set combinations over (status, priority).
+    "q24_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
+
     // Pivot: event counts per user bucketed by event type, with the
     // pivot values FIXED so no extra distinct-collect job runs and the
     // output schema is static on both engines.
@@ -332,6 +339,10 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(o_totalprice::DECIMAL(18,2)) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q23_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
          count(*) FILTER (event_type = 'signup') AS signup,

@@ -257,4 +257,12 @@ class AdviceRegressionSpec extends AnyFunSuite {
     meta.loadLinksFor("movies2")
     assert(latestDeleted(hk(hk("m1"), hk("d-new"))) === true)
   }
+
+  test("replaying the last link batch adds no rows (seed deletes stay idempotent)") {
+    val lnkBefore = spark.table("adv_raw.`LNK__MOVIES2__DIRECTORS2`").count()
+    val effBefore = effLnk.count()
+    meta.loadLinksFor("movies2")
+    assert(spark.table("adv_raw.`LNK__MOVIES2__DIRECTORS2`").count() === lnkBefore)
+    assert(effLnk.count() === effBefore)
+  }
 }
