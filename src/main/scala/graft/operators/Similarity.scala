@@ -188,8 +188,25 @@ object Similarity {
       }
       array_min(array(scored: _*)).getField("k")
     }
-    base.select(col(idCol), col("v"), array(codeCols: _*).as("pq_code"))
+    // withColumn: blocking keys (e.g. an IVF `cid`) ride along untouched
+    base.withColumn("pq_code", array(codeCols: _*))
   }
+
+  /** Query-side ADC table: qtab[m][k] = q_sub[m]·codeword[m][k]. */
+  private def pqQueryTable(qv: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cws, mi) =>
+      val qSlice = slice(qv, mi * sub + 1, sub)
+      array(cws.map(cw => dot(qSlice, typedlit(cw.toSeq))): _*)
+    }: _*)
+  }
+
+  /** Approximate q·x from the broadcast table and a row's codes. */
+  private def pqApproxSim(m: Int): Column =
+    (0 until m).map(mi =>
+        element_at(element_at(col("qtab"), mi + 1),
+          element_at(col("pq_code"), mi + 1) + 1))
+      .reduce(_ + _)
 
   /** PQ ADC top-k: approximate q·x = Σ_m qtab[m][code[m]] where
     * qtab[m][k] = q_sub[m]·codeword[m][k] — the query-side table is
@@ -198,20 +215,29 @@ object Similarity {
     * tiebreak like every other kNN here. */
   def knnPq(encoded: DataFrame, queries: DataFrame, idCol: String,
       codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
-    val sub = codebooks.head.head.length
-    val qtabCols = codebooks.zipWithIndex.map { case (cws, mi) =>
-      val qSlice = slice(col("qv"), mi * sub + 1, sub)
-      array(cws.map(cw => dot(qSlice, typedlit(cw.toSeq))): _*)
-    }
-    val q = queries.select(col(idCol).as("qid"), col("v").as("qv"))
-      .select(col("qid"), array(qtabCols: _*).as("qtab"))
-    val approx = codebooks.indices.map(mi =>
-        element_at(element_at(col("qtab"), mi + 1),
-          element_at(col("pq_code"), mi + 1) + 1))
-      .reduce(_ + _)
+    val q = queries.select(col(idCol).as("qid"),
+      pqQueryTable(col("v"), codebooks).as("qtab"))
     val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col(idCol).asc)
     encoded.join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("approx_sim", approx)
+      .withColumn("approx_sim", pqApproxSim(codebooks.size))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** IVF-PQ: probe only the query's centroid bucket AND rank by ADC
+    * codes — the two scale levers composed: the probe cuts candidates
+    * by the centroid count, the codes cut bytes-per-candidate to M
+    * ints. `encodedAssigned` = pqEncode over an assignToCentroids
+    * frame (pqEncode keeps `cid`); queries must carry their `cid`. */
+  def knnIvfPq(encodedAssigned: DataFrame, queries: DataFrame, idCol: String,
+      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col("cid").as("qcid"),
+      pqQueryTable(col("v"), codebooks).as("qtab"))
+    val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col(idCol).asc)
+    encodedAssigned
+      .join(broadcast(q), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
+      .withColumn("approx_sim", pqApproxSim(codebooks.size))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))

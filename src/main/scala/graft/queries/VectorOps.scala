@@ -71,6 +71,18 @@ object VectorOps {
         base.filter(col("vec_id") < NQ), "vec_id", cb, K)
     }),
 
+    // IVF-PQ: centroid-bucket probe composed with ADC code ranking —
+    // both scale levers (candidate cut + bytes-per-candidate cut).
+    "e06_knn_ivfpq" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = base.filter(col("vec_id") % 50 === 0)
+      val assigned = Similarity.assignToCentroids(base, cents, "vec_id")
+      val cb = Similarity.pqTrainSampled(cents, "vec_id", m = PqM)
+      val encoded = Similarity.pqEncode(assigned, "vec_id", cb)
+      Similarity.knnIvfPq(encoded, encoded.filter(col("vec_id") < NQ),
+        "vec_id", cb, K)
+    }),
+
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
     "d09_embed_neardup" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -170,6 +182,45 @@ object VectorOps {
              .mkString(" + ")} AS asim
            FROM code cd JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1
              AND cd.vec_id <> qt.qid
+           GROUP BY 1, 2),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e06_knn_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn FROM e
+           WHERE vec_id % 50 = 0),
+         assigned AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, cent.cid, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.centv) / (e.nrm * cent.cn) DESC,
+                     cent.cid ASC) AS arn
+           FROM e CROSS JOIN cent) WHERE arn = 1),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
+           FROM e WHERE vec_id % 50 = 0),
+         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+         dists AS (SELECT e.vec_id, s.m, c.k,
+           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
+           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
+           FROM e CROSS JOIN sub s CROSS JOIN c),
+         code AS (SELECT vec_id, m, k - 1 AS code FROM (
+           SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+           FROM dists) WHERE rn = 1),
+         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
+           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
+           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
+         approx AS (SELECT qt.qid, cd.vec_id,
+           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
+             .mkString(" + ")} AS asim
+           FROM code cd
+           JOIN assigned a ON a.vec_id = cd.vec_id
+           JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1 AND cd.vec_id <> qt.qid
+           JOIN assigned qa ON qa.vec_id = qt.qid AND qa.cid = a.cid
            GROUP BY 1, 2),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
