@@ -211,6 +211,24 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // As-of join via the union-window form: every click picks up the
+    // value of the user's latest purchase at or before it — one
+    // exchange, no range-join explosion. Right side pre-aggregated to
+    // one row per (user, ms) so the as-of pick is unambiguous.
+    "q25_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"),
+          col("value"))
+        .groupBy("user_id", "ts_ms").agg(max("value").as("last_purchase_value"))
+      graft.operators.AsOf.asofJoin(l, r, "user_id", "ts_ms",
+        Seq("last_purchase_value"))
+    }),
+
     // CUBE: all grouping-set combinations over (status, priority).
     "q24_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -339,6 +357,16 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q25_asof" ->
+      """WITH l AS (SELECT user_id, event_id,
+           epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,
+           max(value) AS last_purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.ts_ms, r.last_purchase_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms""",
     "q24_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
