@@ -211,6 +211,20 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // Set operators: users who clicked AND purchased (intersect), and
+    // users who clicked but NEVER purchased (except) — tagged and
+    // unioned into one result set.
+    "q26_setops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id")
+      val both = users("click").intersect(users("purchase"))
+        .withColumn("segment", lit("click_and_purchase"))
+      val onlyClick = users("click").except(users("purchase"))
+        .withColumn("segment", lit("click_only"))
+      both.union(onlyClick)
+    }),
+
     // As-of join via the union-window form: every click picks up the
     // value of the user's latest purchase at or before it — one
     // exchange, no range-join explosion. Right side pre-aggregated to
@@ -357,6 +371,16 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q26_setops" ->
+      """SELECT user_id, 'click_and_purchase' AS segment FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT user_id, 'click_only' AS segment FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           EXCEPT
+           SELECT user_id FROM events WHERE event_type = 'purchase')""",
     "q25_asof" ->
       """WITH l AS (SELECT user_id, event_id,
            epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms
