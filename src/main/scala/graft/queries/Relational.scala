@@ -211,6 +211,28 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // Window frames: per-user running purchase total (rows unbounded
+    // preceding .. current) and spend-quartile bucketing — decimal sums
+    // so the running values are exact, total order via (ts, event_id).
+    "q27_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("user_total").desc, col("user_id"))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("running_total", sum(col("v")).over(w))
+      val totals = purchases.groupBy("user_id")
+        .agg(sum("v").as("user_total"))
+        .withColumn("quartile", ntile(4).over(wAll))
+      purchases.join(totals.select("user_id", "quartile"), "user_id")
+        .select(col("user_id"), col("event_id"), col("running_total"),
+          col("quartile"))
+    }),
+
     // Set operators: users who clicked AND purchased (intersect), and
     // users who clicked but NEVER purchased (except) — tagged and
     // unioned into one result set.
@@ -371,6 +393,20 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q27_window_frames" ->
+      """WITH p AS (SELECT user_id, event_id,
+           epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,
+           value::DECIMAL(18,2) AS v
+           FROM events WHERE event_type = 'purchase'),
+         run AS (SELECT user_id, event_id,
+           sum(v) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+           FROM p),
+         tot AS (SELECT user_id, ntile(4)
+             OVER (ORDER BY sum(v) DESC, user_id) AS quartile
+           FROM p GROUP BY user_id)
+         SELECT r.user_id, r.event_id, r.running_total, t.quartile
+         FROM run r JOIN tot t USING (user_id)""",
     "q26_setops" ->
       """SELECT user_id, 'click_and_purchase' AS segment FROM (
            SELECT user_id FROM events WHERE event_type = 'click'
