@@ -29,24 +29,34 @@ object AsOf {
       s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
     require(right.columns.contains(tsCol) && right.columns.contains(keyCol),
       s"right side must carry '$keyCol' and '$tsCol' under the same names")
-    val l = rightValueCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, v) => df.withColumn(v, lit(null).cast(right.schema(v).dataType))
-    }
-    val r = leftCols.filterNot((Seq(keyCol, tsCol) ++ rightValueCols).contains)
-      .foldLeft(right.select((Seq(keyCol, tsCol) ++ rightValueCols).map(col): _*)
+    // carry the matched right row as ONE struct: a per-column
+    // last(ignoreNulls) would skip a NULL inside the latest right row
+    // and leak an older row's value (or stitch columns from different
+    // rows) — the struct is null exactly on left rows, so the window
+    // picks the latest right ROW atomically, null fields included
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(v => right.schema(v).copy(nullable = true)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = leftCols.filterNot(Seq(keyCol, tsCol).contains)
+      .foldLeft(right
+        .select((Seq(keyCol, tsCol)).map(col) :+
+          struct(rightValueCols.map(col): _*).as("__rv"): _*)
         .withColumn("__side", lit(0))) {
         (df, v) => df.withColumn(v, lit(null).cast(left.schema(v).dataType))
       }
-    val unioned = l.select((leftCols ++ rightValueCols :+ "__side").map(col): _*)
-      .union(r.select((leftCols ++ rightValueCols :+ "__side").map(col): _*))
+    val ordered = Seq("__rv", "__side")
+    val unioned = l.select((leftCols ++ ordered).map(col): _*)
+      .union(r.select((leftCols ++ ordered).map(col): _*))
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightValueCols
-      .foldLeft(unioned) { (df, v) =>
-        df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-      }
+    val picked = unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+    rightValueCols
+      .foldLeft(picked)((df, v) => df.withColumn(v, col("__rv").getField(v)))
+      .drop("__rv", "__side")
   }
 }

@@ -213,17 +213,23 @@ object Similarity {
     * Q×M×K doubles computed once and broadcast; the corpus side reads
     * only the M-byte codes. Ranks carry the total (sim DESC, id ASC)
     * tiebreak like every other kNN here. */
-  def knnPq(encoded: DataFrame, queries: DataFrame, idCol: String,
-      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"),
-      pqQueryTable(col("v"), codebooks).as("qtab"))
+  /** Shared ADC rank tail for the PQ variants. */
+  private def pqRank(encoded: DataFrame, q: DataFrame, idCol: String,
+      m: Int, k: Int, joinCond: Column): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col(idCol).asc)
-    encoded.join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("approx_sim", pqApproxSim(codebooks.size))
+    encoded.join(broadcast(q), joinCond && col(idCol) =!= col("qid"))
+      .withColumn("approx_sim", pqApproxSim(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
   }
+
+  def knnPq(encoded: DataFrame, queries: DataFrame, idCol: String,
+      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame =
+    pqRank(encoded,
+      queries.select(col(idCol).as("qid"),
+        pqQueryTable(col("v"), codebooks).as("qtab")),
+      idCol, codebooks.size, k, lit(true))
 
   /** IVF-PQ: probe only the query's centroid bucket AND rank by ADC
     * codes — the two scale levers composed: the probe cuts candidates
@@ -231,17 +237,11 @@ object Similarity {
     * ints. `encodedAssigned` = pqEncode over an assignToCentroids
     * frame (pqEncode keeps `cid`); queries must carry their `cid`. */
   def knnIvfPq(encodedAssigned: DataFrame, queries: DataFrame, idCol: String,
-      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col("cid").as("qcid"),
-      pqQueryTable(col("v"), codebooks).as("qtab"))
-    val w = Window.partitionBy("qid").orderBy(col("approx_sim").desc, col(idCol).asc)
-    encodedAssigned
-      .join(broadcast(q), col("cid") === col("qcid") && col(idCol) =!= col("qid"))
-      .withColumn("approx_sim", pqApproxSim(codebooks.size))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
-  }
+      codebooks: Seq[Seq[Array[Float]]], k: Int): DataFrame =
+    pqRank(encodedAssigned,
+      queries.select(col(idCol).as("qid"), col("cid").as("qcid"),
+        pqQueryTable(col("v"), codebooks).as("qtab")),
+      idCol, codebooks.size, k, col("cid") === col("qcid"))
 
   /** Multi-probe IVF ANN: each query scans its `probes` highest-cosine
     * centroid buckets (ties: lowest centroid id) instead of only the

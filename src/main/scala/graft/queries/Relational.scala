@@ -222,7 +222,7 @@ object Relational {
       val purchases = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
-          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"),
+          tsMsEpoch.as("ts_ms"),
           col("value").cast("decimal(18,2)").as("v"))
         .withColumn("running_total", sum(col("v")).over(w))
       val totals = purchases.groupBy("user_id")
@@ -255,10 +255,10 @@ object Relational {
       val ev = Tables.events(s, d)
       val l = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"),
-          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"))
+          tsMsEpoch.as("ts_ms"))
       val r = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"),
-          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("ts_ms"),
+          tsMsEpoch.as("ts_ms"),
           col("value"))
         .groupBy("user_id", "ts_ms").agg(max("value").as("last_purchase_value"))
       graft.operators.AsOf.asofJoin(l, r, "user_id", "ts_ms",

@@ -358,6 +358,16 @@ object RawVaultOps {
     * pair-exploding self-join; the lag-dedup/anti-join tail is
     * [[effStateDedup]], shared with [[linkLoad]].
     *
+    * Convergence contract: after the load, each touched from-entity has
+    * at most one live pair — including repair of contradictory prior
+    * state (several live pairs) and late-arriving events, because
+    * recorded live pairs participate in the chain and end-date their
+    * predecessors. The one irreducible exception: two live pairs
+    * recorded at the SAME instant stay both-live (ending one would
+    * collide with its own live row on (HKEY, LOAD_DATE), which
+    * replay-idempotency rejects); such state can only originate outside
+    * this loader and repairs itself at the next genuine event.
+    *
     * @param fkEvents one row per CDC event of the from-entity, columns
     *   (fromHkeyColumnName, toHkeyColumnName nullable, c.loadDate): live
     *   ops carry the resolved target hkey (null if the FK is null or

@@ -30,6 +30,20 @@ class AsOfSpec extends AnyFunSuite {
       "l4" -> Some(40.0), "l5" -> Some(99.0)))
   }
 
+  test("asofJoin matches the latest right ROW even when its value is null") {
+    val left = Seq((1L, 300L, "l1")).toDF("k", "ts", "tag")
+    // latest right row at ts=200 carries a NULL a but a real b: the
+    // output must take BOTH fields from that row, not leak a=5.0 from
+    // the older row
+    val right = Seq(
+      (1L, 100L, Option(5.0), Option(1.0)),
+      (1L, 200L, Option.empty[Double], Option(7.0))
+    ).toDF("k", "ts", "a", "b")
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("a", "b")).head()
+    assert(out.getAs[java.lang.Double]("a") === null)
+    assert(out.getAs[java.lang.Double]("b") === 7.0)
+  }
+
   test("asofJoin rejects colliding value column names") {
     val df = Seq((1L, 1L, "x")).toDF("k", "ts", "v")
     intercept[IllegalArgumentException] {
