@@ -211,6 +211,28 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // Full outer join: per-type click vs purchase per-user counts —
+    // users appearing on either side survive with nulls on the other.
+    "q28_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def counted(t: String, n: String, u: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(col("user_id").as(u)).agg(count(lit(1)).as(n))
+      counted("click", "n_clicks", "c_user")
+        .join(counted("purchase", "n_purchases", "p_user"),
+          col("c_user") === col("p_user"), "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("n_clicks"), col("n_purchases"))
+    }),
+
+    // Generator: posexplode of the whitespace token stream — the
+    // row-to-many lateral shape with stable ordinals.
+    "q29_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))),
+
     // Window frames: per-user running purchase total (rows unbounded
     // preceding .. current) and spend-quartile bucketing — decimal sums
     // so the running values are exact, total order via (ts, event_id).
@@ -393,6 +415,18 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q28_full_outer" ->
+      """WITH c AS (SELECT user_id AS c_user, count(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT user_id AS p_user, count(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT coalesce(c_user, p_user) AS user_id, n_clicks, n_purchases
+         FROM c FULL OUTER JOIN p ON c_user = p_user""",
+    "q29_posexplode" ->
+      """SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS token
+         FROM documents,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+         WHERE doc_id < 20""",
     "q27_window_frames" ->
       """WITH p AS (SELECT user_id, event_id,
            epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,

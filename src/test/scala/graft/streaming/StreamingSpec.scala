@@ -123,6 +123,41 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${out.mkString(",")}")
   }
 
+  test("stream-stream interval join: purchases attach to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val c = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "purchase_ts", "value")
+      .withWatermark("purchase_ts", "10 minutes")
+    // purchase within 15 minutes AFTER the click — the watermarked
+    // time-range condition bounds both join states
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 15 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("value"))
+
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join")
+      .outputMode("append")
+      .start()
+
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 00:01:00")))
+    purchases.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 42.0), // within 15m
+      (2L, Timestamp.valueOf("2024-01-01 00:30:00"), 7.0))  // too late
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 42.0)), s"got ${out.mkString(",")}")
+  }
+
   test("gap-timeout sessionization with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
