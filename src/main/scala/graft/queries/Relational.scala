@@ -211,6 +211,15 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
 
+    // SQL entry path (spark.sql over a registered view) with a scalar
+    // subquery — max-based so the threshold is an exact selection, not
+    // a float aggregate whose summation order could move a boundary row.
+    "q30_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q30_orders")
+      s.sql("""SELECT o_orderkey, o_custkey FROM q30_orders
+               WHERE o_totalprice = (SELECT max(o_totalprice) FROM q30_orders)""")
+    }),
+
     // Full outer join: per-type click vs purchase per-user counts —
     // users appearing on either side survive with nulls on the other.
     "q28_full_outer" -> ((s, d) => {
@@ -415,6 +424,9 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          sum(o_totalprice::DECIMAL(18,2)) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q30_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""",
     "q28_full_outer" ->
       """WITH c AS (SELECT user_id AS c_user, count(*) AS n_clicks
            FROM events WHERE event_type = 'click' GROUP BY 1),
