@@ -216,19 +216,28 @@ object Relational {
     // a float aggregate whose summation order could move a boundary row.
     "q30_scalar_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("q30_orders")
-      s.sql("""SELECT o_orderkey, o_custkey FROM q30_orders
-               WHERE o_totalprice = (SELECT max(o_totalprice) FROM q30_orders)""")
+      // spark.sql analyzes eagerly (the view resolves into the plan), so
+      // the view can be dropped immediately — no session-global state
+      // survives the call and concurrent gate runs cannot race on it
+      val out = s.sql(
+        """SELECT o_orderkey, o_custkey FROM q30_orders
+           WHERE o_totalprice = (SELECT max(o_totalprice) FROM q30_orders)""")
+      s.catalog.dropTempView("q30_orders")
+      out
     }),
 
-    // Full outer join: per-type click vs purchase per-user counts —
-    // users appearing on either side survive with nulls on the other.
+    // Full outer join: per-type click vs purchase per-user counts. The
+    // sides are restricted to DIFFERENT user ranges (every user has
+    // both event types in the fixtures), so one-sided rows — the
+    // behavior that distinguishes full_outer from inner — actually
+    // occur and the null padding + coalesced key are gate-checked.
     "q28_full_outer" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      def counted(t: String, n: String, u: String) =
-        ev.filter(col("event_type") === t)
+      def counted(t: String, n: String, u: String, m: Int) =
+        ev.filter(col("event_type") === t && col("user_id") % 3 =!= m)
           .groupBy(col("user_id").as(u)).agg(count(lit(1)).as(n))
-      counted("click", "n_clicks", "c_user")
-        .join(counted("purchase", "n_purchases", "p_user"),
+      counted("click", "n_clicks", "c_user", 0)
+        .join(counted("purchase", "n_purchases", "p_user", 1),
           col("c_user") === col("p_user"), "full_outer")
         .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
           col("n_clicks"), col("n_purchases"))
@@ -240,7 +249,8 @@ object Relational {
       Tables.documents(s, d)
         .filter(col("doc_id") < 20)
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))),
+          posexplode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "token")))),
 
     // Window frames: per-user running purchase total (rows unbounded
     // preceding .. current) and spend-quartile bucketing — decimal sums
@@ -429,9 +439,9 @@ object Relational {
          WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""",
     "q28_full_outer" ->
       """WITH c AS (SELECT user_id AS c_user, count(*) AS n_clicks
-           FROM events WHERE event_type = 'click' GROUP BY 1),
+           FROM events WHERE event_type = 'click' AND user_id % 3 <> 0 GROUP BY 1),
          p AS (SELECT user_id AS p_user, count(*) AS n_purchases
-           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+           FROM events WHERE event_type = 'purchase' AND user_id % 3 <> 1 GROUP BY 1)
          SELECT coalesce(c_user, p_user) AS user_id, n_clicks, n_purchases
          FROM c FULL OUTER JOIN p ON c_user = p_user""",
     "q29_posexplode" ->

@@ -149,7 +149,20 @@ class StreamingSpec extends AnyFunSuite {
       (2L, Timestamp.valueOf("2024-01-01 00:01:00")))
     purchases.addData(
       (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 42.0), // within 15m
-      (2L, Timestamp.valueOf("2024-01-01 00:30:00"), 7.0))  // too late
+      (2L, Timestamp.valueOf("2024-01-01 00:30:00"), 7.0))  // outside range
+    query.processAllAvailable()
+    // advance BOTH watermarks far past the first clicks (wm = max - 10m),
+    // plus one more batch so the advanced watermark takes effect (state
+    // eviction uses the PREVIOUS batch's watermark)
+    clicks.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+    purchases.addData((8L, Timestamp.valueOf("2024-01-01 02:00:00"), 0.0))
+    query.processAllAvailable()
+    purchases.addData((7L, Timestamp.valueOf("2024-01-01 02:01:00"), 0.0))
+    query.processAllAvailable()
+    // this purchase satisfies the join predicate against click(1, 00:00),
+    // but arrives far below the watermark: the click's state is evicted
+    // and the late row dropped — no output may appear
+    purchases.addData((1L, Timestamp.valueOf("2024-01-01 00:05:00"), 99.0))
     query.processAllAvailable()
     query.stop()
 
