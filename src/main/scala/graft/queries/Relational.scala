@@ -23,6 +23,14 @@ object Relational {
   private def tsMs = date_trunc("MILLISECOND", col("ts"))
   private def tsMsEpoch = unix_millis(tsMs)
 
+  /** A money double as exact integer cents (BIGINT). Both engines round
+    * double→decimal via the shortest decimal string (HALF_UP), so the
+    * cents agree bit-exactly; the BIGINT output type avoids DECIMAL
+    * trailing-zero string-form mismatches in the gate's hash.
+    */
+  private def centsOf(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(18,2)") * 100).cast("long")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P5 + A1-style global agg: pruned scan with pushed filters.
     "q01_agg" -> ((s, d) =>
@@ -203,13 +211,15 @@ object Relational {
             col("amed") <= col("mbounds")(1)).as("median_ok"))),
 
     // Multi-level aggregation: ROLLUP over (status, priority). Sums run
-    // on exact decimals — a double sum at grand-total magnitude is not
-    // oracle-comparable even at 2-decimal rounding.
+    // on exact integer cents — a double sum at grand-total magnitude is
+    // not oracle-comparable even at 2-decimal rounding, and a DECIMAL
+    // output column isn't either (engines disagree on trailing-zero
+    // string forms: "123.40" vs "123.4"). BIGINT is unambiguous.
     "q22_rollup" -> ((s, d) =>
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
+          sum(centsOf(col("o_totalprice"))).as("total_cents"))),
 
     // SQL entry path (spark.sql over a registered view) with a scalar
     // subquery — max-based so the threshold is an exact selection, not
@@ -253,8 +263,10 @@ object Relational {
             .as(Seq("pos", "token")))),
 
     // Window frames: per-user running purchase total (rows unbounded
-    // preceding .. current) and spend-quartile bucketing — decimal sums
-    // so the running values are exact, total order via (ts, event_id).
+    // preceding .. current) and spend-quartile bucketing — integer-cent
+    // sums so the running values are exact AND the output column is
+    // BIGINT (decimal outputs hash-differ across engine string forms),
+    // total order via (ts, event_id).
     "q27_window_frames" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_ms"), col("event_id"))
@@ -264,14 +276,14 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
           tsMsEpoch.as("ts_ms"),
-          col("value").cast("decimal(18,2)").as("v"))
-        .withColumn("running_total", sum(col("v")).over(w))
+          centsOf(col("value")).as("v"))
+        .withColumn("running_total_cents", sum(col("v")).over(w))
       val totals = purchases.groupBy("user_id")
         .agg(sum("v").as("user_total"))
         .withColumn("quartile", ntile(4).over(wAll))
       purchases.join(totals.select("user_id", "quartile"), "user_id")
-        .select(col("user_id"), col("event_id"), col("running_total"),
-          col("quartile"))
+        .select(col("user_id"), col("event_id"),
+          col("running_total_cents"), col("quartile"))
     }),
 
     // Set operators: users who clicked AND purchased (intersect), and
@@ -311,7 +323,7 @@ object Relational {
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))),
+          sum(centsOf(col("o_totalprice"))).as("total_cents"))),
 
     // Pivot: event counts per user bucketed by event type, with the
     // pivot values FIXED so no extra distinct-collect job runs and the
@@ -432,7 +444,7 @@ object Relational {
          FROM events GROUP BY 1, 2, 3""",
     "q22_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         sum(o_totalprice::DECIMAL(18,2)) AS total
+         sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS total_cents
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "q30_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
@@ -452,16 +464,17 @@ object Relational {
     "q27_window_frames" ->
       """WITH p AS (SELECT user_id, event_id,
            epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms,
-           value::DECIMAL(18,2) AS v
+           (value::DECIMAL(18,2) * 100)::BIGINT AS v
            FROM events WHERE event_type = 'purchase'),
          run AS (SELECT user_id, event_id,
            sum(v) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS running_total_cents
            FROM p),
          tot AS (SELECT user_id, ntile(4)
              OVER (ORDER BY sum(v) DESC, user_id) AS quartile
            FROM p GROUP BY user_id)
-         SELECT r.user_id, r.event_id, r.running_total, t.quartile
+         SELECT r.user_id, r.event_id, r.running_total_cents, t.quartile
          FROM run r JOIN tot t USING (user_id)""",
     "q26_setops" ->
       """SELECT user_id, 'click_and_purchase' AS segment FROM (
@@ -485,7 +498,7 @@ object Relational {
            ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms""",
     "q24_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         sum(o_totalprice::DECIMAL(18,2)) AS total
+         sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS total_cents
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q23_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
