@@ -20,13 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ VaultQueries.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultimodalQueries.queries
+      VectorOps.queries ++ MultimodalQueries.queries ++ SinkOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ VaultQueries.oracleSql ++ TextOps.oracleSql ++
-      VectorOps.oracleSql ++ MultimodalQueries.oracleSql
+      VectorOps.oracleSql ++ MultimodalQueries.oracleSql ++ SinkOps.oracleSql
 
   /** Headline subset timed by Bench (one per operator family). */
   def benchQueries: Seq[String] = Seq(

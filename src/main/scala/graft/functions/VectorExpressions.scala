@@ -82,9 +82,241 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization argmin: the 0-based index of the codebook row
+  * minimizing the squared-L2 surrogate `|c|² − 2·v·c` (the `|v|²` term
+  * is constant per row), ties to the lowest index.
+  *
+  * `right` must be a FOLDABLE array<array<float>> literal — the
+  * codebook. An unrolled per-codeword expression tree (K structs ×
+  * M subspaces of graft_dot calls) blows past Janino's method limits
+  * around K ≈ 100 and silently drops the whole projection out of
+  * codegen; this expression is ONE node whose generated code loops over
+  * a referenced float[][], so codegen survives any codebook size and
+  * the scan stays in whole-stage codegen. Score arithmetic matches the
+  * unrolled form bit-for-bit: floats widen to double, the dot
+  * accumulates as a sequential left fold, the score is
+  * `cc[k] - 2.0 * acc` with `cc` pre-summed in codeword order.
+  */
+case class PqArgMinFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    if (okL && okR && right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_argmin expects (array<float>, foldable array<array<float>>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
+          (if (right.foldable) "" else " (codebook not foldable)"))
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_argmin"
+
+  /** Codebook rows and their pre-summed |c|², materialized once per
+    * (driver or executor) expression instance from the foldable child. */
+  @transient private lazy val cb: Array[Array[Float]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(k => ad.getArray(k).toFloatArray())
+  }
+  @transient private lazy val cc: Array[Double] =
+    cb.map(_.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = Double.PositiveInfinity
+    var bestK = -1
+    var k = 0
+    while (k < cb.length) {
+      val cw = cb(k)
+      if (cw.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        acc += v.getFloat(i).toDouble * cw(i).toDouble
+        i += 1
+      }
+      val d = cc(k) - 2.0 * acc
+      if (d < best) { best = d; bestK = k }
+      k += 1
+    }
+    if (bestK < 0) null else bestK
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[][]")
+    val ccRef = ctx.addReferenceObj("pqNormSq", cc, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      val cw = ctx.freshName("cw")
+      s"""
+         |final int $n = $a.numElements();
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bestK = -1;
+         |for (int $k = 0; $k < $cbRef.length && !${ev.isNull}; $k++) {
+         |  final float[] $cw = $cbRef[$k];
+         |  if ($cw.length != $n) { ${ev.isNull} = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $cw[$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $d = $ccRef[$k] - 2.0 * $acc;
+         |    if ($d < $best) { $best = $d; $bestK = $k; }
+         |  }
+         |}
+         |if ($bestK < 0) { ${ev.isNull} = true; }
+         |if (!${ev.isNull}) { ${ev.value} = $bestK; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqArgMinFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Query-side PQ ADC table: out[m][k] = v_sub[m] · codebook[m][k],
+  * where v_sub[m] is the m-th `sub`-dim slice of the query vector.
+  *
+  * `right` must be a FOLDABLE array<array<array<float>>> — the M
+  * codebooks of K codewords each. Same motivation as [[PqArgMinFloat]]:
+  * the unrolled M×K graft_dot tree breaks Janino's 64 KB method limit
+  * past ~100 codewords; this is one node whose generated code loops.
+  * Arithmetic matches the unrolled form bit-for-bit (widen to double,
+  * sequential left fold per dot product).
+  */
+case class PqQueryTableFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val okR = right.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    }
+    if (okL && okR && right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_pq_table expects (array<float>, foldable array<array<array<float>>>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}" +
+          (if (right.foldable) "" else " (codebook not foldable)"))
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_table"
+
+  /** cb(m)(k) = codeword k of subspace m; sub = dims per subspace. */
+  @transient private lazy val cb: Array[Array[Array[Float]]] = {
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { m =>
+      val cws = ad.getArray(m)
+      Array.tabulate(cws.numElements())(k => cws.getArray(k).toFloatArray())
+    }
+  }
+  @transient private lazy val sub: Int = cb.head.head.length
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != cb.length * sub) return null
+    val rows = new Array[Any](cb.length)
+    var m = 0
+    while (m < cb.length) {
+      val row = new Array[Double](cb(m).length)
+      var k = 0
+      while (k < cb(m).length) {
+        val cw = cb(m)(k)
+        var acc = 0.0
+        var i = 0
+        while (i < cw.length) {
+          if (v.isNullAt(m * sub + i)) return null
+          acc += v.getFloat(m * sub + i).toDouble * cw(i).toDouble
+          i += 1
+        }
+        row(k) = acc
+        k += 1
+      }
+      rows(m) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqTabCodebook", cb, "float[][][]")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cw = ctx.freshName("cw")
+      val row = ctx.freshName("row")
+      val rows = ctx.freshName("rows")
+      s"""
+         |if ($a.numElements() != $cbRef.length * $sub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final Object[] $rows = new Object[$cbRef.length];
+         |  for (int $m = 0; $m < $cbRef.length && !${ev.isNull}; $m++) {
+         |    final double[] $row = new double[$cbRef[$m].length];
+         |    for (int $k = 0; $k < $cbRef[$m].length && !${ev.isNull}; $k++) {
+         |      final float[] $cw = $cbRef[$m][$k];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $cw.length; $i++) {
+         |        if ($a.isNullAt($m * $sub + $i)) { ${ev.isNull} = true; break; }
+         |        $acc += (double) $a.getFloat($m * $sub + $i) * (double) $cw[$i];
+         |      }
+         |      $row[$k] = $acc;
+         |    }
+         |    $rows[$m] = new $gad($row);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = new $gad($rows); }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqQueryTableFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration of the graft native functions. */
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot")
+  val pqArgMinInfo =
+    new ExpressionInfo(classOf[PqArgMinFloat].getName, "graft_pq_argmin")
+  val pqTableInfo =
+    new ExpressionInfo(classOf[PqQueryTableFloat].getName, "graft_pq_table")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -92,11 +324,27 @@ object GraftFunctions {
     DotProductFloat(children(0), children(1))
   }
 
+  private[functions] val pqArgMinBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_pq_argmin expects exactly 2 arguments, got ${children.size}")
+    PqArgMinFloat(children(0), children(1))
+  }
+
+  private[functions] val pqTableBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_pq_table expects exactly 2 arguments, got ${children.size}")
+    PqQueryTableFloat(children(0), children(1))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_pq_argmin"), pqArgMinInfo, pqArgMinBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_pq_table"), pqTableInfo, pqTableBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -104,7 +352,12 @@ object GraftFunctions {
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
   * native functions at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo,
       GraftFunctions.dotBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_argmin"),
+      GraftFunctions.pqArgMinInfo, GraftFunctions.pqArgMinBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_table"),
+      GraftFunctions.pqTableInfo, GraftFunctions.pqTableBuilder))
+  }
 }

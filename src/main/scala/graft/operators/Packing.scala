@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: lay every document's
+  * tokens out in a single deterministic stream (id order) and cut the
+  * stream into fixed-length context windows — the public
+  * "concatenate-then-chunk" scheme GPT-style training data uses.
+  *
+  * The core primitive is a DISTRIBUTED prefix sum. A bare
+  * `Window.orderBy(id)` with no partition key collapses the whole corpus
+  * onto one task — the classic scale-killer — so [[prefixSum]] runs the
+  * textbook two-level scan instead: a within-bucket cumulative sum
+  * (window partitioned by bucket — fully parallel), a bucket-totals
+  * cumulative sum (one row per bucket: corpus/bucketSize rows, the only
+  * single-task step, recursable if ever needed), and a broadcast join
+  * adding each bucket's offset back. Every value is a bigint — the
+  * output is bit-deterministic and oracle-checkable against a plain
+  * `SUM(...) OVER (ORDER BY id)`.
+  */
+object Packing {
+
+  /** Inclusive prefix sum of `valueCol` over `orderCol` order (both must
+    * be integral; `orderCol` values must be unique). `bucketSize` trades
+    * level-1 parallelism against the level-2 single-task frame — at
+    * 10^12 rows, bucketSize 10^6 leaves 10^6 bucket totals, still a
+    * trivial single task. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, bucketSize: Long = 1 << 20): DataFrame = {
+    // integral `div`, not `/`: Column./ on longs widens to double and
+    // loses exactness past 2^53 ids
+    val withBkt = df.withColumn("__bkt", expr(s"$orderCol div $bucketSize"))
+    val wIn = Window.partitionBy("__bkt").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBkt = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withBkt.groupBy("__bkt").agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__off", sum("__t").over(wBkt) - col("__t"))
+      .select(col("__bkt"), col("__off"))
+    withBkt.withColumn("__local", sum(col(valueCol)).over(wIn))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn(outCol, col("__off") + col("__local"))
+      .drop("__bkt", "__local", "__off")
+  }
+
+  /** Pack whitespace-token documents into `seqLen`-token training
+    * sequences: tokens are concatenated in `idCol` order and chunked
+    * every `seqLen`. Output per document: its token count, its start
+    * offset in the global token stream, and the first/last sequence
+    * index it lands in (`first_seq < last_seq` means the document is
+    * split across a chunk boundary). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Long = 1 << 20): DataFrame = {
+    val counted = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    prefixSum(counted, idCol, "n_tokens", "__cum", bucketSize)
+      .select(col(idCol), col("n_tokens"),
+        (col("__cum") - col("n_tokens")).as("start_offset"),
+        expr(s"(__cum - n_tokens) div $seqLen").as("first_seq"),
+        expr(s"(__cum - 1) div $seqLen").as("last_seq"))
+  }
+}

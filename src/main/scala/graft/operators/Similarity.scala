@@ -178,28 +178,25 @@ object Similarity {
     * at corpus scale only (id, pq_code) needs persisting: M bytes-ish
     * per vector instead of dim floats. */
   def pqEncode(base: DataFrame, idCol: String, codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(base.sparkSession)
     val sub = codebooks.head.head.length
+    // graft_pq_argmin (one looped codegen node per subspace) instead of
+    // an unrolled K-codeword struct array: the unrolled tree falls out
+    // of whole-stage codegen past ~100 codewords (Janino method limits)
     val codeCols = codebooks.zipWithIndex.map { case (cws, mi) =>
-      val vSlice = slice(col("v"), mi * sub + 1, sub)
-      val scored = cws.zipWithIndex.map { case (cw, k) =>
-        val cc = cw.map(x => x.toDouble * x.toDouble).sum
-        struct((lit(cc) - lit(2.0) * dot(vSlice, typedlit(cw.toSeq))).as("d"),
-          lit(k).as("k"))
-      }
-      array_min(array(scored: _*)).getField("k")
+      call_function("graft_pq_argmin",
+        slice(col("v"), mi * sub + 1, sub),
+        typedlit(cws.map(_.toSeq)))
     }
     // withColumn: blocking keys (e.g. an IVF `cid`) ride along untouched
     base.withColumn("pq_code", array(codeCols: _*))
   }
 
-  /** Query-side ADC table: qtab[m][k] = q_sub[m]·codeword[m][k]. */
-  private def pqQueryTable(qv: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
-    val sub = codebooks.head.head.length
-    array(codebooks.zipWithIndex.map { case (cws, mi) =>
-      val qSlice = slice(qv, mi * sub + 1, sub)
-      array(cws.map(cw => dot(qSlice, typedlit(cw.toSeq))): _*)
-    }: _*)
-  }
+  /** Query-side ADC table: qtab[m][k] = q_sub[m]·codeword[m][k] — one
+    * looped graft_pq_table node (the unrolled M×K dot tree breaks
+    * codegen past ~100 codewords, see PqQueryTableFloat). */
+  private def pqQueryTable(qv: Column, codebooks: Seq[Seq[Array[Float]]]): Column =
+    call_function("graft_pq_table", qv, typedlit(codebooks.map(_.map(_.toSeq))))
 
   /** Approximate q·x from the broadcast table and a row's codes. */
   private def pqApproxSim(m: Int): Column =
@@ -242,6 +239,31 @@ object Similarity {
       queries.select(col(idCol).as("qid"), col("cid").as("qcid"),
         pqQueryTable(col("v"), codebooks).as("qtab")),
       idCol, codebooks.size, k, col("cid") === col("qcid"))
+
+  /** Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank — the
+    * standard serving shape at corpus scale. Stage 1 scans only the
+    * M-int codes and keeps `shortlist` candidates per query; stage 2
+    * re-fetches full vectors for just those Q×shortlist ids (an
+    * id equi-join against the vector store — point lookups, not a scan)
+    * and ranks them by exact cosine. Recall ≈ brute force whenever the
+    * true top-k survives the shortlist, at code-scan cost. */
+  def knnPqRefine(encoded: DataFrame, base: DataFrame, queries: DataFrame,
+      idCol: String, codebooks: Seq[Seq[Array[Float]]],
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
+      .select(col("qid"), col("neighbor_id"))
+    val b = base.select(col(idCol).as("neighbor_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val q = queries.select(col(idCol).as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("xsim").desc, col("neighbor_id").asc)
+    cands.join(b, "neighbor_id").join(broadcast(q), "qid")
+      .withColumn("xsim", dot(col("bv"), col("qv")) / (col("bn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
 
   /** Multi-probe IVF ANN: each query scans its `probes` highest-cosine
     * centroid buckets (ties: lowest centroid id) instead of only the

@@ -127,6 +127,27 @@ object TextAnalysis {
         / count(lit(1))).as("rare_token_ratio"))
   }
 
+  /** Duplicated-n-gram fraction: the share of a document's distinct
+    * word n-grams that also occur in at least `minDf - 1` OTHER
+    * documents — the public RefinedWeb/Gopher-family boilerplate signal
+    * (shared n-grams ≈ templated/boilerplate spans). Counting distinct
+    * grams per doc makes the corpus-side groupBy a document-frequency
+    * table, same scale shape as [[rareTokenRatio]]: one explode, one
+    * vocabulary-sized aggregate (AQE broadcasts it when it fits), one
+    * fold back to the doc grain. Ratio is int/int — bit-deterministic. */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDf: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(shingles("__tk", textCol, n))).as("__g"))
+    val gramDf = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    grams.join(gramDf, "__g")
+      .groupBy(idCol)
+      .agg((sum(when(col("__df") >= minDf, 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("dup_ngram_ratio"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering and duplication. */
   def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =

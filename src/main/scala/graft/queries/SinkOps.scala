@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, Tables}
+
+/** Oracle-checked coverage of graft.sources.Sinks: each query writes a
+  * fixture table through a sink format into a scratch directory, reads
+  * it back, and aggregates — the oracle runs the same aggregate on the
+  * original parquet, so a hash match proves the write→read roundtrip is
+  * lossless. Text integrity rides an order-insensitive digest (md5 over
+  * the sorted per-row md5 list); counts/sums cover the numeric columns.
+  */
+object SinkOps {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-sinks/$name"
+
+  /** Per-lang rollup with a text-integrity digest, used by both
+    * roundtrip queries so CSV and JSON prove the same contract. */
+  private def docsRollup(df: DataFrame): DataFrame =
+    df.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("sum_chars"),
+      md5(concat_ws(",", sort_array(collect_list(md5(col("text")))))).as("texts_md5"))
+
+  private val docsRollupSql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       md5(array_to_string(list_sort(list(md5(text))), ',')) AS texts_md5
+       FROM documents GROUP BY lang"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hive-partitioned parquet sink: write documents partitioned by
+    // lang, read back filtering one partition — the filter must prune
+    // directories at planning time (PartitionFilters, pinned by
+    // QueryPlanSpec), not scan-and-drop rows.
+    "f01_partitioned_prune" -> ((s, d) => {
+      val path = scratch("f01")
+      Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
+      Sinks.readPartitioned(s, path)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    "f02_csv_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val path = scratch("f02")
+      Sinks.writeCsv(docs, path)
+      docsRollup(Sinks.readCsv(s, path, docs.schema))
+    }),
+
+    "f03_json_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val path = scratch("f03")
+      Sinks.writeJson(docs, path)
+      docsRollup(Sinks.readJson(s, path, docs.schema))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "f01_partitioned_prune" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         FROM documents WHERE lang = 'en' GROUP BY source""",
+    "f02_csv_roundtrip" -> docsRollupSql,
+    "f03_json_roundtrip" -> docsRollupSql
+  )
+}

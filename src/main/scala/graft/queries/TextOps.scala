@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Oracle-checked coverage of the text pipeline operators in
@@ -73,7 +73,33 @@ object TextOps {
 
     // Rare-token (corpus document-frequency) ratio.
     "d13_rare_tokens" -> ((s, d) =>
-      TextAnalysis.rareTokenRatio(Tables.documents(s, d), "text", "doc_id", maxDf = 5))
+      TextAnalysis.rareTokenRatio(Tables.documents(s, d), "text", "doc_id", maxDf = 5)),
+
+    // Duplicated-n-gram (boilerplate) fraction: share of a doc's
+    // distinct trigrams that appear in other documents too.
+    "d14_dup_ngrams" -> ((s, d) =>
+      TextAnalysis.dupNgramFraction(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minDf = 2)),
+
+    // Deterministic md5 train/val/test split + the 10%-sample operator
+    // (left-joined back so the boolean column witnesses the real filter).
+    "d15_hash_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sampled = Sampling.sampleByHash(docs, "doc_id", num = 1, den = 10)
+        .select(col("doc_id"), lit(true).as("in_10pct"))
+      Sampling.assignSplit(docs, "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "bucket", "split")
+        .join(sampled, Seq("doc_id"), "left")
+        .withColumn("in_10pct", coalesce(col("in_10pct"), lit(false)))
+    }),
+
+    // Concat-then-chunk sequence packing into 512-token windows via the
+    // distributed two-level prefix sum (bucketSize 64 so sf0.01 already
+    // exercises the multi-bucket path).
+    "d16_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        seqLen = 512, bucketSize = 64))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -214,6 +240,41 @@ object TextOps {
            sum(CASE WHEN df < 5 THEN 1 ELSE 0 END)::DOUBLE / count(*)
              AS rare_token_ratio
          FROM tok JOIN dfreq USING (t) GROUP BY doc_id""",
+    "d14_dup_ngrams" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh),
+         dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         SELECT doc_id,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS dup_ngram_ratio
+         FROM g JOIN dfreq USING (gram) GROUP BY doc_id""",
+    "d15_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 10 AS b10
+         FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           (b10 < 1) AS in_10pct
+         FROM b""",
+    "d16_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         FROM t)
+         SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM c""",
     "d10_winnow_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]

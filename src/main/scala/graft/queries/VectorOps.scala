@@ -17,6 +17,7 @@ object VectorOps {
   private val NPlanes = 6
   private val Dim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
   private val PqM = 8 // PQ subspaces (Dim / PqM dims each)
+  private val Shortlist = 25 // e07 stage-1 ADC candidate count
 
   /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
     * ±1 weights inlined as list literals (hyperplaneWeights is pure, so
@@ -83,6 +84,17 @@ object VectorOps {
         "vec_id", cb, K)
     }),
 
+    // Two-stage retrieval: PQ ADC shortlist (25) -> exact cosine
+    // re-rank of just those candidates -> top-5.
+    "e07_knn_refine" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM)
+      Similarity.knnPqRefine(Similarity.pqEncode(base, "vec_id", cb), base,
+        base.filter(col("vec_id") < NQ), "vec_id", cb,
+        shortlist = Shortlist, k = K)
+    }),
+
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
     "d09_embed_neardup" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -93,6 +105,41 @@ object VectorOps {
   )
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
+
+  /** Shared PQ ADC CTE chain (e05's pipeline through `ranked`): sampled
+    * codebooks, L2-argmin encode, query-side table, fixed-order m=0..M-1
+    * summation (one value per leg) mirroring the engine's expression
+    * fold — a bare SUM() would be order-free only by accident. */
+  private def pqAdcCtes: String =
+    s"""e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
+           FROM e WHERE vec_id % 50 = 0),
+         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+         -- encode: argmin_k of |c|^2 - 2*v.c per subspace (|v|^2 constant)
+         dists AS (SELECT e.vec_id, s.m, c.k,
+           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
+           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
+           FROM e CROSS JOIN sub s CROSS JOIN c),
+         code AS (SELECT vec_id, m, k - 1 AS code FROM (
+           SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+           FROM dists) WHERE rn = 1),
+         -- query-side table: q_sub . codeword per (m, k)
+         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
+           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
+           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
+         approx AS (SELECT qt.qid, cd.vec_id,
+           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
+             .mkString(" + ")} AS asim
+           FROM code cd JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1
+             AND cd.vec_id <> qt.qid
+           GROUP BY 1, 2),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)"""
 
   def oracleSql: Map[String, String] = Map(
     "e01_knn_brute" ->
@@ -153,39 +200,18 @@ object VectorOps {
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     "e05_knn_pq" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
-           FROM e WHERE vec_id % 50 = 0),
-         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-         -- encode: argmin_k of |c|^2 - 2*v.c per subspace (|v|^2 constant)
-         dists AS (SELECT e.vec_id, s.m, c.k,
-           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
-           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
-           FROM e CROSS JOIN sub s CROSS JOIN c),
-         code AS (SELECT vec_id, m, k - 1 AS code FROM (
-           SELECT vec_id, m, k,
-             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
-           FROM dists) WHERE rn = 1),
-         -- query-side table: q_sub . codeword per (m, k)
-         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
-           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
-           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
-         -- fixed-order m=0..M-1 summation (one value per leg) mirrors the
-         -- engine's expression fold; a bare SUM() would be order-free only
-         -- by accident
-         approx AS (SELECT qt.qid, cd.vec_id,
-           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
-             .mkString(" + ")} AS asim
-           FROM code cd JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1
-             AND cd.vec_id <> qt.qid
-           GROUP BY 1, 2),
-         ranked AS (SELECT qid, vec_id, row_number()
-           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
+      s"""WITH $pqAdcCtes
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e07_knn_refine" ->
+      s"""WITH $pqAdcCtes,
+         cands AS (SELECT qid, vec_id FROM ranked WHERE rank <= $Shortlist),
+         exact AS (SELECT cn.qid, cn.vec_id,
+           list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS xsim
+           FROM cands cn JOIN e b ON b.vec_id = cn.vec_id
+           JOIN e q ON q.vec_id = cn.qid),
+         rer AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY xsim DESC, vec_id ASC) AS rank FROM exact)
+         SELECT qid, vec_id AS neighbor_id, rank FROM rer WHERE rank <= $K""",
     "e06_knn_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),

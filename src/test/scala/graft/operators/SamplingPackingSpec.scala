@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Contract tests for the deterministic sampling/split operators and the
+  * distributed prefix-sum / sequence-packing primitives. */
+class SamplingPackingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (0L until 200L).map(i => (i, s"w$i " * (i % 7 + 1).toInt))
+    .toDF("doc_id", "text")
+
+  test("assignSplit rejects weights that do not cover the bucket space") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "doc_id", Seq("train" -> 80, "val" -> 10))
+    }
+  }
+
+  test("assignSplit partitions the corpus and matches bucket ranges") {
+    val out = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(r.getAs[String]("split") == expected, s"bucket $b")
+    }
+    val bySplit = out.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val"))
+  }
+
+  test("split assignment is stable under corpus growth (subset invariance)") {
+    val full = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 90, "test" -> 10))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val subset = Sampling.assignSplit(docs.filter($"doc_id" < 50), "doc_id",
+      Seq("train" -> 90, "test" -> 10))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id resplit") }
+  }
+
+  test("sampleByHash is deterministic and roughly proportional") {
+    val a = Sampling.sampleByHash(docs, "doc_id", 1, 10)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.sampleByHash(docs, "doc_id", 1, 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "sample changed between runs")
+    assert(a.length > 5 && a.length < 60, s"10% of 200 docs gave ${a.length}")
+  }
+
+  test("sampleStratified keeps only mapped strata at per-stratum rates") {
+    val strat = docs.withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("de"))
+    val out = Sampling.sampleStratified(strat, "doc_id", "lang",
+      Map("en" -> 10), den = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("lang") == "en"), "unmapped stratum leaked")
+    assert(out.length == 100, "en at 10/10 must keep every en row")
+  }
+
+  test("distributed prefixSum matches the single-window cumulative sum") {
+    // sparse, non-contiguous ordering keys across many buckets
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i * 37L, v) }.toDF("id", "n")
+    val got = Packing.prefixSum(df, "id", "n", "cum", bucketSize = 64)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val expected = vals.zipWithIndex.map { case (_, i) =>
+      i * 37L -> vals.take(i + 1).sum
+    }.toMap
+    assert(got == expected)
+    // degenerate bucket sizes agree too
+    val one = Packing.prefixSum(df, "id", "n", "cum", bucketSize = 1)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(one == expected)
+  }
+
+  test("packSequences chunks the concatenated stream at seqLen boundaries") {
+    // token counts: 3, 4, 5 with seqLen 6 -> stream of 12 tokens
+    val df = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", seqLen = 6, bucketSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((0L, 3L, 0L, 0L, 0L)))
+    // doc 1 spans tokens [3, 7) -> crosses the seq boundary at 6
+    assert(out(1) == ((1L, 4L, 3L, 0L, 1L)))
+    assert(out(2) == ((2L, 5L, 7L, 1L, 1L)))
+  }
+
+  test("packing plan: corpus window is bucket-partitioned, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val big = (0L until 100L).map(i => (i, "x " * 5)).toDF("doc_id", "text")
+    val plan = Packing.packSequences(big, "doc_id", "text", seqLen = 64,
+      bucketSize = 8).queryExecution.optimizedPlan
+    val specs = plan.collect { case w: Window => w.partitionSpec }
+    assert(specs.count(_.nonEmpty) >= 1, "per-bucket cumsum window missing")
+    assert(specs.count(_.isEmpty) == 1,
+      "exactly one single-task window (bucket totals) allowed: " + specs)
+  }
+
+  test("knnPqRefine with a full shortlist recovers brute-force ranks") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Similarity.withNorm(emb, "vec_id", "embedding")
+    val n = base.count().toInt
+    val cb = Similarity.pqTrainSampled(
+      base.filter($"vec_id" % 50 === 0), "vec_id", m = 8)
+    val queries = base.filter($"vec_id" < 5)
+    val refined = Similarity.knnPqRefine(
+        Similarity.pqEncode(base, "vec_id", cb), base, queries,
+        "vec_id", cb, shortlist = n - 1, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    val brute = Similarity.knnBrute(base, queries, "vec_id", 3)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(refined.sameElements(brute))
+  }
+}

@@ -104,6 +104,22 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort ["), "top-k must not plan a global sort")
   }
 
+  test("f01: partition filter prunes directories at the scan") {
+    val p = plan("f01_partitioned_prune")
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning), not PushedFilters/post-scan row filtering
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("lang"), s"lang not a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "partition column degraded to a data filter")
+  }
+
+  test("e07: refine stage broadcasts queries and re-ranks only the shortlist") {
+    val p = plan("e07_knn_refine")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Broadcast"), "query side not broadcast")
+  }
+
   test("persisted-IVF probe never shuffles the corpus side") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
