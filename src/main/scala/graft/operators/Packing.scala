@@ -53,6 +53,8 @@ object Packing {
     * split across a chunk boundary). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       seqLen: Int, bucketSize: Long = 1 << 20): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     val counted = df.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
     prefixSum(counted, idCol, "n_tokens", "__cum", bucketSize)

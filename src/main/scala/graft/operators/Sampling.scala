@@ -39,11 +39,13 @@ object Sampling {
       s"split weights ${weights.map(_._2).sum} != bucket count $buckets")
     val bounds = weights.scanLeft(0)(_ + _._2).tail
     val b = col(bucketCol)
-    val split = weights.zip(bounds).init.foldRight(lit(weights.last._1): Column) {
+    val splitExpr = weights.zip(bounds).init.foldRight(lit(weights.last._1): Column) {
       case (((name, _), hi), els) => when(b < hi, name).otherwise(els)
     }
+    // a null id hashes to a null bucket; without the guard it would
+    // silently land in the LAST split instead of surfacing as null
     df.withColumn(bucketCol, hashBucket(col(idCol), buckets))
-      .withColumn(splitCol, split)
+      .withColumn(splitCol, when(b.isNotNull, splitExpr))
   }
 
   /** Deterministic ~`num`/`den` sample: keeps rows whose hash bucket
@@ -52,6 +54,59 @@ object Sampling {
     * past column pruning like any other predicate. */
   def sampleByHash(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
     df.filter(hashBucket(col(idCol), den) < num)
+
+  /** Deterministic per-row shuffle key: md5 of the id — an unbiased,
+    * reproducible random order (the id itself would be insertion order).
+    * Hex strings compare identically everywhere, so external oracles
+    * reproduce the selection. */
+  private def shuffleKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Corpus balancing: keep at most `cap` rows per `groupCol` value,
+    * chosen in deterministic md5-shuffled order (ties: id) — the
+    * "cap each domain" step that stops one crawl source from dominating
+    * a training mix. One group-keyed window; output per group is
+    * cap-bounded, so downstream stages see a balanced corpus no matter
+    * how skewed the input was. */
+  def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(shuffleKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Corpus balancing by token budget: walk each group in deterministic
+    * md5-shuffled order and keep rows while the group's running
+    * `tokensCol` total stays within `budget` (the first row of a group
+    * is kept even if it alone exceeds the budget — an all-or-nothing
+    * budget would silently drop whole groups). Emits the running total
+    * as `cumCol` for audit. */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, budget: Long, cumCol: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(shuffleKey(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn(cumCol, sum(col(tokensCol)).over(w))
+      .filter(col(cumCol) - col(tokensCol) < budget)
+  }
+
+  /** Deterministic upsampling: emit `factors(group)` copies of every
+    * row in a mapped group (1 copy when unmapped), with a 1-based
+    * `copyCol` index distinguishing repeats — the "repeat high-quality
+    * sources N epochs" mix step. A narrow explode of a literal-bounded
+    * sequence: output scales with the factor, never with a shuffle. */
+  def upsample(df: DataFrame, groupCol: String, factors: Map[String, Int],
+      copyCol: String = "copy"): DataFrame = {
+    require(factors.values.forall(_ >= 1), s"factors must be >= 1: $factors")
+    val factor = factors.foldLeft(lit(1)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, f).otherwise(acc)
+    }
+    df.withColumn(copyCol, explode(sequence(lit(1), factor)))
+  }
 
   /** Per-stratum deterministic sampling: `fractions` maps a stratum
     * value (of `stratumCol`) to num-out-of-`den` keep rates; strata

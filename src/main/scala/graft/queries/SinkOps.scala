@@ -13,8 +13,11 @@ import graft.sources.{Sinks, Tables}
   */
 object SinkOps {
 
-  private def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-sinks/$name"
+  /** Scratch dir keyed by query name AND sf directory: a path shared
+    * across scale factors would let a concurrent Verify run at another
+    * sf clobber the files this plan is about to read. */
+  private def scratch(name: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-sinks/${new java.io.File(sfDir).getName}/$name"
 
   /** Per-lang rollup with a text-integrity digest, used by both
     * roundtrip queries so CSV and JSON prove the same contract. */
@@ -35,7 +38,7 @@ object SinkOps {
     // directories at planning time (PartitionFilters, pinned by
     // QueryPlanSpec), not scan-and-drop rows.
     "f01_partitioned_prune" -> ((s, d) => {
-      val path = scratch("f01")
+      val path = scratch("f01", d)
       Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
       Sinks.readPartitioned(s, path)
         .filter(col("lang") === "en")
@@ -46,7 +49,7 @@ object SinkOps {
     "f02_csv_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val path = scratch("f02")
+      val path = scratch("f02", d)
       Sinks.writeCsv(docs, path)
       docsRollup(Sinks.readCsv(s, path, docs.schema))
     }),
@@ -54,7 +57,7 @@ object SinkOps {
     "f03_json_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val path = scratch("f03")
+      val path = scratch("f03", d)
       Sinks.writeJson(docs, path)
       docsRollup(Sinks.readJson(s, path, docs.schema))
     })

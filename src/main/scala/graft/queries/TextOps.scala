@@ -99,7 +99,30 @@ object TextOps {
     // exercises the multi-bucket path).
     "d16_pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
-        seqLen = 512, bucketSize = 64))
+        seqLen = 512, bucketSize = 64)),
+
+    // Corpus balancing: cap every source at 15 docs, selected in
+    // deterministic md5-shuffled order.
+    "d17_source_quota" -> ((s, d) =>
+      Sampling.quotaPerGroup(Tables.documents(s, d), "doc_id", "source", cap = 15)
+        .select("doc_id", "source")),
+
+    // Corpus balancing: greedy 2000-token budget per language in
+    // md5-shuffled order (first doc of a group always kept).
+    "d18_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      Sampling.tokenBudgetPerGroup(docs, "doc_id", "lang", "n_tokens",
+          budget = 2000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    }),
+
+    // Mix upsampling: 3 copies of de, 2 of es, 1 of everything else,
+    // with the copy index materialized.
+    "d19_upsample" -> ((s, d) =>
+      Sampling.upsample(Tables.documents(s, d), "lang",
+          Map("de" -> 3, "es" -> 2))
+        .select("doc_id", "lang", "copy"))
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -263,6 +286,26 @@ object TextOps {
                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
            (b10 < 1) AS in_10pct
          FROM b""",
+    "d17_source_quota" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM documents) WHERE rn <= 15""",
+    "d18_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+           (sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+         FROM t)
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens - n_tokens < 2000""",
+    "d19_upsample" ->
+      """SELECT doc_id, lang,
+           unnest(generate_series(1, CASE lang WHEN 'de' THEN 3
+             WHEN 'es' THEN 2 ELSE 1 END)) AS copy
+         FROM documents""",
     "d16_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -62,6 +62,44 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(out.length == 100, "en at 10/10 must keep every en row")
   }
 
+  test("quotaPerGroup caps each group deterministically, keeps small groups whole") {
+    val df = docs.withColumn("src", when($"doc_id" < 190, $"doc_id" % 2).otherwise(2))
+    val out = Sampling.quotaPerGroup(df, "doc_id", "src", cap = 20)
+    val counts = out.groupBy("src").count().as[(Long, Long)].collect().toMap
+    assert(counts(0L) == 20 && counts(1L) == 20, s"cap not applied: $counts")
+    assert(counts(2L) == 10, "group under the cap must be kept whole")
+    val again = Sampling.quotaPerGroup(df, "doc_id", "src", cap = 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.select("doc_id").as[Long].collect().sorted.sameElements(again))
+  }
+
+  test("tokenBudgetPerGroup keeps rows starting under budget, never drops a whole group") {
+    val df = docs.withColumn("grp", $"doc_id" % 3)
+      .withColumn("n", $"doc_id" % 5 + 10)
+    val out = Sampling.tokenBudgetPerGroup(df, "doc_id", "grp", "n", budget = 100)
+      .select($"grp", $"n".cast("long"), $"cum_tokens").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (g, n, cum) =>
+      assert(cum - n < 100, s"group $g kept a row starting at ${cum - n}")
+    }
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L), "a group vanished")
+    // a single row larger than the whole budget still survives
+    val big = Seq((1L, "g", 500L), (2L, "g", 10L)).toDF("doc_id", "grp", "n")
+    val kept = Sampling.tokenBudgetPerGroup(big, "doc_id", "grp", "n", budget = 100)
+      .select("doc_id").as[Long].collect()
+    assert(kept.length == 1, s"expected only the first-by-hash row, got ${kept.toSeq}")
+  }
+
+  test("upsample repeats mapped groups with 1-based copy indexes") {
+    val df = docs.withColumn("lang", when($"doc_id" % 2 === 0, "de").otherwise("fr"))
+    val out = Sampling.upsample(df, "lang", Map("de" -> 3))
+      .groupBy("lang", "copy").count().as[(String, Int, Long)].collect()
+    val de = out.filter(_._1 == "de").map(c => c._2 -> c._3).toMap
+    val fr = out.filter(_._1 == "fr").map(c => c._2 -> c._3).toMap
+    assert(de == Map(1 -> 100L, 2 -> 100L, 3 -> 100L), s"de copies: $de")
+    assert(fr == Map(1 -> 100L), s"fr copies: $fr")
+  }
+
   test("distributed prefixSum matches the single-window cumulative sum") {
     // sparse, non-contiguous ordering keys across many buckets
     val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
