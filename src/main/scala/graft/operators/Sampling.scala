@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset-split operators for training-data
@@ -61,20 +62,60 @@ object Sampling {
     * reproduce the selection. */
   private def shuffleKey(id: Column): Column = md5(id.cast("string"))
 
+  /** Frame extended with the shuffle key and its ORDER-PRESERVING
+    * prefix bucket: the integer value of the key's first `chars` hex
+    * digits. Lexicographic order of the fixed-length lowercase-hex key
+    * is (prefix value, rest of key) order, so any group-wide scan in
+    * shuffle-key order decomposes exactly into a per-(group, bucket)
+    * scan plus a per-group combine over one row per bucket — 16^chars
+    * configuration-sized rows, never the data. This is what keeps the
+    * group-keyed samplers off the single-task-per-group window: group
+    * keys (languages, crawl sources) are low-cardinality by design, so
+    * at corpus scale the dominant group IS the corpus. */
+  private def withShuffleBuckets(df: DataFrame, idCol: String,
+      prefixChars: Int): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars must be in [1, 8], got $prefixChars")
+    df.withColumn("__mk", shuffleKey(col(idCol)))
+      .withColumn("__pb",
+        conv(substring(col("__mk"), 1, prefixChars), 16, 10).cast("long"))
+  }
+
   /** Corpus balancing: keep at most `cap` rows per `groupCol` value,
     * chosen in deterministic md5-shuffled order (ties: id) — the
     * "cap each domain" step that stops one crawl source from dominating
-    * a training mix. One group-keyed window; output per group is
-    * cap-bounded, so downstream stages see a balanced corpus no matter
-    * how skewed the input was. */
+    * a training mix.
+    *
+    * Two-level plan, no group-wide sort: rows rank inside their
+    * (group, md5-prefix-bucket) window in parallel, bucket row-counts
+    * prefix-sum per group (one row per bucket — the only group-keyed
+    * window, over ≤ 16^prefixChars aggregate rows), and the exact
+    * group-wide rank is bucket offset + in-bucket rank, recovered by a
+    * broadcast join. Rows past the cap within their own bucket are
+    * pruned before the join (the offset only grows the rank), and
+    * buckets whose offset already exceeds the cap drop out of the
+    * broadcast side entirely. */
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
-      cap: Int): DataFrame = {
+      cap: Int, prefixChars: Int = 2): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(shuffleKey(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    val withB = withShuffleBuckets(df, idCol, prefixChars)
+    val wIn = Window.partitionBy(col(groupCol), col("__pb"))
+      .orderBy(col("__mk"), col(idCol))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum("__c").over(wOff) - col("__c"))
+      .filter(col("__off") < cap)
+      .select(col(groupCol).as("__g"), col("__pb").as("__opb"), col("__off"))
+    // <=> on the group key: a null group is still a group (the old
+    // single-window form capped it; a plain equi-join would drop it)
+    withB.withColumn("__rn", row_number().over(wIn))
       .filter(col("__rn") <= cap)
-      .drop("__rn")
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
+      .filter(col("__off") + col("__rn") <= cap)
+      .drop("__mk", "__pb", "__rn", "__g", "__opb", "__off")
   }
 
   /** Corpus balancing by token budget: walk each group in deterministic
@@ -82,16 +123,39 @@ object Sampling {
     * `tokensCol` total stays within `budget` (the first row of a group
     * is kept even if it alone exceeds the budget — an all-or-nothing
     * budget would silently drop whole groups). Emits the running total
-    * as `cumCol` for audit. */
+    * as `cumCol` for audit.
+    *
+    * Same two-level scan as [[quotaPerGroup]] (and Packing.prefixSum),
+    * keyed by (group, md5-prefix-bucket): the in-bucket running sum is
+    * fully parallel, bucket totals prefix-sum per group over
+    * configuration-sized aggregate rows, and the exact group-wide
+    * running total is offset + local sum. Buckets starting at or past
+    * the budget are pruned from the broadcast side — their rows cannot
+    * start under budget (the group's first row lives in its first
+    * bucket, at offset 0, so the keep-the-first-row guarantee
+    * survives). */
   def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
-      tokensCol: String, budget: Long, cumCol: String = "cum_tokens"): DataFrame = {
+      tokensCol: String, budget: Long, cumCol: String = "cum_tokens",
+      prefixChars: Int = 2): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(shuffleKey(col(idCol)), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn(cumCol, sum(col(tokensCol)).over(w))
+    val withB = withShuffleBuckets(df, idCol, prefixChars)
+    val wIn = Window.partitionBy(col(groupCol), col("__pb"))
+      .orderBy(col("__mk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(sum(col(tokensCol)).as("__t"))
+      .withColumn("__off", sum("__t").over(wOff) - col("__t"))
+      .filter(col("__off") < budget)
+      .select(col(groupCol).as("__g"), col("__pb").as("__opb"), col("__off"))
+    withB.withColumn("__local", sum(col(tokensCol)).over(wIn))
+      .filter(col("__local") - col(tokensCol) < budget)
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
+      .withColumn(cumCol, col("__off") + col("__local"))
       .filter(col(cumCol) - col(tokensCol) < budget)
+      .drop("__mk", "__pb", "__local", "__g", "__opb", "__off")
   }
 
   /** Deterministic upsampling: emit `factors(group)` copies of every

@@ -141,6 +141,48 @@ class SamplingPackingSpec extends AnyFunSuite {
       "exactly one single-task window (bucket totals) allowed: " + specs)
   }
 
+  test("two-level samplers match the single-window reference forms exactly") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = docs.withColumn("src", $"doc_id" % 3)
+      .withColumn("n", ($"doc_id" % 5 + 1).cast("int"))
+    val wq = W.partitionBy("src").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val refQuota = df.withColumn("rn", row_number().over(wq)).filter($"rn" <= 5)
+      .select("doc_id").as[Long].collect().sorted
+    val gotQuota = Sampling.quotaPerGroup(df, "doc_id", "src", cap = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(gotQuota.sameElements(refQuota), "quota selection diverged")
+    val wb = wq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val refBudget = df.withColumn("cum", sum($"n").over(wb))
+      .filter($"cum" - $"n" < 50)
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().sortBy(_._1)
+    val gotBudget = Sampling.tokenBudgetPerGroup(df, "doc_id", "src", "n", budget = 50)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(gotBudget.sameElements(refBudget), "budget walk diverged")
+  }
+
+  test("sampler plans: row windows are prefix-bucketed, never one task per group") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = docs.withColumn("src", $"doc_id" % 3)
+      .withColumn("n", ($"doc_id" % 5 + 1).cast("int"))
+    val plans = Seq(
+      Sampling.quotaPerGroup(df, "doc_id", "src", cap = 5)
+        .queryExecution.optimizedPlan,
+      Sampling.tokenBudgetPerGroup(df, "doc_id", "src", "n", budget = 50)
+        .queryExecution.optimizedPlan)
+    plans.foreach { plan =>
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.size >= 2, s"expected row + offset windows, got ${wins.size}")
+      wins.foreach { w =>
+        // a window keyed by the group alone is only allowed over the
+        // bucket-totals aggregate (one row per bucket, config-sized);
+        // every window over row data must carry the bucket subkey
+        val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(w.partitionSpec.size >= 2 || overAggregate,
+          s"group-wide window over row data: partitionSpec=${w.partitionSpec}")
+      }
+    }
+  }
+
   test("knnPqRefine with a full shortlist recovers brute-force ranks") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = Similarity.withNorm(emb, "vec_id", "embedding")
