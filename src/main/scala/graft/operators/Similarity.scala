@@ -158,13 +158,22 @@ object Similarity {
   /** Product-quantization codebooks: M subspaces, codewords taken from
     * a deterministic sample of the corpus (collected sorted by id — the
     * sample is configuration-sized, codewords × dims floats, never the
-    * corpus). No k-means: sampled codebooks trade quantization error
-    * for a train-free, fully deterministic build; the encode/ADC
-    * machinery is unchanged if a trained codebook is substituted. */
-  def pqTrainSampled(sample: DataFrame, idCol: String, m: Int): Seq[Seq[Array[Float]]] = {
+    * corpus). `maxCodewords` caps K with a deterministic id-ordered
+    * limit (a TakeOrderedAndProject, not a full sort), so a sample
+    * predicate that happens to be corpus-proportional still yields a
+    * fixed-size codebook — K multiplies both the collect and the
+    * O(N·K·dim) encode, so it must be configuration, not data. No
+    * k-means: sampled codebooks trade quantization error for a
+    * train-free, fully deterministic build; the encode/ADC machinery is
+    * unchanged if a trained codebook is substituted. */
+  def pqTrainSampled(sample: DataFrame, idCol: String, m: Int,
+      maxCodewords: Int = 256): Seq[Seq[Array[Float]]] = {
+    require(maxCodewords > 0, s"maxCodewords must be positive, got $maxCodewords")
     val vecs = sample.select(col(idCol), col("v")).orderBy(col(idCol))
+      .limit(maxCodewords)
       .collect().map(_.getSeq[Float](1).toArray)
     require(vecs.nonEmpty, "PQ sample is empty")
+    assert(vecs.length <= maxCodewords)
     val dim = vecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
@@ -240,13 +249,66 @@ object Similarity {
         pqQueryTable(col("v"), codebooks).as("qtab")),
       idCol, codebooks.size, k, col("cid") === col("qcid"))
 
+  /** Persist a [[withNorm]] projection as a catalog table bucketed and
+    * sorted by id — the point-lookup layout for two-stage retrieval:
+    * an In(id) probe from a shortlist prunes to the matching buckets at
+    * planning time (SelectedBucketsCount in the scan) and never
+    * shuffles or fully scans the store. Counterpart of
+    * [[buildIvfIndex]] for the full-vector side. */
+  def buildVectorStore(base: DataFrame, idCol: String, table: String,
+      buckets: Int = 32): Unit = {
+    base.write
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+    base.sparkSession.catalog.refreshTable(table)
+  }
+
+  /** Two-stage retrieval against a persisted [[buildVectorStore]]
+    * table: PQ ADC shortlist → exact cosine re-rank over point lookups.
+    * Stage 1 scans only the M-int codes and materializes the
+    * Q×shortlist (qid, neighbor) pairs — query-sized by contract, so
+    * the driver hop is the serving shape, not a corpus collect. The
+    * candidate ids then re-enter the plan as an In(id) predicate, so
+    * the stage-2 store scan bucket-prunes at planning time and pushes
+    * the id filter to parquet: full vectors are read for the shortlist
+    * only, the store is never shuffled, and the only hash exchange is
+    * the per-query top-k window. This is the shape [[knnPqRefine]]
+    * cannot reach lazily (its stage-2 equi-join must scan the store). */
+  def knnPqRefineIndexed(vecTable: String, encoded: DataFrame,
+      queries: DataFrame, idCol: String, codebooks: Seq[Seq[Array[Float]]],
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val spark = encoded.sparkSession
+    val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
+      .select(col("qid"), col("neighbor_id"))
+    val candRows = cands.collect()
+    val ids = candRows.map(_.get(1)).distinct.toSeq
+    val candsDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cands.schema)
+    val fetched = spark.table(vecTable)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val q = queries.select(col(idCol).as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("xsim").desc, col("neighbor_id").asc)
+    fetched.join(broadcast(candsDf), "neighbor_id")
+      .join(broadcast(q), "qid")
+      .withColumn("xsim", dot(col("bv"), col("qv")) / (col("bn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
   /** Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank — the
     * standard serving shape at corpus scale. Stage 1 scans only the
     * M-int codes and keeps `shortlist` candidates per query; stage 2
-    * re-fetches full vectors for just those Q×shortlist ids (an
-    * id equi-join against the vector store — point lookups, not a scan)
-    * and ranks them by exact cosine. Recall ≈ brute force whenever the
-    * true top-k survives the shortlist, at code-scan cost. */
+    * re-fetches full vectors for those Q×shortlist ids with a lazy
+    * equi-join against `base` — which must SCAN the vector store, so
+    * this form is for unindexed/ad-hoc corpora only. With a persisted
+    * [[buildVectorStore]] layout use [[knnPqRefineIndexed]], whose
+    * stage-2 fetch bucket-prunes to point lookups. Recall ≈ brute force
+    * whenever the true top-k survives the shortlist. */
   def knnPqRefine(encoded: DataFrame, base: DataFrame, queries: DataFrame,
       idCol: String, codebooks: Seq[Seq[Array[Float]]],
       shortlist: Int, k: Int): DataFrame = {

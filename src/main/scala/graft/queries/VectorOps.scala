@@ -17,6 +17,7 @@ object VectorOps {
   private val NPlanes = 6
   private val Dim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
   private val PqM = 8 // PQ subspaces (Dim / PqM dims each)
+  private val PqK = 16 // PQ codebook cap: K stays fixed at any corpus sf
   private val Shortlist = 25 // e07 stage-1 ADC candidate count
 
   /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
@@ -67,7 +68,8 @@ object VectorOps {
     "e05_knn_pq" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val cb = Similarity.pqTrainSampled(
-        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM)
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
       Similarity.knnPq(Similarity.pqEncode(base, "vec_id", cb),
         base.filter(col("vec_id") < NQ), "vec_id", cb, K)
     }),
@@ -78,19 +80,28 @@ object VectorOps {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val cents = base.filter(col("vec_id") % 50 === 0)
       val assigned = Similarity.assignToCentroids(base, cents, "vec_id")
-      val cb = Similarity.pqTrainSampled(cents, "vec_id", m = PqM)
+      val cb = Similarity.pqTrainSampled(cents, "vec_id", m = PqM,
+        maxCodewords = PqK)
       val encoded = Similarity.pqEncode(assigned, "vec_id", cb)
       Similarity.knnIvfPq(encoded, encoded.filter(col("vec_id") < NQ),
         "vec_id", cb, K)
     }),
 
     // Two-stage retrieval: PQ ADC shortlist (25) -> exact cosine
-    // re-rank of just those candidates -> top-5.
+    // re-rank -> top-5, with stage 2 as bucket-pruned point lookups
+    // against a persisted id-bucketed vector store (sf-keyed table so
+    // concurrent runs at other scale factors cannot clobber it).
     "e07_knn_refine" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val cb = Similarity.pqTrainSampled(
-        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM)
-      Similarity.knnPqRefine(Similarity.pqEncode(base, "vec_id", cb), base,
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
+      val tbl = "graft_vecstore.v_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildVectorStore(base, "vec_id", tbl, buckets = 8)
+      Similarity.knnPqRefineIndexed(tbl,
+        Similarity.pqEncode(base, "vec_id", cb),
         base.filter(col("vec_id") < NQ), "vec_id", cb,
         shortlist = Shortlist, k = K)
     }),
@@ -113,8 +124,9 @@ object VectorOps {
   private def pqAdcCtes: String =
     s"""e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
-           FROM e WHERE vec_id % 50 = 0),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, cv FROM (
+           SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT $PqK)),
          sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
          -- encode: argmin_k of |c|^2 - 2*v.c per subspace (|v|^2 constant)
          dists AS (SELECT e.vec_id, s.m, c.k,
@@ -223,8 +235,9 @@ object VectorOps {
                    ORDER BY list_dot_product(e.v, cent.centv) / (e.nrm * cent.cn) DESC,
                      cent.cid ASC) AS arn
            FROM e CROSS JOIN cent) WHERE arn = 1),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, v AS cv
-           FROM e WHERE vec_id % 50 = 0),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, cv FROM (
+           SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT $PqK)),
          sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
          dists AS (SELECT e.vec_id, s.m, c.k,
            list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),

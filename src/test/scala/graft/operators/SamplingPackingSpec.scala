@@ -197,5 +197,13 @@ class SamplingPackingSpec extends AnyFunSuite {
     val brute = Similarity.knnBrute(base, queries, "vec_id", 3)
       .orderBy("qid", "rank").collect().map(_.toSeq)
     assert(refined.sameElements(brute))
+    // the indexed (point-lookup) variant returns the identical ranking
+    spark.sql("CREATE DATABASE IF NOT EXISTS refine_idx")
+    Similarity.buildVectorStore(base, "vec_id", "refine_idx.vecs", buckets = 4)
+    val indexed = Similarity.knnPqRefineIndexed("refine_idx.vecs",
+        Similarity.pqEncode(base, "vec_id", cb), queries,
+        "vec_id", cb, shortlist = n - 1, k = 3)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(indexed.sameElements(brute))
   }
 }

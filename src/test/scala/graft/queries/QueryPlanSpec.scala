@@ -114,10 +114,44 @@ class QueryPlanSpec extends AnyFunSuite {
       "partition column degraded to a data filter")
   }
 
-  test("e07: refine stage broadcasts queries and re-ranks only the shortlist") {
-    val p = plan("e07_knn_refine")
-    assert(!p.contains("CartesianProduct"))
-    assert(p.contains("Broadcast"), "query side not broadcast")
+  test("e07: refine stage-2 is bucket-pruned point lookups, no store shuffle") {
+    val df = SparkEntry.queries("e07_knn_refine")(spark, sf)
+    df.collect() // AQE finalizes the plan only at execution
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct"))
+    assert(executed.contains("Broadcast"), "candidates/queries not broadcast")
+    // the In(id) probe must reach the scan as a bucket filter (at this
+    // fixture size the 250 candidate ids legitimately hit every bucket,
+    // so strict pruning is pinned separately below with one query)
+    assert(executed.contains("SelectedBucketsCount"),
+      s"no bucket pruning in stage-2 scan:\n$executed")
+    // ...and the only hash exchange left is the per-query top-k window
+    val shuffles = "Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(executed).map(_.group(1)).toList
+    assert(shuffles.forall(_ == "qid"),
+      s"store-side shuffle leaked into the refine plan: $shuffles\n$executed")
+  }
+
+  test("vector-store point lookup prunes buckets for a narrow shortlist") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val base = Similarity.withNorm(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val cb = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8, maxCodewords = 16)
+    spark.sql("CREATE DATABASE IF NOT EXISTS plan_vec")
+    Similarity.buildVectorStore(base, "vec_id", "plan_vec.store", buckets = 32)
+    // one query, shortlist 25: at most 25 ids -> at most 25 of 32 buckets
+    val df = Similarity.knnPqRefineIndexed("plan_vec.store",
+      Similarity.pqEncode(base, "vec_id", cb),
+      base.filter(col("vec_id") < 1), "vec_id", cb, shortlist = 25, k = 5)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val pruned = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(executed)
+    assert(pruned.isDefined, s"no bucket pruning in the store scan:\n$executed")
+    assert(pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+      s"point probe scanned every bucket: ${pruned.get.matched}")
   }
 
   test("persisted-IVF probe never shuffles the corpus side") {
