@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: catalog-writing queries (v10, e07)
+      // otherwise trip over managed-table locations orphaned by a
+      // previous run's metastore under ./spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads plus
   * typed metadata, processed in distributed batches.
   *
-  * The decode step is a deterministic STUB (no image/audio codecs in
-  * this environment): it derives pseudo-metadata from the raw bytes.
-  * Everything around it — the schema contract, the typed
-  * `mapPartitions` batch shape (the Scala analogue of a Pandas-UDF
-  * `mapInPandas` pipeline), partition sizing — is real and tested.
-  * Swap `decodeStub` for a codec call and the pipeline is production
-  * shaped: one narrow pass, no shuffle, codegen-friendly downstream.
+  * Image DIMENSIONS are parsed for real from the container headers
+  * (PNG IHDR, JPEG SOF marker scan, GIF logical-screen descriptor) —
+  * pure JVM byte inspection of the public formats, no codec library.
+  * Payloads with no recognized signature fall back to a deterministic
+  * STUB deriving pseudo-metadata from the raw bytes (full pixel decode
+  * needs codecs this environment lacks). Everything around the decode —
+  * the schema contract, the typed `mapPartitions` batch shape (the
+  * Scala analogue of a Pandas-UDF `mapInPandas` pipeline), partition
+  * sizing — is real and tested. Swap the fallback for a codec call and
+  * the pipeline is production shaped: one narrow pass, no shuffle,
+  * codegen-friendly downstream.
   */
 object Multimodal {
 
@@ -28,16 +32,75 @@ object Multimodal {
       height: Int,
       phash: String)
 
-  /** Deterministic fake decoder: metadata as pure functions of bytes. */
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** (width, height) from the container header bytes alone — no codec:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk's big-endian
+    *    width/height at offsets 16/20 (the IHDR chunk is required
+    *    first by the spec);
+    *  - JPEG: walk the marker segments from SOI to the first frame
+    *    header (SOF0–SOF15 minus DHT/JPG/DAC), whose payload is
+    *    [precision, height:be16, width:be16, ...];
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *    little-endian width/height at offsets 6/8.
+    *
+    * None when no signature matches or the header is truncated. */
+  def parseImageHeader(p: Array[Byte]): Option[(Int, Int)] = {
+    val n = p.length
+    if (n >= 24 &&
+        p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      Some((be32(p, 16), be32(p, 20)))
+    } else if (n >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      var out: Option[(Int, Int)] = None
+      var bad = false
+      while (out.isEmpty && !bad && i + 3 < n) {
+        if ((p(i) & 0xff) != 0xff) bad = true
+        else {
+          val m = p(i + 1) & 0xff
+          if (m == 0xff) i += 1 // fill byte before a marker
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+          else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 < n) out = Some((be16(p, i + 7), be16(p, i + 5)))
+            else bad = true
+          } else {
+            val segLen = be16(p, i + 2)
+            if (segLen < 2) bad = true else i += 2 + segLen
+          }
+        }
+      }
+      out
+    } else if (n >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      Some((le16(p, 6), le16(p, 8)))
+    } else None
+  }
+
+  /** Decoder: real header-parsed dimensions where the container format
+    * is recognized; deterministic pseudo-metadata (pure functions of
+    * the bytes) otherwise. */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.payload.length
     val first = if (len > 0) r.payload(0) & 0xff else 0
+    val (w, h) = parseImageHeader(r.payload)
+      .getOrElse((64 + (len % 512), 64 + (first % 512)))
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
       byte_len = len,
-      width = 64 + (len % 512),
-      height = 64 + (first % 512),
+      width = w,
+      height = h,
       phash = java.security.MessageDigest.getInstance("MD5")
         .digest(r.payload).map("%02x".format(_)).mkString)
   }

@@ -257,6 +257,17 @@ object Similarity {
     * [[buildIvfIndex]] for the full-vector side. */
   def buildVectorStore(base: DataFrame, idCol: String, table: String,
       buckets: Int = 32): Unit = {
+    val spark = base.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a location orphaned by a previous session (fresh metastore over a
+    // persistent warehouse dir) blocks CREATE: clear it explicitly
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
+      ident.table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     base.write
       .bucketBy(buckets, idCol)
       .sortBy(idCol)

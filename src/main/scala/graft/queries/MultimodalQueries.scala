@@ -11,10 +11,49 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** Well-formed container headers (hex) exercising the real
+    * dimension parser: a 640x480 PNG IHDR, a 320x240 JPEG (APP0 then
+    * SOF0), a 320x200 GIF89a logical screen descriptor. Pixel data is
+    * absent by design — the header-only parser never reads past the
+    * frame header, which is the point. */
+  private val SynthMedia = Seq(
+    (9000001L, "png",
+      "89504E470D0A1A0A" + "0000000D" + "49484452" + // sig, IHDR len, "IHDR"
+        "00000280" + "000001E0" + "0802000000" + "00000000", // 640x480 + CRC
+      640, 480),
+    (9000002L, "jpeg",
+      "FFD8" + "FFE000104A46494600010100004800480000" + // SOI, APP0/JFIF
+        "FFC0" + "0011" + "08" + "00F0" + "0140" + "03" + // SOF0: 240h 320w
+        "012200" + "021101" + "031101" + "FFD9",
+      320, 240),
+    (9000003L, "gif",
+      "474946383961" + "4001" + "C800" + "000000", // GIF89a 320x200
+      320, 200))
+
+  private def md5Hex(hex: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      .map("%02x".format(_)).mkString
+
+  /** Oracle rows for the synthetic headers: every field is a known
+    * constant of the fixture (dims from the format spec, digest
+    * precomputed from the same hex), so the SQL stays engine-neutral —
+    * DuckDB's md5 cannot digest BLOBs directly. */
+  private def synthSql: String = SynthMedia.map { case (id, kind, hex, w, h) =>
+    s"""SELECT $id::BIGINT AS media_id, '$kind' AS kind,
+       ${hex.length / 2}::INTEGER AS byte_len, $w::INTEGER AS width,
+       $h::INTEGER AS height, '${md5Hex(hex)}' AS phash"""
+  }.mkString("\n         UNION ALL ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_features" -> ((s, d) => {
-      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
-      Multimodal.extractFeatures(media).toDF()
+      import s.implicits._
+      val docs = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
+      val synth = SynthMedia.map { case (id, kind, hex, _, _) => (id, kind, hex) }
+        .toDF("media_id", "kind", "hex")
+        .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(docs.union(synth)).toDF()
         .select(col("media_id"), col("kind"), col("byte_len"),
           col("width"), col("height"), col("phash"))
     }),
@@ -39,15 +78,20 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // documents.text payloads carry no container signature (UTF-8 text
+    // cannot start with the PNG/JPEG magic; the GIF prefix is checked
+    // absent from the fixtures), so they take the stub-dimension path;
+    // the synthetic headers take the parsed path with known constants.
     "mm01_media_features" ->
-      """SELECT doc_id AS media_id, source AS kind,
+      s"""SELECT doc_id AS media_id, source AS kind,
          octet_length(encode(text))::INTEGER AS byte_len,
          (64 + (octet_length(encode(text)) % 512))::INTEGER AS width,
          (64 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
                 ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
                 END % 512))::INTEGER AS height,
          md5(text) AS phash
-         FROM documents""",
+         FROM documents
+         UNION ALL $synthSql""",
     "mm02_frame_sample" ->
       """SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
          md5(text || ':' || i) AS frame_hash
