@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.vault.{BusinessVaultOps, CdcOp, ColumnDefinition, Conventions,
-  Dv, RawVault, RawVaultConfig, RawVaultOps, SatelliteDefinition}
+import graft.vault.{BusinessVault, BusinessVaultOps, CdcOp, ColumnDefinition,
+  ColumnReference, Conventions, Curated, Dv, FieldDefinition, ForeignKey,
+  LinkedHubDefinition, RawVault, RawVaultConfig, RawVaultOps,
+  SatelliteDefinition, TypelistsConfig}
 
 /** Data Vault operator coverage driven through the real engine code
   * (RawVaultOps / BusinessVaultOps), using `events` as a CDC feed:
@@ -269,6 +271,149 @@ object VaultQueries {
           col("event_type"), col("props"))
     }),
 
+    // The curated layer end-to-end (Curated.py:196-271) through the real
+    // engine: load a supplier/nation vault + USER/CREDENTIAL dimension +
+    // grouped typelist off the parquet fixtures, then mapToCurated with
+    // a rename, a typelist field, a *UserID enrichment, an FK→PublicID
+    // resolution, and the temporal zip-join of NATION onto SUPPLIER.
+    // Single-batch load at a fixed t0 ⇒ every validity interval is
+    // [t0, max-sentinel], so the DuckDB mirror is the flat join.
+    "v11_curated_view" -> ((s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType}
+      import s.implicits._
+      val t0 = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+      val loc = java.nio.file.Files.createTempDirectory("graft-v11").toString
+      s.sql("DROP DATABASE IF EXISTS v11_raw CASCADE")
+      s.sql("DROP DATABASE IF EXISTS v11_stg CASCADE")
+      val config = RawVaultConfig(
+        stagingBasePath = loc,
+        stagingPreparedDatabase = "v11_stg",
+        rawDatabase = "v11_raw",
+        partitionSize = 4,
+        stagingPreparedBasePath = Some(s"$loc/stg.db"),
+        rawBasePath = Some(s"$loc/raw.db"))
+      val vault = new RawVault(s, config, "v11_src",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      vault.initializeDatabase()
+      val business = new BusinessVault(s, config.rawDatabase)
+
+      def batch(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$loc/$name.parquet")
+      def loadEntity(name: String, attrs: Seq[ColumnDefinition], df: DataFrame): Unit = {
+        vault.createHub(name, Seq(ColumnDefinition("PublicID", StringType)))
+        vault.createSatellite(name, attrs)
+        batch(name, df)
+        vault.loadHubFromSourceTable(name, name, Seq("PublicID"),
+          Seq(SatelliteDefinition(c.satName(name), attrs)))
+        business.createPointInTimeTableForSingleSatellite(name, name)
+      }
+
+      val stamp = Seq(lit(0).as("OPERATION"), t0.as("LOAD_DATE"))
+      loadEntity("CC_SUPPLIER",
+        Seq(ColumnDefinition("s_name", StringType),
+          ColumnDefinition("Tier", StringType),
+          ColumnDefinition("CreateUserID", IntegerType),
+          ColumnDefinition("NationID", IntegerType),
+          ColumnDefinition("retired", IntegerType)),
+        Tables.supplier(s, d).select(stamp ++ Seq(
+          concat(lit("s"), col("s_suppkey")).as("PublicID"),
+          col("s_name").cast("string").as("s_name"),
+          (col("s_suppkey") % 3).cast("string").as("Tier"),
+          (col("s_suppkey") % 10).cast("int").as("CreateUserID"),
+          col("s_nationkey").cast("int").as("NationID"),
+          when(col("s_suppkey") % 7 === 0, 1).otherwise(0).as("retired")): _*))
+      loadEntity("CC_NATION",
+        Seq(ColumnDefinition("NationName", StringType),
+          ColumnDefinition("retired", IntegerType)),
+        Tables.nation(s, d).select(stamp ++ Seq(
+          concat(lit("n"), col("n_nationkey")).as("PublicID"),
+          col("n_name").cast("string").as("NationName"),
+          lit(0).as("retired")): _*))
+      loadEntity("CC_REGION",
+        Seq(ColumnDefinition("RegionName", StringType),
+          ColumnDefinition("retired", IntegerType)),
+        Tables.region(s, d).select(stamp ++ Seq(
+          concat(lit("r"), col("r_regionkey")).as("PublicID"),
+          col("r_name").cast("string").as("RegionName"),
+          lit(0).as("retired")): _*))
+      val uids = Tables.supplier(s, d)
+        .select((col("s_suppkey") % 10).cast("int").as("uid")).distinct()
+      loadEntity("USER", Seq(ColumnDefinition("ID", IntegerType)),
+        uids.select(stamp ++ Seq(
+          concat(lit("u"), col("uid")).as("PublicID"), col("uid").as("ID")): _*))
+      loadEntity("CREDENTIAL", Seq(ColumnDefinition("UserName", StringType)),
+        uids.select(stamp ++ Seq(
+          concat(lit("cr"), col("uid")).as("PublicID"),
+          concat(lit("user_"), col("uid")).as("UserName")): _*))
+
+      def loadLink(source: String, from: String, to: String, name: String,
+          df: DataFrame): Unit = {
+        vault.createLink(name, Seq(s"${from}_HKEY", s"${to}_HKEY"))
+        batch(source, df)
+        vault.loadLinkFromSourceTable(source,
+          Seq(LinkedHubDefinition(from, s"${from}_HKEY",
+            ForeignKey("FROM_ID", ColumnReference(s"HUB__$from", "PublicID"))),
+            LinkedHubDefinition(to, s"${to}_HKEY",
+              ForeignKey("TO_ID", ColumnReference(s"HUB__$to", "PublicID")))),
+          name)
+      }
+      loadLink("SUP_NAT", "SUPPLIER", "NATION", "SUPPLIER__NATION",
+        Tables.supplier(s, d).select(stamp ++ Seq(
+          concat(lit("s"), col("s_suppkey")).as("FROM_ID"),
+          concat(lit("n"), col("s_nationkey")).as("TO_ID")): _*))
+      loadLink("SUP_REG", "SUPPLIER", "REGION", "SUPPLIER__REGION",
+        Tables.supplier(s, d)
+          .join(Tables.nation(s, d),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(stamp ++ Seq(
+            concat(lit("s"), col("s_suppkey")).as("FROM_ID"),
+            concat(lit("r"), col("n_regionkey")).as("TO_ID")): _*))
+      loadLink("USER_CRED", "USER", "CREDENTIAL", "USER__CREDENTIAL",
+        uids.select(stamp ++ Seq(
+          concat(lit("u"), col("uid")).as("FROM_ID"),
+          concat(lit("cr"), col("uid")).as("TO_ID")): _*))
+
+      vault.createCodeReferenceTable("TYPELISTS",
+        ColumnDefinition("ID", StringType),
+        Seq(ColumnDefinition("typecode", StringType),
+          ColumnDefinition("name", StringType),
+          ColumnDefinition("L_de", StringType)))
+      batch("TIER", Seq(
+        ("0", "bronze", "Bronze", "Bronze (DE)"),
+        ("1", "silver", "Silver", "Silber"),
+        ("2", "gold", "Gold", "Gold (DE)"))
+        .toDF("ID", "typecode", "name", "L_de")
+        .select(stamp ++ Seq(col("ID"), col("typecode"), col("name"), col("L_de")): _*))
+      vault.loadCodeReferencesFromSourceTable("TIER", "TYPELISTS", "ID",
+        Seq("typecode", "name", "L_de"))
+      business.createActiveCodeReferenceTable("REF__TYPELISTS",
+        "REF__TYPELISTS_ACTIVE", "ID")
+
+      val curated = new Curated(s, business,
+        TypelistsConfig(s.table("v11_raw.`REF__TYPELISTS_ACTIVE`")),
+        "v11_cur", config.rawDatabase)
+      // the FK target (NATION) and the zip-joined entity (REGION) are
+      // distinct so each vault table has exactly one reader — resolving
+      // an FK into a table that is also field-projected would self-join
+      // its hub/sat/PIT lineage (unsupported in the reference, too)
+      curated.mapToCurated(Seq(
+          FieldDefinition("CC_SUPPLIER", "s_name", Some("supplier_name")),
+          FieldDefinition("CC_SUPPLIER", "Tier",
+            isTypelist = true, typelistTableName = Some("tier")),
+          FieldDefinition("CC_SUPPLIER", "CreateUserID"),
+          FieldDefinition("CC_SUPPLIER", "NationID",
+            foreignKey = true, foreignKeyToTableName = Some("CC_NATION")),
+          FieldDefinition("CC_REGION", "RegionName")))
+        .select(col("supplier_name"), col("Tier").as("tier"),
+          col("Tier_en").as("tier_en"), col("Tier_de").as("tier_de"),
+          col("CreateUserID").as("create_user"),
+          col("CreateUserID_UserName").as("create_user_name"),
+          col("NationID").as("nation_id"),
+          col("RegionName").as("region_name"),
+          unix_millis(col(c.loadDate)).as("start_ms"),
+          unix_millis(col(c.loadEndDate)).as("end_ms"))
+    }),
+
     // v2 mode: hub/link last_seen upsert through the real code. Existing
     // state = customers first ordering before 1996; the update batch =
     // 1996+ orders. Matched keys keep their load_date and take the
@@ -420,6 +565,23 @@ object VaultQueries {
            FROM (SELECT DISTINCT hkey, ld FROM v))
          SELECT v.hkey, v.hdiff, v.ld, n.nxt AS led, v.status
          FROM v JOIN n ON v.hkey = n.hkey AND v.ld = n.ld""",
+    "v11_curated_view" ->
+      """WITH tl(id, tc, en, de) AS (
+           VALUES ('0','bronze','Bronze','Bronze (DE)'),
+                  ('1','silver','Silver','Silber'),
+                  ('2','gold','Gold','Gold (DE)')),
+         s AS (SELECT s_name, (s_suppkey % 3)::VARCHAR AS tid,
+                 (s_suppkey % 10) AS uid, s_nationkey
+               FROM supplier WHERE s_suppkey % 7 <> 0)
+         SELECT s.s_name AS supplier_name, tl.tc AS tier, tl.en AS tier_en,
+           tl.de AS tier_de, 'u' || uid::VARCHAR AS create_user,
+           'user_' || uid::VARCHAR AS create_user_name,
+           'n' || s.s_nationkey::VARCHAR AS nation_id, r.r_name AS region_name,
+           epoch_ms(TIMESTAMP '2024-03-01 00:00:00') AS start_ms,
+           epoch_ms(TIMESTAMP '9999-12-31 23:59:59.999999') AS end_ms
+         FROM s JOIN tl ON tl.id = s.tid
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey""",
     "v08_v2_lastseen" ->
       """WITH e AS (
            SELECT o_custkey AS k, epoch_ms(min(o_orderdate))::BIGINT AS ld,
