@@ -56,6 +56,28 @@ object TextOps {
     "p01_clean_corpus" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpus(Tables.documents(s, d), "text", "doc_id")),
 
+    // The pretraining pipeline end-to-end as ONE declarative plan:
+    // quality gate -> LSH near-dup drop (a doc paired with a smaller id
+    // is dominated; one anti-join, no iteration) -> train split (80%)
+    // -> per-source quota -> sequence packing. No action, no cache, no
+    // intermediate write anywhere in the chain — Catalyst sees the whole
+    // pipeline and the packing prefix-sum runs over only the survivors.
+    "p02_pretrain_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityScore(docs, "text", Seq("doc_id"))
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+        .select("doc_id")
+      val kept = docs.join(quality, "doc_id")
+      val dominated = Dedup.lshCandidatePairs(kept, "text", "doc_id",
+          k = 6, bandWidth = 2)
+        .select(col("b_id").as("doc_id")).distinct()
+      val deduped = kept.join(dominated, Seq("doc_id"), "left_anti")
+      val train = Sampling.sampleByHash(deduped, "doc_id", num = 80, den = 100)
+      val balanced = Sampling.quotaPerGroup(train, "doc_id", "source", cap = 15)
+      Packing.packSequences(balanced, "doc_id", "text",
+        seqLen = 512, bucketSize = 64)
+    }),
+
     // Winnowing (rolling-hash) document fingerprint.
     "d10_winnow_fingerprint" -> ((s, d) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", Seq("doc_id"))),
@@ -216,6 +238,45 @@ object TextOps {
            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und'))) AS de,
            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los'))) AS es
          FROM surv)""",
+    "p02_pretrain_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, text, source FROM (
+           SELECT doc_id, text, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+               / len(string_split(text, ' ')) AS swr
+           FROM documents) WHERE n_tokens >= 20 AND swr < 0.5),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM q),
+         banded AS (SELECT doc_id,
+           unnest([${(0 until 3).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, ${shingleMinhashSql(2 * b + 1)}))")
+             .mkString(", ")}]) AS band
+         FROM sh),
+         dominated AS (SELECT DISTINCT b.doc_id
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         ded AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
+         train AS (SELECT * FROM ded
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 80),
+         bal AS (SELECT doc_id, text FROM (
+           SELECT doc_id, text, row_number() OVER (
+             PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM train) WHERE rn <= 15),
+         t AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens FROM bal),
+         c AS (SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         FROM t)
+         SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM c""",
     "d11_neardup_groups" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
