@@ -187,6 +187,37 @@ object Relational {
           unix_millis(col("window_end")).as("we"),
           col("event_type"), col("n_events"))),
 
+    // Streaming sessionization gate: the events fixture replayed
+    // through a REAL readStream file source (one file per micro-batch)
+    // into a foreachBatch append sink — the CdcStream loader pattern —
+    // then the q11 lead-window sessionization over the accumulated
+    // table. Hash-matching the batch q11 oracle proves the stream →
+    // table → batch-read path loses nothing and reorders nothing.
+    "w02_sessionize_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // RAW file schema (ts = INT64 nanos under the legacy flag): the
+      // stream must read the bytes as stored; the ns→µs conversion
+      // happens once on the accumulated table, like Tables.events
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val scratch = java.nio.file.Files.createTempDirectory("graft-w02").toString
+      // the fixture is a single parquet FILE; the file stream source
+      // wants a directory, so stream the sf dir filtered to that file
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        batch.write.mode("append").parquet(s"$scratch/events")
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      s.read.schema(schema).parquet(s"$scratch/events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("start_ms"))
+        .withColumn("end_ms", lead("start_ms", 1).over(w))
+    }),
+
     // Sketch aggregates: HLL distinct-count and approximate median.
     // Sketch internals differ per engine, so the raw estimates are not
     // oracle-comparable — instead the query emits the EXACT stats (hash-
@@ -437,6 +468,12 @@ object Relational {
     "q18_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "w02_sessionize_stream" ->
+      """SELECT user_id, event_id,
+         epoch_ms(date_trunc('milliseconds', ts)) AS start_ms,
+         lead(epoch_ms(date_trunc('milliseconds', ts)), 1)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS end_ms
+         FROM events""",
     "w01_windowed_counts" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) AS ws,
          epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) + 600000 AS we,
