@@ -28,30 +28,41 @@ object Bench {
     // warm the JVM + parquet footers so timings measure the plans
     SparkEntry.queries("q01_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // best of 2 runs per query: the second run reuses warmed parquet
-    // footers/JIT, so the minimum reflects the plan, not ambient noise.
-    // A failed run must not masquerade as a fast one: only successful
-    // attempts count, and a query with no successful attempt reports -1
-    // and lands in "errors".
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $name: $e"); None
-        }
+    // INTERLEAVED min-of-n: the full query list runs round-robin
+    // `rounds` times in one JVM, so slow ambient phases (this host
+    // drifts 2x between same-day runs) hit every query roughly equally
+    // instead of biasing whichever query ran during the spike; the
+    // per-query minimum then reflects the plan. The max-min spread is
+    // emitted alongside so a reader can tell a real regression (min
+    // moved) from VM weather (spread exploded). A failed run must not
+    // masquerade as a fast one: only successful attempts count, and a
+    // query with no successful attempt reports -1 and lands in "errors".
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val names = SparkEntry.benchQueries
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to rounds; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: $e")
       }
-      name -> times.minOption.getOrElse(-1.0)
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = names.map(n => n -> times(n))
+    val failed = results.collect { case (k, v) if v.isEmpty => "\"" + k + "\"" }
+    def jsonMap(f: Vector[Double] => Double): String = results
+      .map { case (k, v) =>
+        "\"" + k + "\":" + f"${if (v.isEmpty) -1.0 else f(v)}%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).filter(_ >= 0).sum}%.3f"
+    val qs = jsonMap(_.min)
+    val spread = jsonMap(v => v.max - v.min)
+    val total = f"${results.flatMap(_._2.minOption).sum}%.3f"
     val errs = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"rounds":$rounds,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
