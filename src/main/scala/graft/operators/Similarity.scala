@@ -91,10 +91,26 @@ object Similarity {
       .select(col(idCol).as("a_id"), col("b_id"))
   }
 
+  /** Drop `table` and clear a managed location orphaned by a previous
+    * session (fresh metastore over a persistent warehouse dir blocks
+    * CREATE otherwise), so index builds are safely re-runnable. */
+  private def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
+      ident.table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Persist centroid assignments as a catalog table bucketed by
     * centroid id — the 100 TB serving shape: probes become scans of one
     * bucket with no shuffle on the corpus side. */
   def buildIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit = {
+    dropTableAndLocation(assigned.sparkSession, table)
     assigned.write
       .bucketBy(buckets, "cid")
       .mode("overwrite")
@@ -257,17 +273,7 @@ object Similarity {
     * [[buildIvfIndex]] for the full-vector side. */
   def buildVectorStore(base: DataFrame, idCol: String, table: String,
       buckets: Int = 32): Unit = {
-    val spark = base.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a location orphaned by a previous session (fresh metastore over a
-    // persistent warehouse dir) blocks CREATE: clear it explicitly
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
-      ident.table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(base.sparkSession, table)
     base.write
       .bucketBy(buckets, idCol)
       .sortBy(idCol)

@@ -18,6 +18,18 @@ object VectorOps {
   private val Dim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
   private val PqM = 8 // PQ subspaces (Dim / PqM dims each)
   private val PqK = 16 // PQ codebook cap: K stays fixed at any corpus sf
+  // IVF centroid cap: the centroid set broadcasts into the assignment
+  // join, so like the PQ codebook it must be configuration-sized — a
+  // bare `% 50` predicate would grow it (and the broadcast) linearly
+  // with the corpus. Deterministic id-ordered limit; a no-op at the
+  // sf0.01 gate (10 candidates), binding from sf0.1 up (40 → 20).
+  private val IvfC = 20
+
+  private def centroids(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") % 50 === 0).orderBy("vec_id").limit(IvfC)
+
+  private val centroidsSql =
+    s"(SELECT vec_id, v, nrm FROM e WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $IvfC)"
   private val Shortlist = 25 // e07 stage-1 ADC candidate count
 
   /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
@@ -38,8 +50,7 @@ object VectorOps {
 
     "e02_knn_ivf" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
-      val assigned = Similarity.assignToCentroids(
-        base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+      val assigned = Similarity.assignToCentroids(base, centroids(base), "vec_id")
       Similarity.knnIvf(assigned, col("vec_id") < NQ, "vec_id", K)
     }),
 
@@ -78,9 +89,9 @@ object VectorOps {
     // both scale levers (candidate cut + bytes-per-candidate cut).
     "e06_knn_ivfpq" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
-      val cents = base.filter(col("vec_id") % 50 === 0)
-      val assigned = Similarity.assignToCentroids(base, cents, "vec_id")
-      val cb = Similarity.pqTrainSampled(cents, "vec_id", m = PqM,
+      val assigned = Similarity.assignToCentroids(base, centroids(base), "vec_id")
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
         maxCodewords = PqK)
       val encoded = Similarity.pqEncode(assigned, "vec_id", cb)
       Similarity.knnIvfPq(encoded, encoded.filter(col("vec_id") < NQ),
@@ -109,8 +120,7 @@ object VectorOps {
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
     "d09_embed_neardup" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
-      val assigned = Similarity.assignToCentroids(
-        base, base.filter(col("vec_id") % 50 === 0), "vec_id")
+      val assigned = Similarity.assignToCentroids(base, centroids(base), "vec_id")
       Similarity.nearDupPairs(assigned, "vec_id", threshold = 0.4)
     })
   )
@@ -167,7 +177,7 @@ object VectorOps {
     "e02_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
          assigned AS (SELECT vec_id, cid, v, nrm FROM (
            SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
              OVER (PARTITION BY e.vec_id
@@ -227,8 +237,8 @@ object VectorOps {
     "e06_knn_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn FROM e
-           WHERE vec_id % 50 = 0),
+         cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn
+           FROM $centroidsSql),
          assigned AS (SELECT vec_id, cid FROM (
            SELECT e.vec_id, cent.cid, row_number()
              OVER (PARTITION BY e.vec_id
@@ -267,7 +277,7 @@ object VectorOps {
     "d09_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
          assigned AS (SELECT vec_id, cid, v, nrm FROM (
            SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
              OVER (PARTITION BY e.vec_id
