@@ -161,7 +161,7 @@ class SamplingPackingSpec extends AnyFunSuite {
   }
 
   test("sampler plans: row windows are prefix-bucketed, never one task per group") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
     val df = docs.withColumn("src", $"doc_id" % 3)
       .withColumn("n", ($"doc_id" % 5 + 1).cast("int"))
     val plans = Seq(
@@ -174,10 +174,14 @@ class SamplingPackingSpec extends AnyFunSuite {
       assert(wins.size >= 2, s"expected row + offset windows, got ${wins.size}")
       wins.foreach { w =>
         // a window keyed by the group alone is only allowed over the
-        // bucket-totals aggregate (one row per bucket, config-sized);
-        // every window over row data must carry the bucket subkey
-        val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
-        assert(w.partitionSpec.size >= 2 || overAggregate,
+        // rank-1 reduction of the bucketed window (one row per bucket,
+        // config-sized); every window over row data must carry the
+        // bucket subkey
+        val overBucketReduction =
+          w.child.collectFirst { case f: Filter => f }.isDefined &&
+            w.child.collect {
+              case ww: LWindow if ww.partitionSpec.size >= 2 => ww }.nonEmpty
+        assert(w.partitionSpec.size >= 2 || overBucketReduction,
           s"group-wide window over row data: partitionSpec=${w.partitionSpec}")
       }
     }
