@@ -141,6 +141,22 @@ class SamplingPackingSpec extends AnyFunSuite {
       "exactly one single-task window (bucket totals) allowed: " + specs)
   }
 
+  test("samplers treat a null group as a group (the single-window semantics)") {
+    val df = docs.withColumn("src",
+      when($"doc_id" % 3 === 0, lit(null).cast("string")).otherwise(lit("a")))
+      .withColumn("n", lit(3).cast("int"))
+    val quota = Sampling.quotaPerGroup(df, "doc_id", "src", cap = 5)
+      .groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(quota(None) == 5, s"null group not capped: $quota")
+    assert(quota(Some("a")) == 5)
+    val budget = Sampling.tokenBudgetPerGroup(df, "doc_id", "src", "n", budget = 12)
+      .groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(budget(None) == 4, s"null group dropped or unbudgeted: $budget")
+    assert(budget(Some("a")) == 4)
+  }
+
   test("two-level samplers match the single-window reference forms exactly") {
     import org.apache.spark.sql.expressions.{Window => W}
     val df = docs.withColumn("src", $"doc_id" % 3)
