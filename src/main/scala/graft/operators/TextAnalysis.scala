@@ -148,6 +148,63 @@ object TextAnalysis {
         / count(lit(1))).as("dup_ngram_ratio"))
   }
 
+  /** Benchmark decontamination: count, per corpus document, the
+    * distinct word n-grams it shares with a benchmark/eval set, and
+    * flag documents at or above `minOverlap` — the leakage guard a
+    * pretraining pipeline runs before training (the public
+    * GPT-3/PaLM-family n-gram overlap method).
+    *
+    * Scale shape: the benchmark side is tiny by definition (eval sets,
+    * not corpora), so its distinct gram set BROADCASTS; the corpus side
+    * is one narrow explode → broadcast equi-join → groupBy(doc) fold,
+    * and corpus text never shuffles. Output: the corpus frame plus
+    * `n_shared_grams` and `contaminated` (callers drop flagged rows or
+    * audit them). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minOverlap: Int = 2): DataFrame = {
+    val benchGrams = benchmark
+      .select(col(textCol), tokens(col(textCol)).as("__tk"))
+      .select(explode(array_distinct(shingles("__tk", textCol, n))).as("__g"))
+      .distinct()
+    val overlap = corpus
+      .select(col(idCol), col(textCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(shingles("__tk", textCol, n))).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+    corpus.join(overlap, Seq(idCol), "left")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_grams") >= minOverlap)
+  }
+
+  /** PII patterns: deliberately simple character-class regexes (email,
+    * dotted-quad IP, NNN-NNN-NNNN phone) that mean the same thing in
+    * Java regex and RE2, so external engines reproduce the redaction
+    * byte-for-byte. Real deployments swap in their own pattern packs —
+    * the operator shape (sequential global replace, narrow projection)
+    * is the contract. */
+  val piiPatterns: Seq[String] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** PII redaction: replace every pattern match with `replacement` (in
+    * pattern order) and count matches per pattern on the ORIGINAL text
+    * (counting per pattern, not an alternation, keeps engines' regex
+    * preference rules out of the result). One narrow codegen'd
+    * projection — no shuffle, no UDF. */
+  def redactPii(df: DataFrame, textCol: String, idCols: Seq[String],
+      replacement: String = "<PII>",
+      patterns: Seq[String] = piiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol))(
+      (c, p) => regexp_replace(c, p, replacement))
+    val nPii = patterns.map(p =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))).reduce(_ + _)
+    df.select(idCols.map(col) ++ Seq(
+      redacted.as("redacted_text"), nPii.as("n_pii")): _*)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering and duplication. */
   def fingerprint(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame =

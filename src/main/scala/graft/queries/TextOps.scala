@@ -144,7 +144,32 @@ object TextOps {
     "d19_upsample" -> ((s, d) =>
       Sampling.upsample(Tables.documents(s, d), "lang",
           Map("de" -> 3, "es" -> 2))
-        .select("doc_id", "lang", "copy"))
+        .select("doc_id", "lang", "copy")),
+
+    // Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    // for the eval set; every other doc is scored by shared distinct
+    // trigrams against it (broadcast gram set, corpus never shuffles).
+    "d20_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3, minOverlap = 2)
+        .select(col("doc_id"), col("n_shared_grams"), col("contaminated"))
+    }),
+
+    // PII redaction: deterministic synthetic PII (email/IP/phone built
+    // from doc_id) appended to each text, then redacted + counted; the
+    // oracle rebuilds the same text and must reach the same digest.
+    "d21_redact_pii" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          col("doc_id") % 256, lit(".7 call 555-867-5309")).as("text"))
+      TextAnalysis.redactPii(withPii, "text", Seq("doc_id"))
+        .select(col("doc_id"), md5(col("redacted_text")).as("redacted_md5"),
+          col("n_pii"))
+    })
   )
 
   /** DuckDB mirrors of the operator definitions. */
@@ -367,6 +392,36 @@ object TextOps {
            unnest(generate_series(1, CASE lang WHEN 'de' THEN 3
              WHEN 'es' THEN 2 ELSE 1 END)) AS copy
          FROM documents""",
+    "d20_decontaminate" ->
+      """WITH grams AS (SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+               ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                   string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+             END)) AS g
+           FROM documents),
+         bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         ov AS (SELECT doc_id, count(*) AS n
+           FROM grams JOIN bg USING (g) WHERE doc_id % 97 <> 0 GROUP BY 1)
+         SELECT d.doc_id, coalesce(ov.n, 0)::BIGINT AS n_shared_grams,
+           coalesce(ov.n, 0) >= 2 AS contaminated
+         FROM documents d LEFT JOIN ov USING (doc_id)
+         WHERE d.doc_id % 97 <> 0""",
+    "d21_redact_pii" ->
+      """WITH t AS (SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+             || (doc_id % 256)::VARCHAR || '.7 call 555-867-5309' AS text
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<PII>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PII>', 'g')) AS redacted_md5,
+           (len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+            + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+            + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')))::INTEGER AS n_pii
+         FROM t""",
     "d16_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
