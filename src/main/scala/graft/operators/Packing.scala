@@ -36,22 +36,13 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBkt = Window.orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // bucket totals as a whole-partition window + rank-1 reduction over
-    // the same shuffle, not a groupBy: an aggregate's partial-agg
-    // exchange cannot reuse the window exchange, so it would recompute
-    // the input lineage a second time — twice the cost when the input
-    // is itself an expensive pipeline (e.g. p02 packs LSH survivors)
-    val scanned = withBkt
-      .withColumn("__local", sum(col(valueCol)).over(wIn))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("__bkt").orderBy(col(orderCol))))
-      .withColumn("__t", sum(col(valueCol)).over(Window.partitionBy("__bkt")))
-    val offsets = scanned.filter(col("__rn") === 1)
+    val offsets = withBkt.groupBy("__bkt").agg(sum(col(valueCol)).as("__t"))
       .withColumn("__off", sum("__t").over(wBkt) - col("__t"))
-      .select(col("__bkt").as("__obkt"), col("__off"))
-    scanned.join(broadcast(offsets), col("__bkt") === col("__obkt"))
+      .select(col("__bkt"), col("__off"))
+    withBkt.withColumn("__local", sum(col(valueCol)).over(wIn))
+      .join(broadcast(offsets), "__bkt")
       .withColumn(outCol, col("__off") + col("__local"))
-      .drop("__bkt", "__obkt", "__local", "__rn", "__t", "__off")
+      .drop("__bkt", "__local", "__off")
   }
 
   /** Pack whitespace-token documents into `seqLen`-token training

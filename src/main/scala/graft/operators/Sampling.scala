@@ -103,27 +103,19 @@ object Sampling {
       .orderBy(col("__mk"), col(idCol))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the bucket's row count is a second window over the SAME partition
-    // (one shuffle serves both), and the offsets side reduces to one
-    // row per bucket via rank 1 instead of a groupBy — a groupBy's
-    // partial-aggregate exchange cannot reuse the window exchange, so
-    // it would recompute the whole input lineage a second time (fatal
-    // when the input is itself an expensive pipeline, e.g. p02's LSH)
-    val scanned = withB
-      .withColumn("__rn", row_number().over(wIn))
-      .withColumn("__c",
-        count(lit(1)).over(Window.partitionBy(col(groupCol), col("__pb"))))
-    val offsets = scanned.filter(col("__rn") === 1)
+    val offsets = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__off", sum("__c").over(wOff) - col("__c"))
       .filter(col("__off") < cap)
       .select(col(groupCol).as("__g"), col("__pb").as("__opb"), col("__off"))
     // <=> on the group key: a null group is still a group (the old
     // single-window form capped it; a plain equi-join would drop it)
-    scanned.filter(col("__rn") <= cap)
+    withB.withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") <= cap)
       .join(broadcast(offsets),
         col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
       .filter(col("__off") + col("__rn") <= cap)
-      .drop("__mk", "__pb", "__rn", "__c", "__g", "__opb", "__off")
+      .drop("__mk", "__pb", "__rn", "__g", "__opb", "__off")
   }
 
   /** Corpus balancing by token budget: walk each group in deterministic
@@ -152,25 +144,18 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // bucket totals as a whole-partition window + rank-1 reduction over
-    // the same shuffle — see quotaPerGroup for why not a groupBy
-    val scanned = withB
-      .withColumn("__local", sum(col(tokensCol)).over(wIn))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(groupCol), col("__pb"))
-          .orderBy(col("__mk"), col(idCol))))
-      .withColumn("__t",
-        sum(col(tokensCol)).over(Window.partitionBy(col(groupCol), col("__pb"))))
-    val offsets = scanned.filter(col("__rn") === 1)
+    val offsets = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(sum(col(tokensCol)).as("__t"))
       .withColumn("__off", sum("__t").over(wOff) - col("__t"))
       .filter(col("__off") < budget)
       .select(col(groupCol).as("__g"), col("__pb").as("__opb"), col("__off"))
-    scanned.filter(col("__local") - col(tokensCol) < budget)
+    withB.withColumn("__local", sum(col(tokensCol)).over(wIn))
+      .filter(col("__local") - col(tokensCol) < budget)
       .join(broadcast(offsets),
         col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
       .withColumn(cumCol, col("__off") + col("__local"))
       .filter(col(cumCol) - col(tokensCol) < budget)
-      .drop("__mk", "__pb", "__local", "__rn", "__t", "__g", "__opb", "__off")
+      .drop("__mk", "__pb", "__local", "__g", "__opb", "__off")
   }
 
   /** Deterministic upsampling: emit `factors(group)` copies of every

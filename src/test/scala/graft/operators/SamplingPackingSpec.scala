@@ -141,6 +141,24 @@ class SamplingPackingSpec extends AnyFunSuite {
       "exactly one single-task window (bucket totals) allowed: " + specs)
   }
 
+  test("quota main branch caps rows map-side before the wide shuffle") {
+    // Spark's WindowGroupLimit pushes the rank<=cap filter below the
+    // exchange as a partial per-task top-cap, so only ~cap rows per
+    // (group, bucket) shuffle WITH their payload columns; the offsets
+    // branch shuffles map-combined counts. This asymmetry is why the
+    // two branches deliberately do NOT share one exchange: forcing
+    // identical subtrees for reuse would forfeit both map-side
+    // reductions and shuffle every wide row.
+    val df = docs.withColumn("src", $"doc_id" % 3)
+    val out = Sampling.quotaPerGroup(df, "doc_id", "src", cap = 5)
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("WindowGroupLimit"),
+      s"map-side cap pruning missing:\n$executed")
+    assert(executed.contains("Partial"),
+      "WindowGroupLimit did not run below the exchange")
+  }
+
   test("samplers treat a null group as a group (the single-window semantics)") {
     val df = docs.withColumn("src",
       when($"doc_id" % 3 === 0, lit(null).cast("string")).otherwise(lit("a")))
@@ -177,7 +195,7 @@ class SamplingPackingSpec extends AnyFunSuite {
   }
 
   test("sampler plans: row windows are prefix-bucketed, never one task per group") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = docs.withColumn("src", $"doc_id" % 3)
       .withColumn("n", ($"doc_id" % 5 + 1).cast("int"))
     val plans = Seq(
@@ -190,14 +208,10 @@ class SamplingPackingSpec extends AnyFunSuite {
       assert(wins.size >= 2, s"expected row + offset windows, got ${wins.size}")
       wins.foreach { w =>
         // a window keyed by the group alone is only allowed over the
-        // rank-1 reduction of the bucketed window (one row per bucket,
-        // config-sized); every window over row data must carry the
-        // bucket subkey
-        val overBucketReduction =
-          w.child.collectFirst { case f: Filter => f }.isDefined &&
-            w.child.collect {
-              case ww: LWindow if ww.partitionSpec.size >= 2 => ww }.nonEmpty
-        assert(w.partitionSpec.size >= 2 || overBucketReduction,
+        // bucket-totals aggregate (one row per bucket, config-sized);
+        // every window over row data must carry the bucket subkey
+        val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(w.partitionSpec.size >= 2 || overAggregate,
           s"group-wide window over row data: partitionSpec=${w.partitionSpec}")
       }
     }
