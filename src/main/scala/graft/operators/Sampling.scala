@@ -158,6 +158,40 @@ object Sampling {
       .drop("__mk", "__pb", "__local", "__g", "__opb", "__off")
   }
 
+  /** Deterministic shuffle-shard assignment for training-data writers:
+    * `shard` = [[hashBucket]](id, nShards) and `position` = the row's
+    * 0-based dense rank within its shard in md5-shuffled order — the
+    * "global shuffle, shard, stable within-shard order" step a
+    * dataloader-facing writer needs, reproducible at any parallelism.
+    *
+    * Shards are CONFIGURED, not data-bounded: at corpus scale one
+    * shard is corpus/nShards rows — far too big for the single-task
+    * sort a bare `Window.partitionBy(shard)` would plan — so the rank
+    * runs the same two-level (shard, md5-prefix-bucket) scan as
+    * [[quotaPerGroup]]. The broadcast offset table is
+    * nShards × 16^prefixChars small rows; size prefixChars so that
+    * stays a few MB. */
+  def shardAssignments(df: DataFrame, idCol: String, nShards: Int,
+      prefixChars: Int = 2): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val withB = withShuffleBuckets(df, idCol, prefixChars)
+      .withColumn("__shard", hashBucket(col(idCol), nShards))
+    val wIn = Window.partitionBy(col("__shard"), col("__pb"))
+      .orderBy(col("__mk"), col(idCol))
+    val wOff = Window.partitionBy(col("__shard")).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withB.groupBy(col("__shard"), col("__pb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum("__c").over(wOff) - col("__c"))
+      .select(col("__shard").as("__os"), col("__pb").as("__opb"), col("__off"))
+    withB.withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offsets),
+        col("__shard") === col("__os") && col("__pb") === col("__opb"))
+      .withColumn("shard", col("__shard"))
+      .withColumn("position", col("__off") + col("__rn") - 1)
+      .drop("__mk", "__pb", "__rn", "__shard", "__os", "__opb", "__off")
+  }
+
   /** Deterministic upsampling: emit `factors(group)` copies of every
     * row in a mapped group (1 copy when unmapped), with a 1-based
     * `copyCol` index distinguishing repeats — the "repeat high-quality

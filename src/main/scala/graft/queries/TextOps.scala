@@ -158,6 +158,13 @@ object TextOps {
         .select(col("doc_id"), col("n_shared_grams"), col("contaminated"))
     }),
 
+    // Deterministic shuffle-shard assignment: 8 shards, dense 0-based
+    // position per shard in md5-shuffled order (two-level rank — a
+    // shard is corpus/nShards rows, never one sort task).
+    "d22_shard_assign" -> ((s, d) =>
+      Sampling.shardAssignments(Tables.documents(s, d), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "position")),
+
     // PII redaction: deterministic synthetic PII (email/IP/phone built
     // from doc_id) appended to each text, then redacted + counted; the
     // oracle rebuilds the same text and must reach the same digest.
@@ -408,6 +415,14 @@ object TextOps {
            coalesce(ov.n, 0) >= 2 AS contaminated
          FROM documents d LEFT JOIN ov USING (doc_id)
          WHERE d.doc_id % 97 <> 0""",
+    "d22_shard_assign" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard
+         FROM documents)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+             ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS position
+         FROM b""",
     "d21_redact_pii" ->
       """WITH t AS (SELECT doc_id,
            text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'

@@ -141,6 +141,25 @@ class SamplingPackingSpec extends AnyFunSuite {
       "exactly one single-task window (bucket totals) allowed: " + specs)
   }
 
+  test("shardAssignments: dense 0-based positions, exact single-window parity") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val got = Sampling.shardAssignments(docs, "doc_id", nShards = 4)
+      .select($"doc_id", $"shard", $"position").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val w = W.partitionBy("shard").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val ref = docs
+      .withColumn("shard", Sampling.hashBucket($"doc_id", 4))
+      .withColumn("position", row_number().over(w).cast("long") - 1)
+      .select($"doc_id", $"shard", $"position").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.sameElements(ref), "two-level shard rank diverged from single-window")
+    // positions are dense 0..n-1 within every shard
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)),
+        s"shard $s positions not dense")
+    }
+  }
+
   test("quota main branch caps rows map-side before the wide shuffle") {
     // Spark's WindowGroupLimit pushes the rank<=cap filter below the
     // exchange as a partial per-task top-cap, so only ~cap rows per
