@@ -42,6 +42,13 @@ object Multimodal {
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
 
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xffffffffL) << 32) | (be32(b, i + 4) & 0xffffffffL)
+
   /** (width, height) from the container header bytes alone — no codec:
     *
     *  - PNG: 8-byte signature, then the IHDR chunk's big-endian
@@ -87,13 +94,103 @@ object Multimodal {
     } else None
   }
 
-  /** Decoder: real header-parsed dimensions where the container format
-    * is recognized; deterministic pseudo-metadata (pure functions of
-    * the bytes) otherwise. */
+  /** (sample_rate, duration_ms) from a WAV/RIFF header — a chunk walk
+    * over the declared sizes only ("fmt " for rate/byte-rate, "data" for
+    * the payload size), so a header-only prefix parses without the
+    * audio bytes ever being read: exactly the metadata-pass access
+    * pattern at 100 TB. Chunks are word-aligned per the RIFF spec.
+    * None when the RIFF/WAVE signature or the fmt chunk is missing. */
+  def parseWavHeader(p: Array[Byte]): Option[(Int, Long)] = {
+    val n = p.length
+    if (n < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') return None
+    var i = 12
+    var sampleRate = -1
+    var byteRate = 0L
+    var dataSize = 0L
+    while (i + 8 <= n) {
+      val size = le32(p, i + 4)
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ' &&
+          size >= 16 && i + 8 + 16 <= n) {
+        sampleRate = le32(p, i + 12).toInt
+        byteRate = le32(p, i + 16)
+      } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a') {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    if (sampleRate < 0) None
+    else Some((sampleRate,
+      if (byteRate > 0) dataSize * 1000L / byteRate else 0L))
+  }
+
+  /** (width, height, duration_ms) from an MP4/ISO-BMFF header — a box
+    * walk over the declared sizes: `moov`/`mvhd` for timescale+duration
+    * (v0 and v1 layouts), the first `trak`/`tkhd` with nonzero
+    * dimensions for the 16.16-fixed width/height (an audio-only track
+    * reports 0×0). Media data (`mdat`) is never touched. None when the
+    * moov/mvhd box is absent or truncated. */
+  def parseMp4Header(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    val n = p.length
+    // (timescale, duration, width, height) accumulated over the walk
+    var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && depth < 4) {
+        val size = be32(p, i).toLong & 0xffffffffL
+        val boxEnd = if (size == 0) to
+          else if (size == 1 && i + 16 <= to) i + be64(p, i + 8)
+          else i + size
+        if (size == 1 && i + 16 > to) return
+        if (boxEnd < i + 8 || boxEnd > to) return
+        val t = new String(p, i + 4, 4, "ISO-8859-1")
+        val pl = i + 8 // payload offset (64-bit sizes only wrap mdat in practice)
+        t match {
+          case "moov" | "trak" => walk(pl, boxEnd.toInt, depth + 1)
+          case "mvhd" if pl + 4 <= to =>
+            val v = p(pl) & 0xff
+            if (v == 1 && pl + 32 <= to) {
+              timescale = be32(p, pl + 20).toLong & 0xffffffffL
+              duration = be64(p, pl + 24)
+            } else if (v == 0 && pl + 20 <= to) {
+              timescale = be32(p, pl + 12).toLong & 0xffffffffL
+              duration = be32(p, pl + 16).toLong & 0xffffffffL
+            }
+          case "tkhd" if pl + 4 <= to =>
+            val v = p(pl) & 0xff
+            val dimOff = if (v == 1) pl + 88 else pl + 76
+            if (dimOff + 8 <= to && w == 0 && h == 0) {
+              w = be32(p, dimOff) >>> 16
+              h = be32(p, dimOff + 4) >>> 16
+            }
+          case _ => ()
+        }
+        i = boxEnd.toInt
+      }
+    }
+    walk(0, n, 0)
+    if (duration < 0) None
+    else Some((w, h,
+      if (timescale > 0) duration * 1000L / timescale else 0L))
+  }
+
+  /** Decoder: real header-parsed dimensions where the payload's KIND
+    * declares a recognized container format; deterministic
+    * pseudo-metadata (pure functions of the bytes) otherwise. The kind
+    * gate keeps non-image payloads (document text, audio) off the
+    * parser even if their bytes happen to start with a container magic
+    * (plain ASCII can spell "GIF89a"). */
+  private val ImageKinds = Set("png", "jpeg", "jpg", "gif")
+
+  /** Media kinds routed to [[parseWavHeader]]/[[parseMp4Header]]. */
+  private val AudioKinds = Set("wav", "wave")
+  private val VideoKinds = Set("mp4", "m4a", "mov")
+
   def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.payload.length
     val first = if (len > 0) r.payload(0) & 0xff else 0
-    val (w, h) = parseImageHeader(r.payload)
+    val parsed = if (ImageKinds(r.kind)) parseImageHeader(r.payload) else None
+    val (w, h) = parsed
       .getOrElse((64 + (len % 512), 64 + (first % 512)))
     MediaFeatures(
       media_id = r.media_id,
@@ -109,6 +206,43 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Audio/video container features: real header parsing for declared
+    * WAV (sample rate + duration from the chunk sizes) and MP4 kinds
+    * (track dims + mvhd duration from the box walk); the deterministic
+    * byte-derived stub otherwise. Dimensions are 0 for audio, sample
+    * rate 0 for video — a container carries one or the other. */
+  final case class AvFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      duration_ms: Long,
+      phash: String)
+
+  def decodeAvStub(r: MediaRow): AvFeatures = {
+    val len = r.payload.length
+    val first = if (len > 0) r.payload(0) & 0xff else 0
+    val parsed: Option[(Int, Int, Int, Long)] =
+      if (AudioKinds(r.kind))
+        parseWavHeader(r.payload).map { case (sr, ms) => (0, 0, sr, ms) }
+      else if (VideoKinds(r.kind))
+        parseMp4Header(r.payload).map { case (w, h, ms) => (w, h, 0, ms) }
+      else None
+    val (w, h, sr, ms) = parsed.getOrElse(
+      (64 + (len % 512), 64 + (first % 512), 8000 + (len % 32000), len.toLong))
+    AvFeatures(r.media_id, r.kind, len, w, h, sr, ms,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Batch AV feature extraction: per-partition decode, no shuffle. */
+  def extractAvFeatures(media: Dataset[MediaRow]): Dataset[AvFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAvStub))
   }
 
   /** One sampled frame of a media payload (decode stubbed). */

@@ -75,4 +75,44 @@ object Pipeline {
       .select(col(idCol), col("n_tokens"), col("pred_lang"))
     (annotated, release)
   }
+
+  /** The pretraining pipeline end-to-end: quality gate -> LSH near-dup
+    * drop (a doc paired with a smaller id is dominated; one anti-join,
+    * no iteration) -> deterministic train split -> per-source quota ->
+    * sequence packing. This overload discards the unpersist handle —
+    * one-shot runs only; long sessions should call
+    * [[pretrainPipelineWithRelease]]. */
+  def pretrainPipeline(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame =
+    pretrainPipelineWithRelease(docs, textCol, idCol, sourceCol)._1
+
+  /** [[pretrainPipeline]] plus an unpersist handle. The stages up to the
+    * train split are ONE declarative plan (the quality filter pushes into
+    * the scan, the LSH drop is one anti-join); that plan is persisted at
+    * the split boundary because [[Sampling.quotaPerGroup]] deliberately
+    * reads its input twice (rank branch + offsets branch) — without the
+    * cache the expensive upstream (shingle explode, banding shuffles,
+    * anti-join) would compute twice per run. Invoke the handle after
+    * consuming the result to free the executor storage. */
+  def pretrainPipelineWithRelease(docs: DataFrame, textCol: String,
+      idCol: String, sourceCol: String,
+      thresholds: QualityThresholds = QualityThresholds(),
+      nearDup: NearDupConfig = NearDupConfig(),
+      trainPct: Int = 80, quota: Int = 15,
+      seqLen: Int = 512, bucketSize: Int = 64): (DataFrame, () => Unit) = {
+    val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
+      .filter(col("n_tokens") >= thresholds.minTokens &&
+        col("stopword_ratio") < thresholds.maxStopwordRatio)
+      .select(idCol)
+    val kept = docs.join(quality, idCol)
+    val dominated = Dedup.lshCandidatePairs(kept, textCol, idCol,
+        nearDup.k, nearDup.bandWidth, nearDup.shingleSize)
+      .select(col("b_id").as(idCol)).distinct()
+    val deduped = kept.join(dominated, Seq(idCol), "left_anti")
+    val train = Sampling.sampleByHash(deduped, idCol, num = trainPct, den = 100)
+      .persist()
+    val balanced = Sampling.quotaPerGroup(train, idCol, sourceCol, cap = quota)
+    val packed = Packing.packSequences(balanced, idCol, textCol, seqLen, bucketSize)
+    (packed, () => { train.unpersist(blocking = false); () })
+  }
 }

@@ -133,12 +133,27 @@ object Sampling {
     * the budget are pruned from the broadcast side — their rows cannot
     * start under budget (the group's first row lives in its first
     * bucket, at offset 0, so the keep-the-first-row guarantee
-    * survives). */
+    * survives).
+    *
+    * `tokensCol` must be NON-NEGATIVE: the bucket pruning above is only
+    * equivalent to a single group-wide running sum when the running
+    * total is monotone. A negative count would make later rows re-enter
+    * the budget and the pruned form silently drop rows the monotone form
+    * keeps — so negative values fail the whole job with an explicit
+    * error instead (a codegen'd guard on the scan, not an extra pass).
+    * Null token counts pass through: their rows are dropped by the
+    * running-sum filters, same as the single-window form. */
   def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: String, budget: Long, cumCol: String = "cum_tokens",
       prefixChars: Int = 2): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val withB = withShuffleBuckets(df, idCol, prefixChars)
+    val guarded = df.withColumn(tokensCol,
+      when(col(tokensCol) >= 0 || col(tokensCol).isNull, col(tokensCol))
+        .otherwise(raise_error(concat(
+          lit(s"tokenBudgetPerGroup: negative $tokensCol ("),
+          col(tokensCol).cast("string"),
+          lit(") breaks the monotone running sum the bucket pruning relies on")))))
+    val withB = withShuffleBuckets(guarded, idCol, prefixChars)
     val wIn = Window.partitionBy(col(groupCol), col("__pb"))
       .orderBy(col("__mk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -91,19 +91,36 @@ object Similarity {
       .select(col(idCol).as("a_id"), col("b_id"))
   }
 
-  /** Drop `table` and clear a managed location orphaned by a previous
+  /** Drop `table` and clear a MANAGED location orphaned by a previous
     * session (fresh metastore over a persistent warehouse dir blocks
-    * CREATE otherwise), so index builds are safely re-runnable. */
+    * CREATE otherwise), so index builds are safely re-runnable.
+    *
+    * Only directories the warehouse manages are ever deleted: when the
+    * table exists, its actual catalog location is used (and left alone
+    * for EXTERNAL tables — that data is not ours); only when the table
+    * is absent from the metastore is the DEFAULT managed path cleared,
+    * which is exactly the orphaned-directory case. */
   private def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val db = ident.database.getOrElse(spark.catalog.currentDatabase)
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
-      ident.table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val toClear: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(ident)
+        // managed data may survive the DROP when the metastore was
+        // recreated mid-session; external locations are never touched
+        if (meta.tableType == CatalogTableType.MANAGED)
+          Some(new org.apache.hadoop.fs.Path(meta.location))
+        else None
+      } else Some(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getDatabaseMetadata(db).locationUri.toString,
+        ident.table))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    toClear.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** Persist centroid assignments as a catalog table bucketed by
@@ -292,11 +309,25 @@ object Similarity {
     * the id filter to parquet: full vectors are read for the shortlist
     * only, the store is never shuffled, and the only hash exchange is
     * the per-query top-k window. This is the shape [[knnPqRefine]]
-    * cannot reach lazily (its stage-2 equi-join must scan the store). */
+    * cannot reach lazily (its stage-2 equi-join must scan the store).
+    *
+    * The Q×shortlist driver hop is the serving contract (candidate ids
+    * must become planning-time literals for bucket pruning), so it is
+    * BOUNDED: at most `maxCandidates` (qid, neighbor) pairs may
+    * materialize — a large batch of queries must fail fast here with a
+    * clear message, not OOM the driver mid-collect or plan a
+    * million-literal In(). Batches beyond the bound belong on
+    * [[knnPqRefine]], whose lazy stage-2 join scans the store instead. */
   def knnPqRefineIndexed(vecTable: String, encoded: DataFrame,
       queries: DataFrame, idCol: String, codebooks: Seq[Seq[Array[Float]]],
-      shortlist: Int, k: Int): DataFrame = {
+      shortlist: Int, k: Int, maxCandidates: Int = 1 << 20): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val nQueries = queries.count()
+    require(nQueries * shortlist <= maxCandidates,
+      s"knnPqRefineIndexed: $nQueries queries x $shortlist shortlist = " +
+        s"${nQueries * shortlist} candidate rows exceeds maxCandidates " +
+        s"$maxCandidates (a driver-side collect + In-literal predicate); " +
+        "raise maxCandidates deliberately or use knnPqRefine for large batches")
     val spark = encoded.sparkSession
     val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
       .select(col("qid"), col("neighbor_id"))

@@ -35,6 +35,48 @@ object MultimodalQueries {
       .digest(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
       .map("%02x".format(_)).mkString
 
+  /** Unity transform matrix shared by the mvhd/tkhd fixtures (36 bytes). */
+  private val UnityMatrix = "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+
+  /** Well-formed audio/video container headers (hex): a 16 kHz mono
+    * 16-bit WAV whose declared data chunk (64000 bytes, absent by
+    * design) yields a 2000 ms duration, and an MP4 with ftyp + moov
+    * holding an mvhd (timescale 600, duration 3000 → 5000 ms) and a
+    * 1920×1080 trak/tkhd. The parsers read declared sizes only — media
+    * bytes never exist in the fixture, which is the point.
+    * Fields: (id, kind, hex, width, height, sampleRate, durationMs). */
+  private val SynthAv = Seq(
+    (9100001L, "wav",
+      "52494646" + "24FA0000" + "57415645" + // RIFF size WAVE
+        "666D7420" + "10000000" + // "fmt " len 16
+        "0100" + "0100" + "803E0000" + "007D0000" + "0200" + "1000" + // PCM mono 16k
+        "64617461" + "00FA0000", // "data" declared 64000 bytes, none present
+      0, 0, 16000, 2000L),
+    (9100002L, "mp4",
+      "00000010" + "66747970" + "69736F6D" + "00000200" + // ftyp isom
+        "000000D8" + "6D6F6F76" + // moov (216)
+        "0000006C" + "6D766864" + "00000000" + // mvhd v0
+        "00000000" + "00000000" + "00000258" + "00000BB8" + // ts 600, dur 3000
+        "00010000" + "0100" + "0000" + "0000000000000000" + UnityMatrix +
+        "000000000000000000000000000000000000000000000000" + "00000002" +
+        "00000064" + "7472616B" + // trak (100)
+        "0000005C" + "746B6864" + "00000001" + // tkhd v0 enabled
+        "00000000" + "00000000" + "00000001" + "00000000" + "00000BB8" +
+        "0000000000000000" + "0000" + "0000" + "0000" + "0000" + UnityMatrix +
+        "07800000" + "04380000", // 1920.0 x 1080.0 (16.16 fixed)
+      1920, 1080, 0, 5000L))
+
+  /** Constant oracle rows for the AV fixtures (mirrors [[synthSql]]). */
+  private def synthAvSql: String = SynthAv.map {
+    case (id, kind, hex, w, h, sr, ms) =>
+      s"""SELECT $id::BIGINT AS media_id, '$kind' AS kind,
+         ${hex.length / 2}::INTEGER AS byte_len, $w::INTEGER AS width,
+         $h::INTEGER AS height, $sr::INTEGER AS sample_rate,
+         $ms::BIGINT AS duration_ms, '${md5Hex(hex)}' AS phash"""
+  }.mkString("\n         UNION ALL ")
+
   /** Oracle rows for the synthetic headers: every field is a known
     * constant of the fixture (dims from the format spec, digest
     * precomputed from the same hex), so the SQL stays engine-neutral —
@@ -65,6 +107,23 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_idx"), col("frame_hash"))
     }),
 
+    // Audio/video container metadata through the same typed decode
+    // pipeline: WAV chunk walk + MP4 box walk on the fixtures, the
+    // byte-derived stub for document payloads (gated on kind, so text
+    // never reaches a parser).
+    "mm04_av_features" -> ((s, d) => {
+      import s.implicits._
+      val docs = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
+      val synth = SynthAv.map { case (id, kind, hex, _, _, _, _) => (id, kind, hex) }
+        .toDF("media_id", "kind", "hex")
+        .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractAvFeatures(docs.union(synth)).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("sample_rate"),
+          col("duration_ms"), col("phash"))
+    }),
+
     // Payload-in/payload-out resize stage; the payload itself is only
     // observed through its length and hex-digest (binary columns do not
     // round-trip a SQL oracle directly).
@@ -78,9 +137,10 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // documents.text payloads carry no container signature (UTF-8 text
-    // cannot start with the PNG/JPEG magic; the GIF prefix is checked
-    // absent from the fixtures), so they take the stub-dimension path;
+    // the dimension parser is gated on KIND (png/jpeg/jpg/gif), so
+    // documents rows (kind = source) always take the stub-dimension
+    // path — even a regenerated fixture whose text happened to spell a
+    // container magic like "GIF89a" cannot diverge from this oracle;
     // the synthetic headers take the parsed path with known constants.
     "mm01_media_features" ->
       s"""SELECT doc_id AS media_id, source AS kind,
@@ -92,6 +152,18 @@ object MultimodalQueries {
          md5(text) AS phash
          FROM documents
          UNION ALL $synthSql""",
+    "mm04_av_features" ->
+      s"""SELECT doc_id AS media_id, source AS kind,
+         octet_length(encode(text))::INTEGER AS byte_len,
+         (64 + (octet_length(encode(text)) % 512))::INTEGER AS width,
+         (64 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+                END % 512))::INTEGER AS height,
+         (8000 + (octet_length(encode(text)) % 32000))::INTEGER AS sample_rate,
+         octet_length(encode(text))::BIGINT AS duration_ms,
+         md5(text) AS phash
+         FROM documents
+         UNION ALL $synthAvSql""",
     "mm02_frame_sample" ->
       """SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
          md5(text || ':' || i) AS frame_hash

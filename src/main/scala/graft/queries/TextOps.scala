@@ -56,27 +56,15 @@ object TextOps {
     "p01_clean_corpus" -> ((s, d) =>
       graft.operators.Pipeline.cleanCorpus(Tables.documents(s, d), "text", "doc_id")),
 
-    // The pretraining pipeline end-to-end as ONE declarative plan:
-    // quality gate -> LSH near-dup drop (a doc paired with a smaller id
-    // is dominated; one anti-join, no iteration) -> train split (80%)
-    // -> per-source quota -> sequence packing. No action, no cache, no
-    // intermediate write anywhere in the chain — Catalyst sees the whole
-    // pipeline and the packing prefix-sum runs over only the survivors.
-    "p02_pretrain_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val quality = TextAnalysis.qualityScore(docs, "text", Seq("doc_id"))
-        .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
-        .select("doc_id")
-      val kept = docs.join(quality, "doc_id")
-      val dominated = Dedup.lshCandidatePairs(kept, "text", "doc_id",
-          k = 6, bandWidth = 2)
-        .select(col("b_id").as("doc_id")).distinct()
-      val deduped = kept.join(dominated, Seq("doc_id"), "left_anti")
-      val train = Sampling.sampleByHash(deduped, "doc_id", num = 80, den = 100)
-      val balanced = Sampling.quotaPerGroup(train, "doc_id", "source", cap = 15)
-      Packing.packSequences(balanced, "doc_id", "text",
-        seqLen = 512, bucketSize = 64)
-    }),
+    // The pretraining pipeline end-to-end (quality gate -> LSH near-dup
+    // drop -> 80% train split -> per-source quota -> sequence packing),
+    // through the real operator: one declarative plan up to the split,
+    // persisted there because the quota sampler reads its input twice —
+    // see Pipeline.pretrainPipelineWithRelease (single-upstream-execution
+    // is plan-pinned in QueryPlanSpec).
+    "p02_pretrain_pipeline" -> ((s, d) =>
+      graft.operators.Pipeline.pretrainPipeline(
+        Tables.documents(s, d), "text", "doc_id", "source")),
 
     // Winnowing (rolling-hash) document fingerprint.
     "d10_winnow_fingerprint" -> ((s, d) =>
@@ -158,6 +146,28 @@ object TextOps {
         .select(col("doc_id"), col("n_shared_grams"), col("contaminated"))
     }),
 
+    // Decontamination at the realistic gram size (n=8, the published
+    // GPT-3-family method uses 8-13): 8-grams are rarer than docs, so
+    // natural overlap is ~0 and the signal comes from a known 12-token
+    // probe passage injected into every doc_id%13 corpus doc and into
+    // the benchmark side — those docs must report >= 5 shared grams
+    // (12-8+1, the grams inside the contiguous passage), everything
+    // else ~0. Exercises the gram-set broadcast where the benchmark
+    // set is far smaller than the corpus gram space.
+    "d23_decontaminate_8gram" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" " + ProbePassage))).otherwise(col("text")))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+        .union(Seq((-1L, ProbePassage)).toDF("doc_id", "text"))
+      TextAnalysis.decontaminate(corpus, bench, "text", "doc_id",
+          n = 8, minOverlap = 5)
+        .select(col("doc_id"), col("n_shared_grams"), col("contaminated"))
+    }),
+
     // Deterministic shuffle-shard assignment: 8 shards, dense 0-based
     // position per shard in md5-shuffled order (two-level rank — a
     // shard is corpus/nShards rows, never one sort task).
@@ -179,8 +189,22 @@ object TextOps {
     })
   )
 
+  /** 12 NATO-alphabet tokens standing in for a leaked benchmark
+    * passage in d23 (absent from the generated fixture vocabulary, so
+    * every overlap is attributable to the injection). */
+  private val ProbePassage = "alpha bravo charlie delta echo foxtrot " +
+    "golf hotel india juliett kilo lima"
+
   /** DuckDB mirrors of the operator definitions. */
   private val tkSql = "list_distinct(string_split(text, ' '))"
+
+  /** DuckDB word n-gram list mirroring [[TextAnalysis.shingles]]:
+    * whole-text fallback under n tokens, else every n-token window. */
+  private def gramSql(n: Int): String =
+    s"""CASE WHEN len(string_split(text, ' ')) < $n THEN [text]
+       ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - ${n - 1}),
+         i -> concat_ws(' ', ${(0 until n).map(k => s"string_split(text, ' ')[i+$k]").mkString(", ")}))
+       END"""
 
   /** Kirsch-Mitzenmacher slot j over the distinct shingle set: one md5
     * per shingle, two 48-bit halves, min of h1 + j*h2 (mirrors
@@ -415,6 +439,22 @@ object TextOps {
            coalesce(ov.n, 0) >= 2 AS contaminated
          FROM documents d LEFT JOIN ov USING (doc_id)
          WHERE d.doc_id % 97 <> 0""",
+    "d23_decontaminate_8gram" ->
+      s"""WITH corpus AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' $ProbePassage'
+                ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0),
+         bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0
+           UNION ALL SELECT '$ProbePassage'),
+         cg AS (SELECT doc_id, unnest(list_distinct(${gramSql(8)})) AS g
+           FROM corpus),
+         bg AS (SELECT DISTINCT unnest(list_distinct(${gramSql(8)})) AS g
+           FROM bench),
+         ov AS (SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (g)
+           GROUP BY 1)
+         SELECT c.doc_id, coalesce(ov.n, 0)::BIGINT AS n_shared_grams,
+           coalesce(ov.n, 0) >= 5 AS contaminated
+         FROM corpus c LEFT JOIN ov USING (doc_id)""",
     "d22_shard_assign" ->
       """WITH b AS (SELECT doc_id,
            ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 8 AS shard

@@ -283,12 +283,18 @@ object VaultQueries {
       import s.implicits._
       val t0 = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
       val loc = java.nio.file.Files.createTempDirectory("graft-v11").toString
-      s.sql("DROP DATABASE IF EXISTS v11_raw CASCADE")
-      s.sql("DROP DATABASE IF EXISTS v11_stg CASCADE")
+      // databases are keyed by scale factor (the e07 graft_vecstore.v_<sf>
+      // idiom): concurrent runs at different sf must not clobber each
+      // other's fixed-name catalog state
+      val sfx = d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+      val rawDb = s"v11_raw_$sfx"
+      val stgDb = s"v11_stg_$sfx"
+      s.sql(s"DROP DATABASE IF EXISTS $rawDb CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS $stgDb CASCADE")
       val config = RawVaultConfig(
         stagingBasePath = loc,
-        stagingPreparedDatabase = "v11_stg",
-        rawDatabase = "v11_raw",
+        stagingPreparedDatabase = stgDb,
+        rawDatabase = rawDb,
         partitionSize = 4,
         stagingPreparedBasePath = Some(s"$loc/stg.db"),
         rawBasePath = Some(s"$loc/raw.db"))
@@ -390,8 +396,8 @@ object VaultQueries {
         "REF__TYPELISTS_ACTIVE", "ID")
 
       val curated = new Curated(s, business,
-        TypelistsConfig(s.table("v11_raw.`REF__TYPELISTS_ACTIVE`")),
-        "v11_cur", config.rawDatabase)
+        TypelistsConfig(s.table(s"$rawDb.`REF__TYPELISTS_ACTIVE`")),
+        s"v11_cur_$sfx", config.rawDatabase)
       // the FK target (NATION) and the zip-joined entity (REGION) are
       // distinct so each vault table has exactly one reader — resolving
       // an FK into a table that is also field-projected would self-join

@@ -48,13 +48,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader(bytes("FFD8" + "00112233")).isEmpty)
   }
 
+  private val wav = bytes("52494646" + "24FA0000" + "57415645" +
+    "666D7420" + "10000000" +
+    "0100" + "0100" + "803E0000" + "007D0000" + "0200" + "1000" +
+    "64617461" + "00FA0000")
+  private val unity = "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" +
+    "00000000" + "00000000" + "40000000"
+  private val mp4 = bytes("00000010" + "66747970" + "69736F6D" + "00000200" +
+    "000000D8" + "6D6F6F76" +
+    "0000006C" + "6D766864" + "00000000" +
+    "00000000" + "00000000" + "00000258" + "00000BB8" +
+    "00010000" + "0100" + "0000" + "0000000000000000" + unity +
+    "000000000000000000000000000000000000000000000000" + "00000002" +
+    "00000064" + "7472616B" +
+    "0000005C" + "746B6864" + "00000001" +
+    "00000000" + "00000000" + "00000001" + "00000000" + "00000BB8" +
+    "0000000000000000" + "0000" + "0000" + "0000" + "0000" + unity +
+    "07800000" + "04380000")
+
+  test("parseWavHeader reads rate and duration from declared chunk sizes") {
+    // 64000 data bytes at 32000 B/s = 2000 ms; no audio bytes present
+    assert(Multimodal.parseWavHeader(wav).contains((16000, 2000L)))
+    assert(Multimodal.parseWavHeader(wav.take(11)).isEmpty)
+    assert(Multimodal.parseWavHeader("RIFFxxxxAVI ".getBytes("UTF-8")).isEmpty)
+    // fmt chunk alone (no data) parses with zero duration
+    assert(Multimodal.parseWavHeader(wav.take(36)).contains((16000, 0L)))
+  }
+
+  test("parseMp4Header walks boxes to mvhd duration and tkhd dimensions") {
+    assert(Multimodal.parseMp4Header(mp4).contains((1920, 1080, 5000L)))
+    // no moov -> no metadata
+    assert(Multimodal.parseMp4Header(mp4.take(16)).isEmpty)
+    assert(Multimodal.parseMp4Header("plain text".getBytes("UTF-8")).isEmpty)
+    // audio-only: ftyp + moov/mvhd without a trak reports 0x0 dims
+    val audioOnly = mp4.take(16 + 8 + 108).clone()
+    // shrink the moov declared size to cover only the mvhd child
+    audioOnly(19) = (8 + 108).toByte
+    assert(Multimodal.parseMp4Header(audioOnly).contains((0, 0, 5000L)))
+  }
+
   test("decode pipeline: parsed dims for containers, stub dims for the rest") {
     import spark.implicits._
     val rows = Seq(
       Multimodal.MediaRow(1L, "png", png),
       Multimodal.MediaRow(2L, "jpeg", jpeg),
       Multimodal.MediaRow(3L, "gif", gif),
-      Multimodal.MediaRow(4L, "txt", "hello world".getBytes("UTF-8")))
+      Multimodal.MediaRow(4L, "txt", "hello world".getBytes("UTF-8")),
+      // container magic under a NON-image kind: the kind gate keeps the
+      // parser off it (text starting with "GIF89a" must not grow dims)
+      Multimodal.MediaRow(5L, "txt", gif))
     val out = Multimodal.extractFeatures(rows.toDS())
       .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
     assert(out(1L) == ((640, 480)))
@@ -62,5 +105,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((320, 200)))
     val len = "hello world".length
     assert(out(4L) == ((64 + len % 512, 64 + ("hello world".head.toInt % 512))))
+    assert(out(5L) == ((64 + gif.length % 512, 64 + ((gif(0) & 0xff) % 512))))
+  }
+
+  test("AV decode pipeline: parsed wav/mp4 metadata, stub for documents") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "wav", wav),
+      Multimodal.MediaRow(2L, "mp4", mp4),
+      Multimodal.MediaRow(3L, "web", "some document".getBytes("UTF-8")))
+    val out = Multimodal.extractAvFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).sample_rate == 16000 && out(1L).duration_ms == 2000L &&
+      out(1L).width == 0 && out(1L).height == 0)
+    assert(out(2L).width == 1920 && out(2L).height == 1080 &&
+      out(2L).duration_ms == 5000L && out(2L).sample_rate == 0)
+    val len = "some document".length
+    assert(out(3L).sample_rate == 8000 + len % 32000 &&
+      out(3L).duration_ms == len.toLong)
   }
 }

@@ -72,6 +72,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter(col("qid") === col("neighbor_id")).count() === 0)
   }
 
+  test("knnPqRefineIndexed fails fast past the candidate bound") {
+    val cb = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8, maxCodewords = 16)
+    val encoded = Similarity.pqEncode(base, "vec_id", cb)
+    // 5 queries x 30 shortlist = 150 candidate rows > 100 cap: the
+    // driver-side collect + In-literal plan must be refused with a
+    // message, not attempted
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnPqRefineIndexed("unused.store", encoded,
+        base.filter(col("vec_id") < 5), "vec_id", cb,
+        shortlist = 30, k = 5, maxCandidates = 100)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    assert(e.getMessage.contains("knnPqRefine"))
+  }
+
   test("persisted IVF index probes equal in-memory IVF results") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)

@@ -154,6 +154,97 @@ class QueryPlanSpec extends AnyFunSuite {
       s"point probe scanned every bucket: ${pruned.get.matched}")
   }
 
+  /** Top-level nodes of an executed plan, unwrapping AQE wrappers and
+    * query stages but NOT descending into cached relations — an
+    * InMemoryTableScan is a leaf, so a FileScan absent from this set is
+    * proven to execute only inside the (once-materialized) cache. */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  test("p02: the quality+LSH upstream executes once, cached at the split") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("p02_pretrain_pipeline")(spark, sf)
+    df.collect() // AQE finalizes the plan only at execution
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // the quota sampler (and the packing prefix sum) re-read their
+    // input by design — every one of those reads must hit the cache
+    val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+    assert(cacheScans >= 2, s"expected multiple cache reads, got $cacheScans")
+    // ...and the documents scan must appear NOWHERE above the cache:
+    // one upstream execution total, not one per consumer
+    val docScans = nodes.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"documents scanned ${docScans.size}x outside the cached upstream")
+  }
+
+  test("bucketed vault side of the hub dedup anti-join arrives shuffle-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StringType
+    import graft.vault._
+    import spark.implicits._
+    // SCALING.md's core claim for the loaders: writeTable buckets vault
+    // tables by the dedup keys, so the anti-join's vault side is a
+    // bucket scan needing no Exchange — only the batch shuffles.
+    // Broadcast + AQE off so the shuffled path is what gets planned.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val config = RawVaultConfig(
+        stagingBasePath = java.nio.file.Files.createTempDirectory("graft-bkt").toString,
+        stagingPreparedDatabase = "plan_bkt_stg",
+        rawDatabase = "plan_bkt_raw",
+        partitionSize = 4)
+      implicit val c: Conventions = config.conventions
+      val clock = lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      val vault = new RawVault(spark, config, "plan_bkt", clock)
+      vault.initializeDatabase()
+      vault.createHub("ENTITY", Seq(ColumnDefinition("PublicID", StringType)))
+      def prepared(ids: Range) = RawVaultOps.prepareStaged(
+        ids.map(i => (0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"e$i"))
+          .toDF("OPERATION", "LOAD_DATE", "PublicID"),
+        "plan_bkt", "LOAD_DATE", "OPERATION", Seq("PublicID"))
+      vault.loadHub(prepared(0 until 50), "ENTITY", Seq("PublicID"))
+      val df = RawVaultOps.newHubRows(
+        RawVaultOps.stampForLoad(prepared(25 until 75), "plan_bkt", clock),
+        spark.table(s"${config.rawDatabase}.`${c.hubName("ENTITY")}`"), Seq("PublicID"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val anti = flatten(plan).collectFirst {
+        case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j }
+      assert(anti.isDefined, s"no anti join in:\n$plan")
+      val vaultSide = flatten(anti.get.right)
+      assert(vaultSide.collectFirst { case f: FileSourceScanExec
+          if f.relation.bucketSpec.isDefined => f }.isDefined,
+        s"vault side is not a bucketed scan:\n${anti.get.right}")
+      assert(!vaultSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"vault side re-shuffled despite bucketBy:\n${anti.get.right}")
+      assert(flatten(anti.get.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "batch side should shuffle to the vault's bucket partitioning")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("persisted-IVF probe never shuffles the corpus side") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
