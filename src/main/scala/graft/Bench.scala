@@ -1,13 +1,40 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are forced through the noop sink so
   * every plan executes fully (a count() would let Catalyst prune most
   * of the work).
+  *
+  * Alongside wall times (host weather, even as min-of-n) the line
+  * carries per-query `shuffle_bytes` — total bytes written by every
+  * shuffle exchange in the executed plan. Shuffle volume is a PLAN
+  * property: deterministic for a given query + data, so readers can
+  * diff plans numerically across rounds where timings only suggest.
   */
 object Bench {
+
+  /** Sum of shuffle-write bytes over the executed plan, unwrapping AQE
+    * stages and deduping by the metric accumulator (a reused exchange
+    * shares its child's metrics — counting both would double). */
+  private def shuffleBytes(plan: SparkPlan): Long = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Nil
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(plan)
+      .collect { case s: ShuffleExchangeExec => s.metrics.get("shuffleBytesWritten") }
+      .flatten.distinctBy(_.id).map(_.value).sum
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +78,21 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name: $e")
       }
     }
+    // one untimed metrics pass per query: executing the retained
+    // QueryExecution (instead of the noop writer's internal one) leaves
+    // its SQL metrics readable, so the plan's shuffle volume can be
+    // summed after the job completes (accumulators are merged on the
+    // driver before a job returns)
+    val shuffled = names.map { name =>
+      name -> (try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.queryExecution.executedPlan.execute()
+          .foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+        shuffleBytes(df.queryExecution.executedPlan)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name shuffle metrics: $e"); -1L
+      })
+    }
     val results = names.map(n => n -> times(n))
     val failed = results.collect { case (k, v) if v.isEmpty => "\"" + k + "\"" }
     def jsonMap(f: Vector[Double] => Double): String = results
@@ -59,10 +101,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qs = jsonMap(_.min)
     val spread = jsonMap(v => v.max - v.min)
+    val shuf = shuffled
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = f"${results.flatMap(_._2.minOption).sum}%.3f"
     val errs = failed.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spread,"rounds":$rounds,"errors":$errs,"sf":"$sfDir"}""")
+      s""""spread":$spread,"shuffle_bytes":$shuf,"rounds":$rounds,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
