@@ -56,14 +56,15 @@ object Similarity {
     * dimension `i` weighs +1 when the first byte of md5("p,i") is below
     * 0x80. The derivation is pure and engine-independent, so an external
     * oracle can inline the identical constants. */
-  def hyperplaneWeights(nPlanes: Int, dim: Int): Seq[Array[Float]] =
+  def hyperplaneWeights(nPlanes: Int, dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until nPlanes).map { p =>
       (0 until dim).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val h = md.digest(s"$p,$i".getBytes("UTF-8"))
+        val h = md.digest(s"$p,$i".getBytes("UTF-8")) // digest() leaves md reset
         if ((h(0) & 0xff) < 0x80) 1.0f else -1.0f
       }.toArray
     }
+  }
 
   /** Random-hyperplane (sign) LSH bucketing — the alternative blocker to
     * [[assignToCentroids]]: bucket id = the sign-bit string of the

@@ -191,7 +191,7 @@ class QueryPlanSpec extends AnyFunSuite {
       s"documents scanned ${docScans.size}x outside the cached upstream")
   }
 
-  test("bucketed vault side of the hub dedup anti-join arrives shuffle-free") {
+  test("bucketed vault sides of the hub+sat dedup anti-joins arrive shuffle-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -217,28 +217,42 @@ class QueryPlanSpec extends AnyFunSuite {
       val clock = lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
       val vault = new RawVault(spark, config, "plan_bkt", clock)
       vault.initializeDatabase()
+      val nameAttr = Seq(ColumnDefinition("NAME", StringType))
       vault.createHub("ENTITY", Seq(ColumnDefinition("PublicID", StringType)))
+      vault.createSatellite("ENTITY", nameAttr)
       def prepared(ids: Range) = RawVaultOps.prepareStaged(
-        ids.map(i => (0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"e$i"))
-          .toDF("OPERATION", "LOAD_DATE", "PublicID"),
+        ids.map(i => (0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), s"e$i", s"name$i"))
+          .toDF("OPERATION", "LOAD_DATE", "PublicID", "NAME"),
         "plan_bkt", "LOAD_DATE", "OPERATION", Seq("PublicID"))
-      vault.loadHub(prepared(0 until 50), "ENTITY", Seq("PublicID"))
-      val df = RawVaultOps.newHubRows(
-        RawVaultOps.stampForLoad(prepared(25 until 75), "plan_bkt", clock),
-        spark.table(s"${config.rawDatabase}.`${c.hubName("ENTITY")}`"), Seq("PublicID"))
-      df.collect()
-      val plan = df.queryExecution.executedPlan
-      val anti = flatten(plan).collectFirst {
-        case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j }
-      assert(anti.isDefined, s"no anti join in:\n$plan")
-      val vaultSide = flatten(anti.get.right)
-      assert(vaultSide.collectFirst { case f: FileSourceScanExec
-          if f.relation.bucketSpec.isDefined => f }.isDefined,
-        s"vault side is not a bucketed scan:\n${anti.get.right}")
-      assert(!vaultSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
-        s"vault side re-shuffled despite bucketBy:\n${anti.get.right}")
-      assert(flatten(anti.get.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
-        "batch side should shuffle to the vault's bucket partitioning")
+      vault.loadHub(prepared(0 until 50), "ENTITY", Seq("PublicID"),
+        Seq(SatelliteDefinition(c.satName("ENTITY"), nameAttr)))
+
+      def assertVaultSideUnshuffled(df: org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan
+        val anti = flatten(plan).collectFirst {
+          case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j }
+        assert(anti.isDefined, s"$what: no anti join in:\n$plan")
+        val vaultSide = flatten(anti.get.right)
+        assert(vaultSide.collectFirst { case f: FileSourceScanExec
+            if f.relation.bucketSpec.isDefined => f }.isDefined,
+          s"$what: vault side is not a bucketed scan:\n${anti.get.right}")
+        assert(!vaultSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$what: vault side re-shuffled despite bucketBy:\n${anti.get.right}")
+        assert(flatten(anti.get.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$what: batch side should shuffle to the vault's bucket partitioning")
+      }
+
+      val stamped = RawVaultOps.stampForLoad(prepared(25 until 75), "plan_bkt", clock)
+      // hub: anti-join on HKEY, table bucketed by HKEY
+      assertVaultSideUnshuffled(RawVaultOps.newHubRows(stamped,
+        spark.table(s"${config.rawDatabase}.`${c.hubName("ENTITY")}`"),
+        Seq("PublicID")), "hub")
+      // satellite: anti-join on (HKEY, LOAD_DATE), bucketed by both
+      assertVaultSideUnshuffled(RawVaultOps.newSatelliteRows(stamped,
+        spark.table(s"${config.rawDatabase}.`${c.satName("ENTITY")}`"),
+        Seq("NAME"), Some(config.partitionSize)), "satellite")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
