@@ -90,6 +90,20 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(kept.length == 1, s"expected only the first-by-hash row, got ${kept.toSeq}")
   }
 
+  test("tokenBudgetPerGroup fails loud on negative token counts") {
+    // the two-level pruning is only equivalent to the monotone
+    // single-window form when tokens >= 0; silence here would DROP rows
+    val bad = docs.withColumn("lang", lit("en"))
+      .withColumn("n_tokens", when($"doc_id" === 7, -3).otherwise(lit(5)))
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetPerGroup(bad, "doc_id", "lang", "n_tokens",
+        budget = 1000).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("tokenBudgetPerGroup"), chain(e))
+  }
+
   test("upsample repeats mapped groups with 1-based copy indexes") {
     val df = docs.withColumn("lang", when($"doc_id" % 2 === 0, "de").otherwise("fr"))
     val out = Sampling.upsample(df, "lang", Map("de" -> 3))

@@ -88,6 +88,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("knnPqRefine"))
   }
 
+  test("index rebuild never deletes an external table's data") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_ext")
+    val extDir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    base.limit(3).write.mode("overwrite").parquet(extDir)
+    spark.sql("DROP TABLE IF EXISTS sim_ext.store")
+    spark.sql(s"CREATE TABLE sim_ext.store USING parquet LOCATION '$extDir'")
+    // rebuilding an index under a name that currently belongs to an
+    // EXTERNAL table must drop the catalog entry only — the location
+    // holds data the warehouse does not own
+    Similarity.buildVectorStore(base, "vec_id", "sim_ext.store", buckets = 2)
+    assert(spark.read.parquet(extDir).count() === 3,
+      "external table data was deleted by the rebuild")
+    assert(spark.table("sim_ext.store").count() === base.count())
+  }
+
   test("persisted IVF index probes equal in-memory IVF results") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     Similarity.buildIvfIndex(assigned, "sim_idx.ivf_embeddings", buckets = 4)
