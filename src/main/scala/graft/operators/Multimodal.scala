@@ -117,7 +117,11 @@ object Multimodal {
       } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a') {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      // long stepping: a multi-GB declared size must not overflow into a
+      // negative index; a chunk past the payload end (header-only
+      // prefix) stops the walk with its header already consumed
+      val step = 8L + size + (size & 1L) // chunks pad to even offsets
+      if (i + step > n) i = n else i += step.toInt
     }
     if (sampleRate < 0) None
     else Some((sampleRate,

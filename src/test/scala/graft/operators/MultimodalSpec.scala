@@ -74,6 +74,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWavHeader("RIFFxxxxAVI ".getBytes("UTF-8")).isEmpty)
     // fmt chunk alone (no data) parses with zero duration
     assert(Multimodal.parseWavHeader(wav.take(36)).contains((16000, 0L)))
+    // a multi-GB declared chunk size must neither overflow nor crash
+    val huge = wav.clone()
+    huge(40) = 0xff.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0xff.toByte // data size = 0xFFFFFFFF
+    assert(Multimodal.parseWavHeader(huge)
+      .contains((16000, 0xffffffffL * 1000L / 32000L)))
   }
 
   test("parseMp4Header walks boxes to mvhd duration and tkhd dimensions") {
