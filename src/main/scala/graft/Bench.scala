@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are forced through the noop sink so
@@ -18,23 +17,14 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   */
 object Bench {
 
-  /** Sum of shuffle-write bytes over the executed plan, unwrapping AQE
-    * stages and deduping by the metric accumulator (a reused exchange
-    * shares its child's metrics — counting both would double). */
-  private def shuffleBytes(plan: SparkPlan): Long = {
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _: ReusedExchangeExec => Nil
-        case other => other.children
-      }
-      p +: kids.flatMap(walk)
-    }
-    walk(plan)
+  /** Sum of shuffle-write bytes over the executed plan (the shared
+    * [[graft.plans.PlanWalk]] traversal, reused exchanges not entered),
+    * deduped by the metric accumulator — a reused exchange shares its
+    * child's metrics, so counting both would double. */
+  private def shuffleBytes(plan: SparkPlan): Long =
+    graft.plans.PlanWalk.flatten(plan, intoReusedExchange = false)
       .collect { case s: ShuffleExchangeExec => s.metrics.get("shuffleBytesWritten") }
       .flatten.distinctBy(_.id).map(_.value).sum
-  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -147,29 +147,34 @@ object Multimodal {
           else i + size
         if (size == 1 && i + 16 > to) return
         if (boxEnd < i + 8 || boxEnd > to) return
+        val end = boxEnd.toInt
         val t = new String(p, i + 4, 4, "ISO-8859-1")
-        val pl = i + 8 // payload offset (64-bit sizes only wrap mdat in practice)
+        // an extended-size (size==1) box carries its 64-bit size before
+        // the payload; field offsets below are relative to the payload
+        val pl = if (size == 1) i + 16 else i + 8
+        // field reads are bounded by THIS box's end, never the parent's:
+        // a truncated mvhd/tkhd must reject, not read sibling bytes
         t match {
-          case "moov" | "trak" => walk(pl, boxEnd.toInt, depth + 1)
-          case "mvhd" if pl + 4 <= to =>
+          case "moov" | "trak" => walk(pl, end, depth + 1)
+          case "mvhd" if pl + 4 <= end =>
             val v = p(pl) & 0xff
-            if (v == 1 && pl + 32 <= to) {
+            if (v == 1 && pl + 32 <= end) {
               timescale = be32(p, pl + 20).toLong & 0xffffffffL
               duration = be64(p, pl + 24)
-            } else if (v == 0 && pl + 20 <= to) {
+            } else if (v == 0 && pl + 20 <= end) {
               timescale = be32(p, pl + 12).toLong & 0xffffffffL
               duration = be32(p, pl + 16).toLong & 0xffffffffL
             }
-          case "tkhd" if pl + 4 <= to =>
+          case "tkhd" if pl + 4 <= end =>
             val v = p(pl) & 0xff
             val dimOff = if (v == 1) pl + 88 else pl + 76
-            if (dimOff + 8 <= to && w == 0 && h == 0) {
+            if (dimOff + 8 <= end && w == 0 && h == 0) {
               w = be32(p, dimOff) >>> 16
               h = be32(p, dimOff + 4) >>> 16
             }
           case _ => ()
         }
-        i = boxEnd.toInt
+        i = end
       }
     }
     walk(0, n, 0)
@@ -183,17 +188,27 @@ object Multimodal {
     * pseudo-metadata (pure functions of the bytes) otherwise. The kind
     * gate keeps non-image payloads (document text, audio) off the
     * parser even if their bytes happen to start with a container magic
-    * (plain ASCII can spell "GIF89a"). */
+    * (plain ASCII can spell "GIF89a"). Kinds match case-insensitively —
+    * metadata tables spell formats both ways, and "PNG" silently taking
+    * the stub path would fabricate plausible-looking dimensions. */
   private val ImageKinds = Set("png", "jpeg", "jpg", "gif")
 
   /** Media kinds routed to [[parseWavHeader]]/[[parseMp4Header]]. */
   private val AudioKinds = Set("wav", "wave")
   private val VideoKinds = Set("mp4", "m4a", "mov")
 
-  def decodeStub(r: MediaRow): MediaFeatures = {
+  private def normKind(kind: String): String =
+    if (kind == null) "" else kind.toLowerCase
+
+  def decodeStub(r: MediaRow): MediaFeatures =
+    decodeStub(r, java.security.MessageDigest.getInstance("MD5"))
+
+  private def decodeStub(r: MediaRow,
+      md: java.security.MessageDigest): MediaFeatures = {
     val len = r.payload.length
     val first = if (len > 0) r.payload(0) & 0xff else 0
-    val parsed = if (ImageKinds(r.kind)) parseImageHeader(r.payload) else None
+    val parsed =
+      if (ImageKinds(normKind(r.kind))) parseImageHeader(r.payload) else None
     val (w, h) = parsed
       .getOrElse((64 + (len % 512), 64 + (first % 512)))
     MediaFeatures(
@@ -202,14 +217,17 @@ object Multimodal {
       byte_len = len,
       width = w,
       height = h,
-      phash = java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString)
+      phash = md.digest(r.payload).map("%02x".format(_)).mkString)
   }
 
-  /** Batch feature extraction: per-partition decode, no shuffle. */
+  /** Batch feature extraction: per-partition decode, no shuffle (one
+    * digest instance per partition, not per row). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(decodeStub(_, md))
+    }
   }
 
   /** Audio/video container features: real header parsing for declared
@@ -227,26 +245,34 @@ object Multimodal {
       duration_ms: Long,
       phash: String)
 
-  def decodeAvStub(r: MediaRow): AvFeatures = {
+  def decodeAvStub(r: MediaRow): AvFeatures =
+    decodeAvStub(r, java.security.MessageDigest.getInstance("MD5"))
+
+  private def decodeAvStub(r: MediaRow,
+      md: java.security.MessageDigest): AvFeatures = {
     val len = r.payload.length
     val first = if (len > 0) r.payload(0) & 0xff else 0
+    val kind = normKind(r.kind)
     val parsed: Option[(Int, Int, Int, Long)] =
-      if (AudioKinds(r.kind))
+      if (AudioKinds(kind))
         parseWavHeader(r.payload).map { case (sr, ms) => (0, 0, sr, ms) }
-      else if (VideoKinds(r.kind))
+      else if (VideoKinds(kind))
         parseMp4Header(r.payload).map { case (w, h, ms) => (w, h, 0, ms) }
       else None
     val (w, h, sr, ms) = parsed.getOrElse(
       (64 + (len % 512), 64 + (first % 512), 8000 + (len % 32000), len.toLong))
     AvFeatures(r.media_id, r.kind, len, w, h, sr, ms,
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString)
+      md.digest(r.payload).map("%02x".format(_)).mkString)
   }
 
-  /** Batch AV feature extraction: per-partition decode, no shuffle. */
+  /** Batch AV feature extraction: per-partition decode, no shuffle (one
+    * digest instance per partition, not per row). */
   def extractAvFeatures(media: Dataset[MediaRow]): Dataset[AvFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeAvStub))
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(decodeAvStub(_, md))
+    }
   }
 
   /** One sampled frame of a media payload (decode stubbed). */
@@ -258,14 +284,16 @@ object Multimodal {
     * for a codec call; the flatMap batch shape is the real contract. */
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val n = 1 + (r.payload.length % 4)
+    media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until n).map { i =>
-        md.reset()
-        md.update(r.payload)
-        md.update(s":$i".getBytes("UTF-8"))
-        Frame(r.media_id, i, md.digest().map("%02x".format(_)).mkString)
+      it.flatMap { r =>
+        val n = 1 + (r.payload.length % 4)
+        (0 until n).map { i =>
+          md.reset()
+          md.update(r.payload)
+          md.update(s":$i".getBytes("UTF-8"))
+          Frame(r.media_id, i, md.digest().map("%02x".format(_)).mkString)
+        }
       }
     }
   }
@@ -276,8 +304,12 @@ object Multimodal {
     * md5(payload ++ "WxH") repeated to a length scaled by the target
     * area; a real codec drops in without touching the pipeline shape:
     * still one narrow typed pass, payload never shuffled. */
-  def resizeStub(r: MediaRow, w: Int, h: Int): MediaRow = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def resizeStub(r: MediaRow, w: Int, h: Int): MediaRow =
+    resizeStub(r, w, h, java.security.MessageDigest.getInstance("MD5"))
+
+  private def resizeStub(r: MediaRow, w: Int, h: Int,
+      md: java.security.MessageDigest): MediaRow = {
+    md.reset()
     md.update(r.payload)
     md.update(s":${w}x$h".getBytes("UTF-8"))
     val digest = md.digest()
@@ -289,7 +321,10 @@ object Multimodal {
 
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizeStub(_, w, h)))
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(resizeStub(_, w, h, md))
+    }
   }
 
   /** Lift any DataFrame with (id, kind, string payload) into the media

@@ -323,12 +323,16 @@ object Similarity {
       queries: DataFrame, idCol: String, codebooks: Seq[Seq[Array[Float]]],
       shortlist: Int, k: Int, maxCandidates: Int = 1 << 20): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val nQueries = queries.count()
-    require(nQueries * shortlist <= maxCandidates,
-      s"knnPqRefineIndexed: $nQueries queries x $shortlist shortlist = " +
-        s"${nQueries * shortlist} candidate rows exceeds maxCandidates " +
-        s"$maxCandidates (a driver-side collect + In-literal predicate); " +
-        "raise maxCandidates deliberately or use knnPqRefine for large batches")
+    // bounded probe, not a full count: scanning one row past the
+    // query-count cap proves the violation at O(cap) cost, so rejecting
+    // a billion-row query frame does not first require scanning it
+    val maxQueries = maxCandidates / shortlist
+    val overCap = queries.limit(maxQueries + 1).count() > maxQueries
+    require(!overCap,
+      s"knnPqRefineIndexed: more than $maxQueries queries x $shortlist " +
+        s"shortlist exceeds maxCandidates $maxCandidates (a driver-side " +
+        "collect + In-literal predicate); raise maxCandidates deliberately " +
+        "or use knnPqRefine for large batches")
     val spark = encoded.sparkSession
     val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
       .select(col("qid"), col("neighbor_id"))

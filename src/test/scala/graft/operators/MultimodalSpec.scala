@@ -92,6 +92,26 @@ class MultimodalSpec extends AnyFunSuite {
     // shrink the moov declared size to cover only the mvhd child
     audioOnly(19) = (8 + 108).toByte
     assert(Multimodal.parseMp4Header(audioOnly).contains((0, 0, 5000L)))
+    // a truncated mvhd (declared size 12: version/flags only) must
+    // reject, not read the following bytes as timescale/duration
+    val truncated = mp4.clone()
+    truncated(24 + 3) = 12 // mvhd box size 108 -> 12
+    assert(Multimodal.parseMp4Header(truncated).isEmpty,
+      "truncated mvhd fabricated metadata")
+  }
+
+  test("kind gates match case-insensitively") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "PNG", png),
+      Multimodal.MediaRow(2L, "Gif", gif))
+    val out = Multimodal.extractFeatures(rows.toDS())
+      .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(out(1L) == ((640, 480)), "'PNG' must parse like 'png'")
+    assert(out(2L) == ((320, 200)), "'Gif' must parse like 'gif'")
+    val av = Multimodal.extractAvFeatures(
+      Seq(Multimodal.MediaRow(3L, "WAV", wav)).toDS()).collect().head
+    assert(av.sample_rate == 16000 && av.duration_ms == 2000L)
   }
 
   test("decode pipeline: parsed dims for containers, stub dims for the rest") {

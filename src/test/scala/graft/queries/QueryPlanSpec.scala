@@ -154,41 +154,37 @@ class QueryPlanSpec extends AnyFunSuite {
       s"point probe scanned every bucket: ${pruned.get.matched}")
   }
 
-  /** Top-level nodes of an executed plan, unwrapping AQE wrappers and
-    * query stages but NOT descending into cached relations — an
-    * InMemoryTableScan is a leaf, so a FileScan absent from this set is
-    * proven to execute only inside the (once-materialized) cache. */
+  /** Shared executed-plan traversal (AQE/stage/subquery unwrap; an
+    * InMemoryTableScan stays a leaf, so a FileScan absent from the
+    * flattened set is proven to execute only inside the cache). */
   private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case other => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.plans.PlanWalk.flatten(p)
 
   test("p02: the quality+LSH upstream executes once, cached at the split") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val df = SparkEntry.queries("p02_pretrain_pipeline")(spark, sf)
-    df.collect() // AQE finalizes the plan only at execution
-    val nodes = flatten(df.queryExecution.executedPlan)
-    // the quota sampler (and the packing prefix sum) re-read their
-    // input by design — every one of those reads must hit the cache
-    val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
-    assert(cacheScans >= 2, s"expected multiple cache reads, got $cacheScans")
-    // ...and the documents scan must appear NOWHERE above the cache:
-    // one upstream execution total, not one per consumer
-    val docScans = nodes.collect {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains("documents")) => f
-    }
-    assert(docScans.isEmpty,
-      s"documents scanned ${docScans.size}x outside the cached upstream")
+    import graft.sources.Tables
+    // the WithRelease variant pins the same plan the p02 query runs,
+    // and its handle lets the test drop the cache it materialized
+    val (df, release) = graft.operators.Pipeline.pretrainPipelineWithRelease(
+      Tables.documents(spark, sf), "text", "doc_id", "source")
+    try {
+      df.collect() // AQE finalizes the plan only at execution
+      val nodes = flatten(df.queryExecution.executedPlan)
+      // the quota sampler (and the packing prefix sum) re-read their
+      // input by design — every one of those reads must hit the cache
+      val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans >= 2, s"expected multiple cache reads, got $cacheScans")
+      // ...and the documents scan must appear NOWHERE above the cache:
+      // one upstream execution total, not one per consumer
+      val docScans = nodes.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => f
+      }
+      assert(docScans.isEmpty,
+        s"documents scanned ${docScans.size}x outside the cached upstream")
+    } finally release()
   }
 
   test("bucketed vault sides of the hub+sat dedup anti-joins arrive shuffle-free") {
