@@ -81,27 +81,37 @@ object TextAnalysis {
     * repeated lines, and the occurrence share of the most frequent word
     * n-gram. Ratios are single int/int divisions — bit-deterministic.
     *
-    * The per-row signals are narrow; top-n-gram mass explodes the
-    * shingle stream and counts per (doc, gram) — the distributed shape
-    * (a per-row nested fold would be O(len²) interpreted per document,
-    * and the explode/groupBy pair is the same plan family as MinHash). */
+    * Fully NARROW: every signal is a function of one row. Top-n-gram
+    * mass sorts the row's shingle array and takes the longest run of
+    * equal adjacent grams (sorted order groups duplicates), so the
+    * count of the most frequent gram falls out of one O(L log L)
+    * per-row pass — no shingle explode, no (doc, gram) shuffle, and no
+    * corpus-sized join of the mass branch back onto the per-row
+    * signals (the pre-r8 shape paid all three; a per-document
+    * statistic never needs a corpus exchange). */
   def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String],
       n: Int = 2): DataFrame = {
     val tk = tokens(col(textCol))
     val lines = split(col(textCol), "\n")
-    val narrow = df.select(idCols.map(col) ++ Seq(
-      ((size(tk) - size(array_distinct(tk))).cast("double") / size(tk))
-        .as("dup_token_ratio"),
-      ((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
-        .as("dup_line_ratio")): _*)
-    val grams = df
-      .select(idCols.map(col) ++ Seq(col(textCol), tk.as("__tk")): _*)
-      .select(idCols.map(col) :+ explode(shingles("__tk", textCol, n)).as("__g"): _*)
-    val mass = grams
-      .groupBy((idCols :+ "__g").map(col): _*).agg(count(lit(1)).as("__c"))
-      .groupBy(idCols.map(col): _*)
-      .agg((max("__c").cast("double") / sum("__c")).as("top_ngram_mass"))
-    narrow.join(mass, idCols)
+    df.select(idCols.map(col) ++ Seq(col(textCol), tk.as("__tk")): _*)
+      .withColumn("__sg", array_sort(shingles("__tk", textCol, n)))
+      .withColumn("__top", aggregate(
+        col("__sg"),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("mx")),
+        (acc, g) => {
+          val run = when(acc.getField("prev") <=> g,
+            acc.getField("run") + 1L).otherwise(1L)
+          struct(g.as("prev"), run.as("run"),
+            greatest(acc.getField("mx"), run).as("mx"))
+        },
+        acc => acc.getField("mx")))
+      .select(idCols.map(col) ++ Seq(
+        ((size(tk) - size(array_distinct(tk))).cast("double") / size(tk))
+          .as("dup_token_ratio"),
+        ((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+          .as("dup_line_ratio"),
+        (col("__top").cast("double") / size(col("__sg"))).as("top_ngram_mass")): _*)
   }
 
   /** Rare-token ratio: the fraction of a document's token occurrences

@@ -75,6 +75,18 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d12: repetition signals stay narrow — zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // every signal (dup ratios, top-gram mass via sorted-run fold) is a
+    // function of ONE row; a per-document statistic must never plan a
+    // corpus exchange
+    val df = SparkEntry.queries("d12_repetition")(spark, sf)
+    df.collect()
+    assert(!flatten(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "per-document statistic planned a corpus exchange")
+  }
+
   test("q21: sketch aggregates stay within error bounds of exact answers") {
     val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
     assert(out.nonEmpty)
