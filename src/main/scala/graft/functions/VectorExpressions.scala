@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -310,6 +310,133 @@ case class PqQueryTableFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** IVF centroid assignment: the 0-based index of the centroid row with
+  * the greatest cosine similarity `v·c / (|v|·|c|)`, ties (and NaNs)
+  * resolved exactly like a `row_number` over (csim DESC, cid ASC): the
+  * comparison is `java.lang.Double.compare` — Spark's double ordering,
+  * NaN greatest, NaN == NaN — and the first (lowest-index) winner is
+  * kept, so with centroids ordered by id the result is bit-identical
+  * to the join+window form it replaces. The win is the plan shape: the
+  * join+window form materializes corpus × C rows (each vector copied C
+  * times) through a hash exchange; this is ONE codegen'd loop per row,
+  * zero exchanges.
+  *
+  * `third`/`fourth` must be FOLDABLE array<array<float>> centroids and
+  * array<double> norms — configuration-sized by contract, like the PQ
+  * codebooks.
+  */
+case class ArgMaxCosFloat(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okV = first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val okN = second.dataType == DoubleType
+    val okC = third.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val okCn = fourth.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (okV && okN && okC && okCn && third.foldable && fourth.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_argmax_cos expects (array<float>, double, foldable " +
+          "array<array<float>>, foldable array<double>), got " +
+          Seq(first, second, third, fourth)
+            .map(_.dataType.simpleString).mkString(", ") +
+          (if (third.foldable && fourth.foldable) ""
+           else " (centroids not foldable)"))
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_argmax_cos"
+
+  @transient private lazy val cb: Array[Array[Float]] = {
+    val ad = third.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(k => ad.getArray(k).toFloatArray())
+  }
+  @transient private lazy val cn: Array[Double] =
+    fourth.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val n = v.numElements()
+    var best = 0.0
+    var bestK = -1
+    var k = 0
+    while (k < cb.length) {
+      val cw = cb(k)
+      if (cw.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        acc += v.getFloat(i).toDouble * cw(i).toDouble
+        i += 1
+      }
+      val cs = acc / (nrm * cn(k))
+      if (bestK < 0 || java.lang.Double.compare(cs, best) > 0) {
+        best = cs; bestK = k
+      }
+      k += 1
+    }
+    if (bestK < 0) null else bestK
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("ivfCentroids", cb, "float[][]")
+    val cnRef = ctx.addReferenceObj("ivfNorms", cn, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b, _, _) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cs = ctx.freshName("cs")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      val cw = ctx.freshName("cw")
+      s"""
+         |final int $n = $a.numElements();
+         |double $best = 0.0;
+         |int $bestK = -1;
+         |for (int $k = 0; $k < $cbRef.length && !${ev.isNull}; $k++) {
+         |  final float[] $cw = $cbRef[$k];
+         |  if ($cw.length != $n) { ${ev.isNull} = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $cw[$i];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $cs = $acc / ($b * $cnRef[$k]);
+         |    if ($bestK < 0 || java.lang.Double.compare($cs, $best) > 0) {
+         |      $best = $cs; $bestK = $k;
+         |    }
+         |  }
+         |}
+         |if ($bestK < 0) { ${ev.isNull} = true; }
+         |if (!${ev.isNull}) { ${ev.value} = $bestK; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): ArgMaxCosFloat =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
 /** Runtime registration of the graft native functions. */
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot")
@@ -317,6 +444,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PqArgMinFloat].getName, "graft_pq_argmin")
   val pqTableInfo =
     new ExpressionInfo(classOf[PqQueryTableFloat].getName, "graft_pq_table")
+  val argMaxCosInfo =
+    new ExpressionInfo(classOf[ArgMaxCosFloat].getName, "graft_argmax_cos")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -336,6 +465,12 @@ object GraftFunctions {
     PqQueryTableFloat(children(0), children(1))
   }
 
+  private[functions] val argMaxCosBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 4,
+      s"graft_argmax_cos expects exactly 4 arguments, got ${children.size}")
+    ArgMaxCosFloat(children(0), children(1), children(2), children(3))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -345,6 +480,8 @@ object GraftFunctions {
         FunctionIdentifier("graft_pq_argmin"), pqArgMinInfo, pqArgMinBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_pq_table"), pqTableInfo, pqTableBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_argmax_cos"), argMaxCosInfo, argMaxCosBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -359,5 +496,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.pqArgMinInfo, GraftFunctions.pqArgMinBuilder))
     ext.injectFunction((FunctionIdentifier("graft_pq_table"),
       GraftFunctions.pqTableInfo, GraftFunctions.pqTableBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_argmax_cos"),
+      GraftFunctions.argMaxCosInfo, GraftFunctions.argMaxCosBuilder))
   }
 }

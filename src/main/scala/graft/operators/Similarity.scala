@@ -41,15 +41,46 @@ object Similarity {
       .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
   }
 
-  /** Assign every vector to its max-cosine centroid (ties: lowest id). */
-  def assignToCentroids(base: DataFrame, centroids: DataFrame, idCol: String): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid").asc)
-    base.join(broadcast(cent))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select(col(idCol), col("cid"), col("v"), col("nrm"))
+  /** Assign every vector to its max-cosine centroid (ties: lowest id).
+    *
+    * ZERO-shuffle since r8: centroids are configuration-sized by
+    * contract (the IVF codebook, like PQ's — `maxCentroids` enforces
+    * it, mirroring `pqTrainSampled.maxCodewords`), so they collect once
+    * in id order and ride into `graft_argmax_cos`, one looped-codegen
+    * node per row whose tie/NaN ordering is bit-identical to the
+    * row_number-over-(csim DESC, cid ASC) form. The index→cid mapping
+    * re-enters as a broadcast join (no corpus exchange). The previous
+    * cross-join+window form pushed corpus × C rows — every vector
+    * duplicated per centroid — through a hash exchange just to keep the
+    * argmax; at 100 TB with thousands of centroids that exchange IS the
+    * index-build cost. Rows with a null vector are dropped (the window
+    * form kept them with an arbitrary lowest-id centroid — an
+    * assignment with no meaning). */
+  def assignToCentroids(base: DataFrame, centroids: DataFrame, idCol: String,
+      maxCentroids: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val spark = base.sparkSession
+    val rows = centroids.select(col(idCol), col("v"), col("nrm"))
+      .orderBy(col(idCol)).limit(maxCentroids + 1).collect()
+    require(rows.nonEmpty, "assignToCentroids: empty centroid set")
+    require(rows.length <= maxCentroids,
+      s"assignToCentroids: centroid set exceeds maxCentroids $maxCentroids " +
+        "— centroids are configuration, not data; cap the input " +
+        "(cf. pqTrainSampled.maxCodewords) or raise the bound deliberately")
+    val vecs = rows.map(_.getSeq[Float](1).toSeq).toSeq
+    val norms = rows.map(_.getDouble(2)).toSeq
+    val idField = centroids.schema(idCol)
+    val indexDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map {
+        case (r, i) => Row(i, r.get(0)) }: _*),
+      StructType(Seq(StructField("__ci", IntegerType, nullable = false),
+        StructField("__cid", idField.dataType, idField.nullable))))
+    base.withColumn("__ci", call_function("graft_argmax_cos",
+        col("v"), col("nrm"), typedlit(vecs), typedlit(norms)))
+      .join(broadcast(indexDf), Seq("__ci"))
+      .select(col(idCol), col("__cid").as("cid"), col("v"), col("nrm"))
   }
 
   /** Deterministic ±1 random-hyperplane weights for sign-LSH: plane `p`
@@ -82,14 +113,22 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs inside centroid blocks:
     * after assignToCentroids, only same-bucket pairs are compared — the
-    * blocked shape that avoids the all-pairs join at corpus scale. */
+    * blocked shape that avoids the all-pairs join at corpus scale.
+    * Symmetric alias projections + shuffle hints (the jaccardPairs /
+    * bandSelfJoin idiom): the two block-key exchanges canonicalize
+    * identically, so the assignment pipeline runs once and the other
+    * join side is a ReusedExchange. */
   def nearDupPairs(assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val a = assigned.select(col(idCol).as("a_id"), col("cid").as("a_cid"),
+      col("v").as("av"), col("nrm").as("an"))
     val b = assigned.select(col(idCol).as("b_id"), col("cid").as("b_cid"),
       col("v").as("bv"), col("nrm").as("bn"))
-    assigned.join(b, col("cid") === col("b_cid") && col(idCol) < col("b_id"))
-      .withColumn("sim", dot(col("v"), col("bv")) / (col("nrm") * col("bn")))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"),
+        col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("sim") > threshold)
-      .select(col(idCol).as("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Drop `table` and clear a MANAGED location orphaned by a previous
