@@ -102,6 +102,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("e02: centroid assignment is narrow — only the top-k window shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // graft_argmax_cos assigns in one codegen'd pass; the cross-join +
+    // row_number form it replaced shuffled corpus x C rows
+    val df = SparkEntry.queries("e02_knn_ivf")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles.size <= 1,
+      s"centroid assignment leaked a corpus exchange: ${shuffles.size} shuffles")
+  }
+
   test("e04: multi-probe stays an equi join with a broadcast probe set") {
     val p = plan("e04_knn_multiprobe")
     assert(!p.contains("CartesianProduct"), "multi-probe degenerated to cartesian")
