@@ -29,6 +29,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("assignToCentroids replicates window ordering: ties and NaN") {
+    import spark.implicits._
+    // centroid 10 and 20 are IDENTICAL: every vector ties exactly, and
+    // the window form's (csim DESC, cid ASC) row_number keeps the
+    // lowest id — the argmax fold must too
+    def frame(rows: Seq[(Long, Seq[Float])]) = Similarity.withNorm(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val vecs = frame(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f))))
+    val cents = frame(Seq(
+      (10L, Seq(1f, 0f)), (20L, Seq(1f, 0f)), (30L, Seq(0f, 1f))))
+    val out = Similarity.assignToCentroids(vecs, cents, "vec_id")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 10L, "exact tie must keep the lowest centroid id")
+    assert(out(2L) === 30L)
+    // a zero-norm query vector makes every cosine NaN; Spark's double
+    // ordering treats NaN as greatest and equal to itself, so the
+    // window form kept the lowest id — the fold must match
+    val zero = frame(Seq((9L, Seq(0f, 0f))))
+    val outZ = Similarity.assignToCentroids(zero, cents, "vec_id")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(outZ(9L) === 10L, "all-NaN similarities must keep the lowest id")
+    // oversized centroid sets are configuration errors, not data
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignToCentroids(vecs, cents, "vec_id", maxCentroids = 2)
+    }
+    assert(e.getMessage.contains("maxCentroids"))
+  }
+
   test("sign-LSH bucketing: deterministic, exhaustive, probe-compatible") {
     val weights = Similarity.hyperplaneWeights(6, 64)
     assert(weights.map(_.toSeq) ===
