@@ -100,6 +100,44 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated mvhd fabricated metadata")
   }
 
+  test("parseMp4Header handles version-1 mvhd/tkhd layouts") {
+    // v1 widens creation/modification/duration to 64 bits: mvhd payload
+    // is 112 bytes (timescale at +20, duration be64 at +24), tkhd
+    // payload 96 (dims at +88)
+    val mvhd1 = "00000078" + "6D766864" + "01000000" + // size 120, v1
+      "0000000000000000" + "0000000000000000" + // creation, modification
+      "00000258" + "0000000000000BB8" + // timescale 600, duration 3000
+      "00010000" + "0100" + "0000" + "0000000000000000" + unity +
+      "000000000000000000000000000000000000000000000000" + "00000002"
+    val tkhd1 = "00000068" + "746B6864" + "01000007" + // size 104, v1
+      "0000000000000000" + "0000000000000000" + // creation, modification
+      "00000001" + "00000000" + "0000000000000BB8" + // track, res, duration
+      "0000000000000000" + "0000" + "0000" + "0000" + "0000" + unity +
+      "05000000" + "02D00000" // 1280.0 x 720.0
+    val moov1 = f"${8 + 120 + 8 + 104}%08X" + "6D6F6F76"
+    val v1 = bytes("00000010" + "66747970" + "69736F6D" + "00000200" +
+      moov1 + mvhd1 + "00000070" + "7472616B" + tkhd1)
+    assert(Multimodal.parseMp4Header(v1).contains((1280, 720, 5000L)))
+  }
+
+  test("parsers never throw on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic run
+    (1 to 2000).foreach { i =>
+      val n = rnd.nextInt(96)
+      val p = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      // seed plausible magics sometimes so the walkers get past the
+      // signature check and chew on garbage chunk/box structure
+      if (i % 4 == 0 && n >= 12) {
+        val magic = Seq("RIFF????WAVE", "\u0089PNG\r\n\u001a\n....",
+          "GIF89a......", "....ftyp....").apply(rnd.nextInt(4))
+        magic.getBytes("ISO-8859-1").take(n).copyToArray(p)
+      }
+      Multimodal.parseImageHeader(p)
+      Multimodal.parseWavHeader(p)
+      Multimodal.parseMp4Header(p)
+    }
+  }
+
   test("kind gates match case-insensitively") {
     import spark.implicits._
     val rows = Seq(
