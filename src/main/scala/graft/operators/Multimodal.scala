@@ -58,7 +58,10 @@ object Multimodal {
     *    header (SOF0–SOF15 minus DHT/JPG/DAC), whose payload is
     *    [precision, height:be16, width:be16, ...];
     *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
-    *    little-endian width/height at offsets 6/8.
+    *    little-endian width/height at offsets 6/8;
+    *  - WebP: RIFF/"WEBP" chunk walk to the first VP8 /VP8L/VP8X
+    *    image chunk (lossy sync-coded 14-bit dims, lossless
+    *    bit-packed minus-one dims, extended 24-bit canvas).
     *
     * None when no signature matches or the header is truncated. */
   def parseImageHeader(p: Array[Byte]): Option[(Int, Int)] = {
@@ -91,6 +94,40 @@ object Multimodal {
     } else if (n >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
       Some((le16(p, 6), le16(p, 8)))
+    } else if (n >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') {
+      // WebP: RIFF container; dims live in the first image chunk —
+      // "VP8 " (lossy: 14-bit dims after the 9D 01 2A sync), "VP8L"
+      // (lossless: 14-bit minus-one dims bit-packed after 0x2F), or
+      // "VP8X" (extended: 24-bit minus-one canvas dims). Same long-
+      // stepping walk as the WAV chunks.
+      var i = 12
+      var out: Option[(Int, Int)] = None
+      while (out.isEmpty && i + 8 <= n) {
+        val size = le32(p, i + 4)
+        val t = new String(p, i, 4, "ISO-8859-1")
+        val pl = i + 8
+        t match {
+          case "VP8 " if pl + 10 <= n && (p(pl + 3) & 0xff) == 0x9d &&
+              (p(pl + 4) & 0xff) == 0x01 && (p(pl + 5) & 0xff) == 0x2a =>
+            out = Some((le16(p, pl + 6) & 0x3fff, le16(p, pl + 8) & 0x3fff))
+          case "VP8L" if pl + 5 <= n && (p(pl) & 0xff) == 0x2f =>
+            val b1 = p(pl + 1) & 0xff; val b2 = p(pl + 2) & 0xff
+            val b3 = p(pl + 3) & 0xff; val b4 = p(pl + 4) & 0xff
+            out = Some((1 + (b1 | ((b2 & 0x3f) << 8)),
+              1 + ((b2 >> 6) | (b3 << 2) | ((b4 & 0x0f) << 10))))
+          case "VP8X" if pl + 10 <= n =>
+            out = Some((
+              1 + ((p(pl + 4) & 0xff) | ((p(pl + 5) & 0xff) << 8) |
+                ((p(pl + 6) & 0xff) << 16)),
+              1 + ((p(pl + 7) & 0xff) | ((p(pl + 8) & 0xff) << 8) |
+                ((p(pl + 9) & 0xff) << 16))))
+          case _ => ()
+        }
+        val step = 8L + size + (size & 1L)
+        if (i + step > n) i = n else i += step.toInt
+      }
+      out
     } else None
   }
 
@@ -191,7 +228,7 @@ object Multimodal {
     * (plain ASCII can spell "GIF89a"). Kinds match case-insensitively —
     * metadata tables spell formats both ways, and "PNG" silently taking
     * the stub path would fabricate plausible-looking dimensions. */
-  private val ImageKinds = Set("png", "jpeg", "jpg", "gif")
+  private val ImageKinds = Set("png", "jpeg", "jpg", "gif", "webp")
 
   /** Media kinds routed to [[parseWavHeader]]/[[parseMp4Header]]. */
   private val AudioKinds = Set("wav", "wave")

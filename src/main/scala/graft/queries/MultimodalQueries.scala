@@ -28,7 +28,12 @@ object MultimodalQueries {
       320, 240),
     (9000003L, "gif",
       "474946383961" + "4001" + "C800" + "000000", // GIF89a 320x200
-      320, 200))
+      320, 200),
+    (9000004L, "webp",
+      "52494646" + "16000000" + "57454250" + // RIFF size-22 WEBP
+        "56503820" + "0A000000" + // "VP8 " lossy chunk, 10 bytes
+        "000000" + "9D012A" + "4001" + "F000", // tag, sync, 320x240 le14
+      320, 240))
 
   private def md5Hex(hex: String): String =
     java.security.MessageDigest.getInstance("MD5")

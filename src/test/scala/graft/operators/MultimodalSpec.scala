@@ -39,6 +39,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseImageHeader(gif).contains((320, 200)))
   }
 
+  test("parseImageHeader reads WebP dims from VP8 / VP8L / VP8X chunks") {
+    val lossy = bytes("52494646" + "16000000" + "57454250" +
+      "56503820" + "0A000000" + "000000" + "9D012A" + "4001" + "F000")
+    assert(Multimodal.parseImageHeader(lossy).contains((320, 240)))
+    // lossless: 0x2F signature then bit-packed (w-1, h-1); 100x50
+    val lossless = bytes("52494646" + "11000000" + "57454250" +
+      "5650384C" + "05000000" + "2F" + "63" + "40" + "0C" + "00")
+    assert(Multimodal.parseImageHeader(lossless).contains((100, 50)))
+    // extended: 24-bit minus-one canvas dims; 1920x1080
+    val extended = bytes("52494646" + "16000000" + "57454250" +
+      "56503858" + "0A000000" + "00" + "000000" + "7F0700" + "370400")
+    assert(Multimodal.parseImageHeader(extended).contains((1920, 1080)))
+    // a WAV (RIFF but not WEBP) must not parse as an image
+    assert(Multimodal.parseImageHeader(wav).isEmpty)
+    assert(Multimodal.parseImageHeader(lossy.take(14)).isEmpty)
+  }
+
   test("parseImageHeader rejects unknown and truncated payloads") {
     assert(Multimodal.parseImageHeader("plain text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseImageHeader(Array.emptyByteArray).isEmpty)
