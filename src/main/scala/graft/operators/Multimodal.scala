@@ -235,7 +235,9 @@ object Multimodal {
   private val VideoKinds = Set("mp4", "m4a", "mov")
 
   private def normKind(kind: String): String =
-    if (kind == null) "" else kind.toLowerCase
+    // Locale.ROOT: a Turkish-family default locale lowercases "GIF" to
+    // "gıf" (dotless i) and the gate would silently miss
+    if (kind == null) "" else kind.toLowerCase(java.util.Locale.ROOT)
 
   def decodeStub(r: MediaRow): MediaFeatures =
     decodeStub(r, java.security.MessageDigest.getInstance("MD5"))

@@ -53,9 +53,15 @@ object Similarity {
     * cross-join+window form pushed corpus × C rows — every vector
     * duplicated per centroid — through a hash exchange just to keep the
     * argmax; at 100 TB with thousands of centroids that exchange IS the
-    * index-build cost. Rows with a null vector are dropped (the window
-    * form kept them with an arbitrary lowest-id centroid — an
-    * assignment with no meaning). */
+    * index-build cost.
+    *
+    * Contract deltas vs the window form, all in the degenerate corner:
+    * a row whose vector is null, has a null element, or mismatches the
+    * centroid dimensionality is DROPPED (the window form kept it,
+    * assigned to an arbitrary lowest-id centroid — an assignment with
+    * no meaning); and `base` must be unique per `idCol` (the withNorm
+    * projection is — the window form would have collapsed duplicate
+    * ids to one arbitrary row instead). */
   def assignToCentroids(base: DataFrame, centroids: DataFrame, idCol: String,
       maxCentroids: Int = 4096): DataFrame = {
     import org.apache.spark.sql.Row
@@ -114,18 +120,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs inside centroid blocks:
     * after assignToCentroids, only same-bucket pairs are compared — the
     * blocked shape that avoids the all-pairs join at corpus scale.
-    * Symmetric alias projections + shuffle hints (the jaccardPairs /
-    * bandSelfJoin idiom): the two block-key exchanges canonicalize
-    * identically, so the assignment pipeline runs once and the other
-    * join side is a ReusedExchange. */
+    * SYMMETRIC alias projections (one select of the same shape per
+    * side): the two block-key exchanges canonicalize identically, so
+    * the assignment pipeline runs once and the other join side is a
+    * ReusedExchange — measured; an asymmetric raw-frame-vs-renamed
+    * join re-runs it. No join-strategy hint: the default sort-merge
+    * join sort-spills a skewed centroid block where a forced hash
+    * build would OOM, and reuse holds without it. */
   def nearDupPairs(assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val a = assigned.select(col(idCol).as("a_id"), col("cid").as("a_cid"),
       col("v").as("av"), col("nrm").as("an"))
     val b = assigned.select(col(idCol).as("b_id"), col("cid").as("b_cid"),
       col("v").as("bv"), col("nrm").as("bn"))
-    a.hint("shuffle_hash")
-      .join(b.hint("shuffle_hash"),
-        col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+    a.join(b, col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
       .withColumn("sim", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("sim") > threshold)
       .select(col("a_id"), col("b_id"))

@@ -107,8 +107,8 @@ object TextAnalysis {
         },
         acc => acc.getField("mx")))
       .select(idCols.map(col) ++ Seq(
-        ((size(tk) - size(array_distinct(tk))).cast("double") / size(tk))
-          .as("dup_token_ratio"),
+        ((size(col("__tk")) - size(array_distinct(col("__tk")))).cast("double")
+          / size(col("__tk"))).as("dup_token_ratio"),
         ((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
           .as("dup_line_ratio"),
         (col("__top").cast("double") / size(col("__sg"))).as("top_ngram_mass")): _*)

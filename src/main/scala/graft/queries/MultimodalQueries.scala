@@ -142,11 +142,14 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // the dimension parser is gated on KIND (png/jpeg/jpg/gif), so
-    // documents rows (kind = source) always take the stub-dimension
-    // path — even a regenerated fixture whose text happened to spell a
-    // container magic like "GIF89a" cannot diverge from this oracle;
-    // the synthetic headers take the parsed path with known constants.
+    // the dimension parser is gated on KIND (case-insensitive
+    // png/jpeg/jpg/gif/webp; wav/mp4 families for mm04), so documents
+    // rows (kind = source) take the stub path as long as no source
+    // value spells a format name — MultimodalSpec pins that the
+    // fixture sources stay clear of the gated kind sets, so a text
+    // payload that happened to spell a container magic still cannot
+    // diverge from this oracle; the synthetic headers take the parsed
+    // path with known constants.
     "mm01_media_features" ->
       s"""SELECT doc_id AS media_id, source AS kind,
          octet_length(encode(text))::INTEGER AS byte_len,

@@ -20,7 +20,7 @@ object ShuffleSweep {
           .flatten.distinctBy(_.id)
         println(f"SWEEP $name%-28s exchanges=${accs.size}%2d bytes=${accs.map(_.value).sum}%10d")
       } catch { case e: Throwable =>
-        println(s"SWEEP $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
+        println(s"SWEEP $name ERROR ${e.toString.take(160)}")
       }
     }
   }

@@ -155,6 +155,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture document sources never collide with gated media kinds") {
+    // mm01/mm04 oracle safety: documents rows route by kind = source;
+    // if a source value ever spelled a container format, Spark would
+    // parse while the oracle stubs — catch the fixture drift here
+    val gated = Set("png", "jpeg", "jpg", "gif", "webp",
+      "wav", "wave", "mp4", "m4a", "mov")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val sources = graft.sources.Tables.documents(spark, sf)
+        .select("source").distinct().collect()
+        .map(_.getString(0).toLowerCase(java.util.Locale.ROOT)).toSet
+      assert(sources.intersect(gated).isEmpty,
+        s"$sf documents.source collides with gated kinds: ${sources.intersect(gated)}")
+    }
+  }
+
   test("kind gates match case-insensitively") {
     import spark.implicits._
     val rows = Seq(
