@@ -66,12 +66,15 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"))
   }
 
-  test("d06/d07: self-join sides share one exchange (no double compute)") {
-    Seq("d06_jaccard_pairs", "d07_minhash_lsh").foreach { q =>
+  test("d06/d07/d09: self-join sides share one exchange (no double compute)") {
+    // d09's reuse depends on SYMMETRIC alias projections in
+    // nearDupPairs — an asymmetric raw-frame-vs-renamed join silently
+    // recomputes the centroid assignment per side (broke once in r8)
+    Seq("d06_jaccard_pairs", "d07_minhash_lsh", "d09_embed_neardup").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes stage reuse only at execution
       assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-        s"$q: tokenization/banding pipeline computed twice")
+        s"$q: self-join pipeline computed twice")
     }
   }
 
