@@ -90,6 +90,27 @@ class QueryPlanSpec extends AnyFunSuite {
       "per-document statistic planned a corpus exchange")
   }
 
+  test("the per-row operator family plans zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // every one of these is a function of single rows (plus unions of
+    // such) — a shuffle appearing in any of them is a plan regression
+    // at ANY scale, not a tuning threshold
+    val narrow = Seq(
+      "d02_token_count", "d03_quality", "d04_langid", "d05_fingerprint",
+      "d08_simhash", "d10_winnow_fingerprint", "d12_repetition",
+      "d19_upsample", "d21_redact_pii",
+      "q14_hash_hkey", "q29_posexplode", "q12_union",
+      "mm01_media_features", "mm02_frame_sample", "mm03_resize",
+      "mm04_av_features")
+    narrow.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val shuffles = flatten(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 0, s"$q: narrow operator planned $shuffles shuffle(s)")
+    }
+  }
+
   test("q21: sketch aggregates stay within error bounds of exact answers") {
     val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
     assert(out.nonEmpty)
