@@ -165,6 +165,35 @@ object Multimodal {
       if (byteRate > 0) dataSize * 1000L / byteRate else 0L))
   }
 
+  /** (sample_rate, duration_ms) from a FLAC header: "fLaC" magic, then
+    * the metadata-block walk to STREAMINFO (type 0, required first by
+    * the spec but walked defensively), whose packed bit fields carry
+    * the 20-bit sample rate and 36-bit total sample count — an EXACT
+    * duration from tens of bytes, no frame ever read. None when the
+    * magic or a well-formed STREAMINFO is missing. */
+  def parseFlacHeader(p: Array[Byte]): Option[(Int, Long)] = {
+    val n = p.length
+    if (n < 4 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C') return None
+    var i = 4
+    while (i + 4 <= n) {
+      val hdr = p(i) & 0xff
+      val len = ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      val pl = i + 4
+      if ((hdr & 0x7f) == 0) { // STREAMINFO
+        if (pl + 18 > n) return None
+        val sr = ((p(pl + 10) & 0xff) << 12) | ((p(pl + 11) & 0xff) << 4) |
+          ((p(pl + 12) & 0xff) >> 4)
+        val total = ((p(pl + 13) & 0x0fL) << 32) |
+          ((p(pl + 14) & 0xffL) << 24) | ((p(pl + 15) & 0xffL) << 16) |
+          ((p(pl + 16) & 0xffL) << 8) | (p(pl + 17) & 0xffL)
+        return if (sr > 0) Some((sr, total * 1000L / sr)) else None
+      }
+      if ((hdr & 0x80) != 0) return None // last metadata block, no STREAMINFO
+      i = pl + len
+    }
+    None
+  }
+
   /** (width, height, duration_ms) from an MP4/ISO-BMFF header — a box
     * walk over the declared sizes: `moov`/`mvhd` for timescale+duration
     * (v0 and v1 layouts), the first `trak`/`tkhd` with nonzero
@@ -230,8 +259,10 @@ object Multimodal {
     * the stub path would fabricate plausible-looking dimensions. */
   private val ImageKinds = Set("png", "jpeg", "jpg", "gif", "webp")
 
-  /** Media kinds routed to [[parseWavHeader]]/[[parseMp4Header]]. */
+  /** Media kinds routed to [[parseWavHeader]]/[[parseFlacHeader]]/
+    * [[parseMp4Header]]. */
   private val AudioKinds = Set("wav", "wave")
+  private val FlacKinds = Set("flac")
   private val VideoKinds = Set("mp4", "m4a", "mov")
 
   private def normKind(kind: String): String =
@@ -295,6 +326,8 @@ object Multimodal {
     val parsed: Option[(Int, Int, Int, Long)] =
       if (AudioKinds(kind))
         parseWavHeader(r.payload).map { case (sr, ms) => (0, 0, sr, ms) }
+      else if (FlacKinds(kind))
+        parseFlacHeader(r.payload).map { case (sr, ms) => (0, 0, sr, ms) }
       else if (VideoKinds(kind))
         parseMp4Header(r.payload).map { case (w, h, ms) => (w, h, 0, ms) }
       else None

@@ -71,7 +71,13 @@ object MultimodalQueries {
         "00000000" + "00000000" + "00000001" + "00000000" + "00000BB8" +
         "0000000000000000" + "0000" + "0000" + "0000" + "0000" + UnityMatrix +
         "07800000" + "04380000", // 1920.0 x 1080.0 (16.16 fixed)
-      1920, 1080, 0, 5000L))
+      1920, 1080, 0, 5000L),
+    (9100003L, "flac",
+      "664C6143" + "80" + "000022" + // fLaC, last-block STREAMINFO (34)
+        "1000" + "1000" + "000000" + "000000" + // block/frame size ranges
+        "0AC442F0" + "0006BAA8" + // 44100 Hz, 2ch/16bit, 441000 samples
+        "00000000000000000000000000000000", // md5 of the (absent) audio
+      0, 0, 44100, 10000L))
 
   /** Constant oracle rows for the AV fixtures (mirrors [[synthSql]]). */
   private def synthAvSql: String = SynthAv.map {

@@ -99,6 +99,21 @@ class MultimodalSpec extends AnyFunSuite {
       .contains((16000, 0xffffffffL * 1000L / 32000L)))
   }
 
+  private val flac = bytes("664C6143" + "80" + "000022" +
+    "1000" + "1000" + "000000" + "000000" +
+    "0AC442F0" + "0006BAA8" +
+    "00000000000000000000000000000000")
+
+  test("parseFlacHeader reads STREAMINFO rate and exact duration") {
+    // 441000 samples at 44100 Hz = exactly 10000 ms
+    assert(Multimodal.parseFlacHeader(flac).contains((44100, 10000L)))
+    assert(Multimodal.parseFlacHeader(flac.take(20)).isEmpty)
+    assert(Multimodal.parseFlacHeader("fLaX nope".getBytes("UTF-8")).isEmpty)
+    // a non-STREAMINFO block first (walked over), then STREAMINFO
+    val padded = bytes("664C6143" + "04" + "000002" + "BEEF") ++ flac.drop(4)
+    assert(Multimodal.parseFlacHeader(padded).contains((44100, 10000L)))
+  }
+
   test("parseMp4Header walks boxes to mvhd duration and tkhd dimensions") {
     assert(Multimodal.parseMp4Header(mp4).contains((1920, 1080, 5000L)))
     // no moov -> no metadata
@@ -146,11 +161,13 @@ class MultimodalSpec extends AnyFunSuite {
       // signature check and chew on garbage chunk/box structure
       if (i % 4 == 0 && n >= 12) {
         val magic = Seq("RIFF????WAVE", "\u0089PNG\r\n\u001a\n....",
-          "GIF89a......", "....ftyp....").apply(rnd.nextInt(4))
+          "GIF89a......", "....ftyp....", "fLaC........",
+          "RIFF????WEBP").apply(rnd.nextInt(6))
         magic.getBytes("ISO-8859-1").take(n).copyToArray(p)
       }
       Multimodal.parseImageHeader(p)
       Multimodal.parseWavHeader(p)
+      Multimodal.parseFlacHeader(p)
       Multimodal.parseMp4Header(p)
     }
   }
@@ -160,7 +177,7 @@ class MultimodalSpec extends AnyFunSuite {
     // if a source value ever spelled a container format, Spark would
     // parse while the oracle stubs — catch the fixture drift here
     val gated = Set("png", "jpeg", "jpg", "gif", "webp",
-      "wav", "wave", "mp4", "m4a", "mov")
+      "wav", "wave", "flac", "mp4", "m4a", "mov")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
       val sources = graft.sources.Tables.documents(spark, sf)
         .select("source").distinct().collect()
