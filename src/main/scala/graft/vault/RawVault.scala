@@ -529,7 +529,14 @@ class RawVault(
   private def writeTable(df: DataFrame, database: String, name: String,
       bucketColumns: Seq[String], mode: String): Unit = {
     if (config.optimizePartitioning && bucketColumns.nonEmpty)
-      df.write
+      // align tasks to buckets before the bucketed write: without it
+      // every task writes a file per bucket it happens to hold (the
+      // upstream distinct partitions by ALL columns), so a load with T
+      // tasks emits up to T x partitionSize files — a file-count
+      // explosion at cluster scale. One batch-sized exchange caps the
+      // append at one file per bucket.
+      df.repartition(config.partitionSize, bucketColumns.map(col): _*)
+        .write
         .bucketBy(config.partitionSize, bucketColumns.head, bucketColumns.tail: _*)
         .mode(mode).saveAsTable(s"$database.`$name`")
     else

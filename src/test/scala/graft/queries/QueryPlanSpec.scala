@@ -289,6 +289,15 @@ class QueryPlanSpec extends AnyFunSuite {
       }
 
       val stamped = RawVaultOps.stampForLoad(prepared(25 until 75), "plan_bkt", clock)
+      // the write is task-aligned to buckets: one load appends at most
+      // one file per bucket, not one per (task x bucket)
+      val hubDir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"${config.rawDatabase}.db/${c.hubName("ENTITY")}")
+      val parts = Option(hubDir.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts <= 2 * config.partitionSize,
+        s"bucketed write not task-aligned: $parts files for ${config.partitionSize} buckets")
       // hub: anti-join on HKEY, table bucketed by HKEY
       assertVaultSideUnshuffled(RawVaultOps.newHubRows(stamped,
         spark.table(s"${config.rawDatabase}.`${c.hubName("ENTITY")}`"),
