@@ -175,7 +175,9 @@ object Similarity {
     * bucket with no shuffle on the corpus side. */
   def buildIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit = {
     dropTableAndLocation(assigned.sparkSession, table)
-    assigned.write
+    // task-aligned to buckets (same hash family): one file per bucket
+    // instead of one per (task x bucket) — see RawVault.writeTable
+    assigned.repartition(buckets, col("cid")).write
       .bucketBy(buckets, "cid")
       .mode("overwrite")
       .saveAsTable(table)
@@ -338,7 +340,9 @@ object Similarity {
   def buildVectorStore(base: DataFrame, idCol: String, table: String,
       buckets: Int = 32): Unit = {
     dropTableAndLocation(base.sparkSession, table)
-    base.write
+    // task-aligned to buckets: one sorted file per bucket, so the
+    // In(id) point lookups prune to single files — see RawVault.writeTable
+    base.repartition(buckets, col(idCol)).write
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .mode("overwrite")
