@@ -180,7 +180,10 @@ object Multimodal {
       val len = ((p(i + 1) & 0xff) << 16) | ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
       val pl = i + 4
       if ((hdr & 0x7f) == 0) { // STREAMINFO
-        if (pl + 18 > n) return None
+        // the DECLARED block length must cover the fields read (spec
+        // says 34; 18 reaches the sample count) — checking only the
+        // array length would decode a truncated block's neighbor bytes
+        if (len < 18 || pl + 18 > n) return None
         val sr = ((p(pl + 10) & 0xff) << 12) | ((p(pl + 11) & 0xff) << 4) |
           ((p(pl + 12) & 0xff) >> 4)
         val total = ((p(pl + 13) & 0x0fL) << 32) |
@@ -189,7 +192,10 @@ object Multimodal {
         return if (sr > 0) Some((sr, total * 1000L / sr)) else None
       }
       if ((hdr & 0x80) != 0) return None // last metadata block, no STREAMINFO
-      i = pl + len
+      // long stepping like the RIFF walks: a near-end block with a big
+      // declared length must stop, not wrap to a negative index
+      val next = pl.toLong + len
+      if (next + 4 > n) return None else i = next.toInt
     }
     None
   }

@@ -112,6 +112,11 @@ class MultimodalSpec extends AnyFunSuite {
     // a non-STREAMINFO block first (walked over), then STREAMINFO
     val padded = bytes("664C6143" + "04" + "000002" + "BEEF") ++ flac.drop(4)
     assert(Multimodal.parseFlacHeader(padded).contains((44100, 10000L)))
+    // a type-0 block whose DECLARED length is too short must reject,
+    // not decode the following block's bytes as rate/sample count
+    val shortBlock = bytes("664C6143" + "00" + "000002" + "BEEF") ++ flac.drop(4)
+    assert(Multimodal.parseFlacHeader(shortBlock).isEmpty,
+      "truncated STREAMINFO fabricated metadata")
   }
 
   test("parseMp4Header walks boxes to mvhd duration and tkhd dimensions") {

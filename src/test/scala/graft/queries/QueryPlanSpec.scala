@@ -290,12 +290,17 @@ class QueryPlanSpec extends AnyFunSuite {
 
       val stamped = RawVaultOps.stampForLoad(prepared(25 until 75), "plan_bkt", clock)
       // the write is task-aligned to buckets: one load appends at most
-      // one file per bucket, not one per (task x bucket)
-      val hubDir = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-        s"${config.rawDatabase}.db/${c.hubName("ENTITY")}")
+      // one file per bucket, not one per (task x bucket). The location
+      // comes from the CATALOG (the on-disk dir name is lowercased —
+      // a hand-built uppercase path would not exist and the assertion
+      // would pass vacuously)
+      val hubDir = new java.io.File(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            c.hubName("ENTITY"), Some(config.rawDatabase))).location.toString))
       val parts = Option(hubDir.listFiles()).toSeq.flatten
         .count(_.getName.endsWith(".parquet"))
+      assert(parts >= 1, s"no data files found under $hubDir — vacuous pin")
       assert(parts <= 2 * config.partitionSize,
         s"bucketed write not task-aligned: $parts files for ${config.partitionSize} buckets")
       // hub: anti-join on HKEY, table bucketed by HKEY
