@@ -356,16 +356,44 @@ object Multimodal {
   /** One sampled frame of a media payload (decode stubbed). */
   final case class Frame(media_id: Long, frame_idx: Int, frame_hash: String)
 
+  /** Cap on frames sampled per payload: sampling is a metadata pass, so
+    * a 10-hour recording must not explode into 36k output rows. */
+  val MaxSampledFrames = 32
+
+  /** Frames to sample for one payload. For declared WAV/FLAC/MP4 kinds
+    * whose container header parses, the count is duration-derived —
+    * one frame per started second, clamp(ceil(duration_ms/1000), 1,
+    * [[MaxSampledFrames]]) — so sampling density tracks real media
+    * length (the lower clamp keeps a parseable zero-duration container
+    * represented by one frame). The deterministic byte stub
+    * (1 + len%4) applies only to non-AV kinds and unparseable
+    * payloads, where no duration exists to key off. */
+  def frameCount(r: MediaRow): Int = {
+    val kind = normKind(r.kind)
+    val durMs: Option[Long] =
+      if (AudioKinds(kind)) parseWavHeader(r.payload).map(_._2)
+      else if (FlacKinds(kind)) parseFlacHeader(r.payload).map(_._2)
+      else if (VideoKinds(kind)) parseMp4Header(r.payload).map(_._3)
+      else None
+    durMs match {
+      case Some(ms) =>
+        (((ms + 999L) / 1000L) max 1L min MaxSampledFrames.toLong).toInt
+      case None => 1 + (r.payload.length % 4)
+    }
+  }
+
   /** Frame sampling: the one-to-many decode shape (video -> frames,
-    * audio -> windows). The stub samples 1 + len%4 frames and
-    * fingerprints each as md5(payload bytes ++ ":idx") — swap the body
-    * for a codec call; the flatMap batch shape is the real contract. */
+    * audio -> windows). Frame COUNT is real — keyed off the parsed
+    * container duration via [[frameCount]]; only the frame CONTENT is
+    * stubbed, fingerprinted as md5(payload bytes ++ ":idx") — swap
+    * that for a codec call; the flatMap batch shape is the real
+    * contract. */
   def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
-        val n = 1 + (r.payload.length % 4)
+        val n = frameCount(r)
         (0 until n).map { i =>
           md.reset()
           md.update(r.payload)

@@ -79,6 +79,30 @@ object MultimodalQueries {
         "00000000000000000000000000000000", // md5 of the (absent) audio
       0, 0, 44100, 10000L))
 
+  /** md5(payload ++ ":idx") — the frame-fingerprint rule of
+    * [[Multimodal.sampleFrames]], precomputed for a constant fixture. */
+  private def md5HexFrame(hex: String, i: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    md.update(s":$i".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Constant oracle frame rows for the AV fixtures: the frame count is
+    * the duration-keyed rule of [[Multimodal.frameCount]] —
+    * clamp(ceil(duration_ms/1000), 1, 32) — applied to each fixture's
+    * KNOWN header duration, with each hash precomputed from the same
+    * hex the query feeds Spark. */
+  private def synthFrameSql: String = SynthAv.flatMap {
+    case (id, _, hex, _, _, _, ms) =>
+      val frames = (((ms + 999L) / 1000L) max 1L
+        min Multimodal.MaxSampledFrames.toLong).toInt
+      (0 until frames).map { i =>
+        s"""SELECT $id::BIGINT AS media_id, $i::INTEGER AS frame_idx,
+           '${md5HexFrame(hex, i)}' AS frame_hash"""
+      }
+  }.mkString("\n         UNION ALL ")
+
   /** Constant oracle rows for the AV fixtures (mirrors [[synthSql]]). */
   private def synthAvSql: String = SynthAv.map {
     case (id, kind, hex, w, h, sr, ms) =>
@@ -112,9 +136,17 @@ object MultimodalQueries {
     }),
 
     // One-to-many frame sampling through the typed flatMap pipeline.
+    // The AV fixtures ride along so the duration-keyed count path
+    // (parsed WAV/FLAC/MP4 headers -> ceil(ms/1000) frames) is
+    // oracle-exercised, not just the byte-stub path documents take.
     "mm02_frame_sample" -> ((s, d) => {
-      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
-      Multimodal.sampleFrames(media).toDF()
+      import s.implicits._
+      val docs = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "source", "text")
+      val synth = SynthAv.map { case (id, kind, hex, _, _, _, _) => (id, kind, hex) }
+        .toDF("media_id", "kind", "hex")
+        .select(col("media_id"), col("kind"), unhex(col("hex")).as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(docs.union(synth)).toDF()
         .select(col("media_id"), col("frame_idx"), col("frame_hash"))
     }),
 
@@ -178,12 +210,16 @@ object MultimodalQueries {
          md5(text) AS phash
          FROM documents
          UNION ALL $synthAvSql""",
+    // documents (kind = source, never an AV kind) take the byte-stub
+    // count 1 + len%4; the AV fixtures take the duration-keyed count
+    // with every (idx, hash) a precomputed constant of the fixture.
     "mm02_frame_sample" ->
-      """SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
+      s"""SELECT doc_id AS media_id, i::INTEGER AS frame_idx,
          md5(text || ':' || i) AS frame_hash
          FROM documents,
            LATERAL (SELECT unnest(generate_series(0,
-             (octet_length(encode(text)) % 4))) AS i)""",
+             (octet_length(encode(text)) % 4))) AS i)
+         UNION ALL $synthFrameSql""",
     // resizeStub: output bytes = md5(payload ++ ':128x96') cycled to
     // max(1, min(len*128*96/512^2, len)) bytes; observed as hex digest.
     "mm03_resize" ->

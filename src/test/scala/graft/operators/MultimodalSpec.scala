@@ -159,7 +159,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("parsers never throw on arbitrary bytes (fuzz)") {
     val rnd = new scala.util.Random(42) // fixed seed: deterministic run
-    (1 to 2000).foreach { i =>
+    (1 to 10000).foreach { i =>
       val n = rnd.nextInt(96)
       val p = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
       // seed plausible magics sometimes so the walkers get past the
@@ -175,6 +175,82 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.parseFlacHeader(p)
       Multimodal.parseMp4Header(p)
     }
+  }
+
+  test("parsers stop cleanly at declared-size/payload off-by-one boundaries") {
+    // WAV: a final data chunk declaring one byte less / one byte more
+    // than the bytes actually present must step cleanly to the end in
+    // both directions — no over-read, no loop, fmt metadata kept
+    val wavPad = wav ++ Array.fill[Byte](4)(0) // 4 real data bytes
+    def withDataSize(sz: Int): Array[Byte] = {
+      val a = wavPad.clone()
+      a(40) = sz.toByte; a(41) = 0; a(42) = 0; a(43) = 0
+      a
+    }
+    assert(Multimodal.parseWavHeader(withDataSize(3)) // declared = remaining−1
+      .contains((16000, 0L)))
+    assert(Multimodal.parseWavHeader(withDataSize(5)) // declared = remaining+1
+      .contains((16000, 0L)))
+    // FLAC: a skip-block declaring one byte less than its real padding
+    // lands the walk on the padding's last byte (0xBE: last-block bit
+    // set, type != 0) — clean None, not a crash or misaligned decode
+    val flacShort = bytes("664C6143" + "04" + "000002" + "BEEFBE") ++ flac.drop(4)
+    assert(Multimodal.parseFlacHeader(flacShort).isEmpty)
+    // STREAMINFO truncated at the last needed byte: 26 bytes reaches
+    // the full sample count (parses), 25 must reject, never read past
+    assert(Multimodal.parseFlacHeader(flac.take(26)).contains((44100, 10000L)))
+    assert(Multimodal.parseFlacHeader(flac.take(25)).isEmpty)
+    // MP4: moov declaring one byte more than the payload is rejected by
+    // the bounds check; one byte less keeps what fits (mvhd duration)
+    // and drops the child that no longer does (trak dims)
+    val mp4Long = mp4.clone()
+    mp4Long(19) = (0xD8 + 1).toByte // moov size 216 -> 217 = remaining+1
+    assert(Multimodal.parseMp4Header(mp4Long).isEmpty)
+    val mp4Short = mp4.clone()
+    mp4Short(19) = (0xD8 - 1).toByte // moov size 215 = remaining−1
+    assert(Multimodal.parseMp4Header(mp4Short).contains((0, 0, 5000L)))
+  }
+
+  test("frameCount keys off parsed container durations") {
+    // wav 2000 ms -> 2, mp4 5000 ms -> 5, flac 10000 ms -> 10
+    assert(Multimodal.frameCount(Multimodal.MediaRow(1L, "wav", wav)) == 2)
+    assert(Multimodal.frameCount(Multimodal.MediaRow(2L, "mp4", mp4)) == 5)
+    assert(Multimodal.frameCount(Multimodal.MediaRow(3L, "flac", flac)) == 10)
+    // ceil, not floor: 2000 ms exactly is 2 frames; 2001 ms would be 3 —
+    // shrink the data chunk by one byte: 63999 B / 32000 B/s = 1999.97 ms
+    val wavOdd = wav.clone(); wavOdd(40) = 0xff.toByte; wavOdd(41) = 0xf9.toByte
+    assert(Multimodal.frameCount(Multimodal.MediaRow(4L, "wav", wavOdd)) == 2)
+    // cap: 40 s of audio (1_280_000 data bytes declared) -> 32, not 40
+    val wavLong = wav.clone()
+    wavLong(40) = 0x00.toByte; wavLong(41) = 0x88.toByte
+    wavLong(42) = 0x13.toByte; wavLong(43) = 0x00.toByte
+    assert(Multimodal.parseWavHeader(wavLong).contains((16000, 40000L)))
+    assert(Multimodal.frameCount(Multimodal.MediaRow(5L, "wav", wavLong)) ==
+      Multimodal.MaxSampledFrames)
+    // zero-duration but parseable (fmt chunk only): lower clamp -> 1
+    assert(Multimodal.frameCount(Multimodal.MediaRow(6L, "wav", wav.take(36))) == 1)
+    // unparseable payload under an AV kind and any non-AV kind: byte stub
+    val garbage = "not a riff".getBytes("UTF-8")
+    assert(Multimodal.frameCount(Multimodal.MediaRow(7L, "wav", garbage)) ==
+      1 + garbage.length % 4)
+    assert(Multimodal.frameCount(Multimodal.MediaRow(8L, "txt", wav)) ==
+      1 + wav.length % 4)
+  }
+
+  test("sampleFrames emits duration-derived counts through the pipeline") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "wav", wav),     // 2000 ms -> 2 frames
+      Multimodal.MediaRow(2L, "flac", flac),   // 10000 ms -> 10 frames
+      Multimodal.MediaRow(3L, "mp4", mp4),     // 5000 ms -> 5 frames
+      Multimodal.MediaRow(4L, "txt", "hello".getBytes("UTF-8"))) // stub: 1+5%4
+    val frames = Multimodal.sampleFrames(rows.toDS()).collect()
+    val byId = frames.groupBy(_.media_id).map { case (k, v) => k -> v.length }
+    assert(byId == Map(1L -> 2, 2L -> 10, 3L -> 5, 4L -> 2))
+    // indices are dense from 0 and hashes distinct per frame
+    val f2 = frames.filter(_.media_id == 2L)
+    assert(f2.map(_.frame_idx).sorted.sameElements(0 until 10))
+    assert(f2.map(_.frame_hash).distinct.length == 10)
   }
 
   test("fixture document sources never collide with gated media kinds") {
