@@ -44,10 +44,20 @@ object ShuffleSweep {
 
   /** Sweep every SparkEntry query at `sf`: static exchange count, then
     * (when `execute`) one full run to read shuffleBytesWritten the way
-    * Bench does. Returns (name, exchanges, bytes, error). */
+    * Bench does. Returns (name, exchanges, bytes, error).
+    *
+    * Cache state is reset first: a cached branch left behind by an
+    * earlier caller (another suite sharing the session) collapses its
+    * subtree into an InMemoryTableScan leaf and shifts static exchange
+    * counts, which would make the count depend on who ran before the
+    * sweep. Both the standing spec and the baseline writer go through
+    * here, so both always plan from the same cold-cache state.
+    * (Instance-scoped memos like Curated's user lookup need no
+    * explicit release: each query call builds fresh instances.) */
   def sweep(spark: SparkSession, sf: String, execute: Boolean)
       : Seq[(String, Int, Long, Option[String])] =
     withStaticPlans(spark) {
+      spark.catalog.clearCache()
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
         try {
           val df = SparkEntry.queries(name)(spark, sf)
@@ -69,30 +79,49 @@ object ShuffleSweep {
       }
     }
 
-  /** One-off main: prints per-query lines; with `--write PATH` also
-    * dumps the machine-readable baseline consumed by
+  /** Default scale points for the baseline: two, so a plan that only
+    * flips shape at one of them (a broadcast-threshold crossing with a
+    * bigger input, say) cannot hide between scale points. */
+  val DefaultSfs: Seq[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  /** One-off main: prints per-query lines for each sf dir given (the
+    * two default scale points when none); with `--write PATH` also
+    * dumps the machine-readable multi-sf baseline consumed by
     * ShuffleBaselineSpec. Regenerate after a DELIBERATE plan change:
-    *   sbt 'Test/runMain graft.ShuffleSweep /root/testdata/sf0.01 --write SHUFFLE_BASELINE.json'
+    *   sbt 'Test/runMain graft.ShuffleSweep --write SHUFFLE_BASELINE.json'
     */
   def main(args: Array[String]): Unit = {
-    val sf = args.filterNot(_.startsWith("--"))
-      .headOption.getOrElse("/root/testdata/sf0.01")
-    val out: Option[String] = args.toSeq.sliding(2)
-      .collectFirst { case Seq("--write", p) => p }
-    val rows = sweep(TestSpark.spark, sf, execute = true)
-    rows.foreach {
-      case (name, ex, bytes, None) =>
-        println(f"SWEEP $name%-28s exchanges=$ex%2d bytes=$bytes%10d")
-      case (name, _, _, Some(err)) =>
-        println(s"SWEEP $name ERROR $err")
+    // flags first, THEN positionals: "--write PATH" with no sf arg must
+    // not leave PATH behind as a bogus sf dir
+    val writeIdx = args.indexOf("--write")
+    val out: Option[String] =
+      if (writeIdx >= 0 && writeIdx + 1 < args.length) Some(args(writeIdx + 1))
+      else { require(writeIdx < 0, "--write needs a PATH argument"); None }
+    val positional = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--") && i != writeIdx + 1 => a
+    }.toSeq
+    val sfs = if (positional.nonEmpty) positional else DefaultSfs
+    val bySf = sfs.map(sf => sf -> sweep(TestSpark.spark, sf, execute = true))
+    bySf.foreach { case (sf, rows) =>
+      rows.foreach {
+        case (name, ex, bytes, None) =>
+          println(f"SWEEP $sf $name%-28s exchanges=$ex%2d bytes=$bytes%10d")
+        case (name, _, _, Some(err)) =>
+          println(s"SWEEP $sf $name ERROR $err")
+      }
     }
     out.foreach { path =>
-      val errs = rows.collect { case (n, _, _, Some(e)) => s"$n: $e" }
+      val errs = bySf.flatMap { case (sf, rows) =>
+        rows.collect { case (n, _, _, Some(e)) => s"$sf $n: $e" } }
       require(errs.isEmpty, s"refusing to write baseline with errors:\n${errs.mkString("\n")}")
-      val body = rows.map { case (n, ex, bytes, _) =>
-        s"""    "$n": {"exchanges": $ex, "bytes": $bytes}""" }
-        .mkString(",\n")
-      val json = s"""{\n  "sf": "$sf",\n  "queries": {\n$body\n  }\n}\n"""
+      val sections = bySf.map { case (sf, rows) =>
+        val body = rows.map { case (n, ex, bytes, _) =>
+          s"""      "$n": {"exchanges": $ex, "bytes": $bytes}""" }
+          .mkString(",\n")
+        s"""    {\n      "sf": "$sf",\n      "queries": {\n$body\n      }\n    }"""
+      }.mkString(",\n")
+      val json = s"""{\n  "baselines": [\n$sections\n  ]\n}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
       println(s"SWEEP baseline written to $path")
