@@ -68,13 +68,13 @@ object Similarity {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     graft.functions.GraftFunctions.register(base.sparkSession)
     val spark = base.sparkSession
-    val rows = centroids.select(col(idCol), col("v"), col("nrm"))
-      .orderBy(col(idCol)).limit(maxCentroids + 1).collect()
-    require(rows.nonEmpty, "assignToCentroids: empty centroid set")
-    require(rows.length <= maxCentroids,
+    val rows = DriverBounded.collectCapped(
+      centroids.select(col(idCol), col("v"), col("nrm")).orderBy(col(idCol)),
+      maxCentroids,
       s"assignToCentroids: centroid set exceeds maxCentroids $maxCentroids " +
         "— centroids are configuration, not data; cap the input " +
         "(cf. pqTrainSampled.maxCodewords) or raise the bound deliberately")
+    require(rows.nonEmpty, "assignToCentroids: empty centroid set")
     val vecs = rows.map(_.getSeq[Float](1).toSeq).toSeq
     val norms = rows.map(_.getDouble(2)).toSeq
     val idField = centroids.schema(idCol)
@@ -251,9 +251,9 @@ object Similarity {
   def pqTrainSampled(sample: DataFrame, idCol: String, m: Int,
       maxCodewords: Int = 256): Seq[Seq[Array[Float]]] = {
     require(maxCodewords > 0, s"maxCodewords must be positive, got $maxCodewords")
-    val vecs = sample.select(col(idCol), col("v")).orderBy(col(idCol))
-      .limit(maxCodewords)
-      .collect().map(_.getSeq[Float](1).toArray)
+    val vecs = DriverBounded.takeFirst(
+        sample.select(col(idCol), col("v")).orderBy(col(idCol)), maxCodewords)
+      .map(_.getSeq[Float](1).toArray)
     require(vecs.nonEmpty, "PQ sample is empty")
     assert(vecs.length <= maxCodewords)
     val dim = vecs.head.length
@@ -377,8 +377,7 @@ object Similarity {
     // query-count cap proves the violation at O(cap) cost, so rejecting
     // a billion-row query frame does not first require scanning it
     val maxQueries = maxCandidates / shortlist
-    val overCap = queries.limit(maxQueries + 1).count() > maxQueries
-    require(!overCap,
+    require(!DriverBounded.exceeds(queries, maxQueries),
       s"knnPqRefineIndexed: more than $maxQueries queries x $shortlist " +
         s"shortlist exceeds maxCandidates $maxCandidates (a driver-side " +
         "collect + In-literal predicate); raise maxCandidates deliberately " +
@@ -386,7 +385,10 @@ object Similarity {
     val spark = encoded.sparkSession
     val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
       .select(col("qid"), col("neighbor_id"))
-    val candRows = cands.collect()
+    // the query-count guard above already bounds this to maxCandidates;
+    // the capped collect re-asserts it at the hop itself
+    val candRows = DriverBounded.collectCapped(cands, maxCandidates,
+      s"knnPqRefineIndexed: candidate pairs exceed maxCandidates $maxCandidates")
     val ids = candRows.map(_.get(1)).distinct.toSeq
     val candsDf = spark.createDataFrame(
       java.util.Arrays.asList(candRows: _*), cands.schema)
