@@ -35,9 +35,12 @@ object MultimodalQueries {
         "000000" + "9D012A" + "4001" + "F000", // tag, sync, 320x240 le14
       320, 240))
 
+  private def hexBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def md5Hex(hex: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      .digest(hexBytes(hex))
       .map("%02x".format(_)).mkString
 
   /** Unity transform matrix shared by the mvhd/tkhd fixtures (36 bytes). */
@@ -83,7 +86,7 @@ object MultimodalQueries {
     * [[Multimodal.sampleFrames]], precomputed for a constant fixture. */
   private def md5HexFrame(hex: String, i: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    md.update(hexBytes(hex))
     md.update(s":$i".getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }

@@ -99,7 +99,11 @@ object ShuffleSweep {
       if (writeIdx >= 0 && writeIdx + 1 < args.length) Some(args(writeIdx + 1))
       else { require(writeIdx < 0, "--write needs a PATH argument"); None }
     val positional = args.zipWithIndex.collect {
-      case (a, i) if !a.startsWith("--") && i != writeIdx + 1 => a
+      // drop the --write VALUE only when the flag is present: with
+      // writeIdx == -1 the naive `i != writeIdx + 1` would silently
+      // swallow the FIRST positional sf instead
+      case (a, i) if !a.startsWith("--") &&
+        (writeIdx < 0 || i != writeIdx + 1) => a
     }.toSeq
     val sfs = if (positional.nonEmpty) positional else DefaultSfs
     val bySf = sfs.map(sf => sf -> sweep(TestSpark.spark, sf, execute = true))

@@ -34,12 +34,17 @@ class ShuffleBaselineSpec extends AnyFunSuite {
     val sections = sfRe.findAllMatchIn(text)
       .map(m => m.start -> m.group(1)).toSeq
     assert(sections.nonEmpty, s"$baselinePath: no sf sections")
-    val grouped = entryRe.findAllMatchIn(text).toSeq
+    val entries = entryRe.findAllMatchIn(text).toSeq
+    assert(entries.nonEmpty, s"$baselinePath: no query entries parsed")
+    val grouped = entries
       .groupBy(e => sections.takeWhile(_._1 < e.start).lastOption
         .getOrElse(fail(s"$baselinePath: entry before any sf section"))._2)
       .map { case (sf, es) =>
         sf -> es.map(g => g.group(1) -> g.group(2).toInt).toMap }
-    assert(grouped.values.forall(_.nonEmpty), s"$baselinePath: empty section")
+    // every sf section must have contributed entries: a section whose
+    // entries all failed the regex would otherwise vanish and go ungated
+    val empty = sections.map(_._2).toSet -- grouped.keySet
+    assert(empty.isEmpty, s"$baselinePath: sf sections with no parsed entries: $empty")
     grouped
   }
 
