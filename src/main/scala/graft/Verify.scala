@@ -12,9 +12,17 @@ object Verify {
     val (sfDir, outDir, prefixes) = args match {
       case Array(s, o)    => (s, o, Seq.empty[String])
       case Array(s, o, p) => (s, o, p.split(",").toSeq.filter(_.nonEmpty))
+      case _ => sys.error(
+        s"usage: graft.Verify <sfDir> <outDir> [namePrefixes] — got ${args.length} args")
     }
     def selected(name: String): Boolean =
       prefixes.isEmpty || prefixes.exists(name.startsWith)
+    // a typo'd prefix must fail loudly, not dump zero queries and let
+    // the downstream compare report a vacuous "0 pass, 0 fail"
+    prefixes.foreach { p =>
+      require(SparkEntry.queries.keys.exists(_.startsWith(p)),
+        s"prefix '$p' matches no query in SparkEntry.queries")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

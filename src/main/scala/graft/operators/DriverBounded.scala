@@ -20,7 +20,10 @@ object DriverBounded {
     * first over-cap row — rejecting a corpus-sized frame costs O(cap),
     * not a full scan. */
   def collectCapped(df: DataFrame, cap: Int, context: => String): Array[Row] = {
-    require(cap > 0, s"collectCapped: cap must be positive, got $cap")
+    // upper bound excludes Int.MaxValue: the cap+1 over-read probe must
+    // not overflow into a negative limit
+    require(cap > 0 && cap < Int.MaxValue,
+      s"collectCapped: cap must be in [1, ${Int.MaxValue - 1}], got $cap")
     val rows = df.limit(cap + 1).collect()
     require(rows.length <= cap,
       s"$context (driver-bounded collect exceeded cap $cap)")
@@ -39,6 +42,9 @@ object DriverBounded {
   /** O(cap) probe: does `df` hold more than `cap` rows? Scans at most
     * cap+1 rows, so guarding a driver hop against a billion-row frame
     * never requires counting it. */
-  def exceeds(df: DataFrame, cap: Int): Boolean =
+  def exceeds(df: DataFrame, cap: Int): Boolean = {
+    require(cap > 0 && cap < Int.MaxValue,
+      s"exceeds: cap must be in [1, ${Int.MaxValue - 1}], got $cap")
     df.limit(cap + 1).count() > cap
+  }
 }

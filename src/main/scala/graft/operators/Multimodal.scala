@@ -360,14 +360,18 @@ object Multimodal {
     * a 10-hour recording must not explode into 36k output rows. */
   val MaxSampledFrames = 32
 
+  /** The duration-keyed sampling rule: one frame per started second,
+    * clamped to [1, [[MaxSampledFrames]]] (the lower clamp keeps a
+    * parseable zero-duration container represented by one frame). */
+  def framesForDuration(durationMs: Long): Int =
+    (((durationMs + 999L) / 1000L) max 1L min MaxSampledFrames.toLong).toInt
+
   /** Frames to sample for one payload. For declared WAV/FLAC/MP4 kinds
-    * whose container header parses, the count is duration-derived —
-    * one frame per started second, clamp(ceil(duration_ms/1000), 1,
-    * [[MaxSampledFrames]]) — so sampling density tracks real media
-    * length (the lower clamp keeps a parseable zero-duration container
-    * represented by one frame). The deterministic byte stub
-    * (1 + len%4) applies only to non-AV kinds and unparseable
-    * payloads, where no duration exists to key off. */
+    * whose container header parses, the count is duration-derived via
+    * [[framesForDuration]], so sampling density tracks real media
+    * length. The deterministic byte stub (1 + len%4) applies only to
+    * non-AV kinds and unparseable payloads, where no duration exists
+    * to key off. */
   def frameCount(r: MediaRow): Int = {
     val kind = normKind(r.kind)
     val durMs: Option[Long] =
@@ -376,8 +380,7 @@ object Multimodal {
       else if (VideoKinds(kind)) parseMp4Header(r.payload).map(_._3)
       else None
     durMs match {
-      case Some(ms) =>
-        (((ms + 999L) / 1000L) max 1L min MaxSampledFrames.toLong).toInt
+      case Some(ms) => framesForDuration(ms)
       case None => 1 + (r.payload.length % 4)
     }
   }

@@ -91,15 +91,15 @@ object MultimodalQueries {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Constant oracle frame rows for the AV fixtures: the frame count is
-    * the duration-keyed rule of [[Multimodal.frameCount]] —
-    * clamp(ceil(duration_ms/1000), 1, 32) — applied to each fixture's
-    * KNOWN header duration, with each hash precomputed from the same
-    * hex the query feeds Spark. */
+  /** Constant oracle frame rows for the AV fixtures:
+    * [[Multimodal.framesForDuration]] applied to each fixture's KNOWN
+    * header duration, with each hash precomputed from the same hex the
+    * query feeds Spark. (Independence is preserved by MultimodalSpec,
+    * which asserts the per-fixture counts 2/5/10 and the 32-cap as
+    * literals.) */
   private def synthFrameSql: String = SynthAv.flatMap {
     case (id, _, hex, _, _, _, ms) =>
-      val frames = (((ms + 999L) / 1000L) max 1L
-        min Multimodal.MaxSampledFrames.toLong).toInt
+      val frames = Multimodal.framesForDuration(ms)
       (0 until frames).map { i =>
         s"""SELECT $id::BIGINT AS media_id, $i::INTEGER AS frame_idx,
            '${md5HexFrame(hex, i)}' AS frame_hash"""

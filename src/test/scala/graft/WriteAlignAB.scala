@@ -88,8 +88,13 @@ object WriteAlignAB {
       }
     }
     val (a, u) = results.partition(_._1)
-    def stats(xs: Seq[Double]) =
-      f"min=${xs.min}%.3f median=${xs.sorted.apply(xs.size / 2)}%.3f max=${xs.max}%.3f"
+    def stats(xs: Seq[Double]) = {
+      val s = xs.sorted
+      // true median: average the middle pair on even counts
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      f"min=${s.head}%.3f median=$med%.3f max=${s.last}%.3f"
+    }
     println(s"AB rows=$rows buckets=$buckets rounds=$rounds")
     println(s"AB aligned   ${stats(a.map(_._2))} files=${fileCount("ab_a_1")}")
     println(s"AB unaligned ${stats(u.map(_._2))} files=${fileCount("ab_u_1")}")

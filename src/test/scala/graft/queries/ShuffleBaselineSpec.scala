@@ -50,6 +50,13 @@ class ShuffleBaselineSpec extends AnyFunSuite {
 
   test("static exchange count per query matches SHUFFLE_BASELINE.json at every sf") {
     val baselines = loadBaseline()
+    // the gate is only as wide as the committed file: a single-sf
+    // regeneration must fail here, not quietly narrow two scale points
+    // back down to one
+    val missing = ShuffleSweep.DefaultSfs.toSet -- baselines.keySet
+    assert(missing.isEmpty,
+      s"$baselinePath does not cover the default scale points: missing $missing — " +
+      "regenerate with sbt 'Test/runMain graft.ShuffleSweep --write SHUFFLE_BASELINE.json'")
     val problems = baselines.toSeq.sortBy(_._1).flatMap { case (sf, baseline) =>
       val swept = ShuffleSweep.sweep(TestSpark.spark, sf, execute = false)
       val errors = swept.collect { case (n, _, _, Some(e)) => s"[$sf] $n failed to plan: $e" }
