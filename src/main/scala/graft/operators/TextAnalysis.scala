@@ -221,6 +221,76 @@ object TextAnalysis {
     df.select(idCols.map(col) :+
       md5(concat_ws(" ", array_sort(tokenSet(col(textCol))))).as("fingerprint"): _*)
 
+  /** Token-window chunking: segment each document into sliding windows
+    * of `window` tokens advancing by `stride` (stride < window ⇒
+    * window − stride tokens of overlap) — the standard context-length
+    * segmentation step before tokenizer packing. Chunk count is
+    * ceil((n − window)/stride) + 1 (min 1), so every token is covered,
+    * no chunk is fully contained in its predecessor, and only the last
+    * chunk may run short. FULLY NARROW: sequence/slice/posexplode stay
+    * inside codegen, nothing shuffles — at 100 TB this is a map-only
+    * pass emitting ~n/stride rows per document, and the output order
+    * (doc, chunk_idx) needs no sort because posexplode preserves it. */
+  def chunkTokenWindows(df: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__nc",
+        expr(s"if(size(__tk) <= $window, 1, " +
+          s"((size(__tk) - $window + $stride - 1) div $stride) + 1)"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, int(__nc) - 1), i -> slice(__tk, i * $stride + 1, $window))")))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).as("chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** Top-k TF-IDF keywords per document, the standard corpus-keyword
+    * extraction: tf = in-doc occurrences, idf = ln((N+1)/(df+1)) + 1
+    * (the smoothed form), ranked per doc by tf·idf descending with a
+    * token-order tiebreak. The double score orders internally; the
+    * OUTPUT is integer/string only (rank, tf, df), so the result is
+    * robust to last-ulp libm differences across engines unless two
+    * distinct (tf, df) pairs score within one ulp.
+    *
+    * Shape at scale: one occurrence explode → groupBy(doc, token) tf
+    * (map-side combined), the vocabulary-sized document-frequency
+    * aggregate REUSES tf's exchange (same subtree, same keys — cf.
+    * [[rareTokenRatio]]), the corpus count N rides in as a one-row
+    * broadcast, and the per-doc top-k compiles to a partial
+    * WindowGroupLimit below the final exchange. Shuffles carry
+    * (token, count) pairs only, never text. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    // df := sum(least(tf, 1)) == documents containing the token (every
+    // group has tf >= 1). Written this way, not count(1), because the
+    // aggregate must REFERENCE tf: with count the optimizer strips the
+    // unused count from this branch's copy of the tf aggregate, the two
+    // subtrees stop being canonically identical, and ReusedExchange is
+    // lost — the corpus is then scanned, exploded and shuffled TWICE.
+    // Referencing tf keeps both consumers on one exchange (pinned by
+    // the d25 SHUFFLE_BASELINE entry).
+    val dfreq = tf.groupBy("__t").agg(sum(least(col("tf"), lit(1L))).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("__n"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__score").desc, col("__t").asc)
+    tf.join(dfreq, "__t")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("__t").as("token"),
+        col("tf"), col("df"))
+  }
+
   /** Winnowing fingerprint (rolling hash): hash every word n-gram
     * shingle, slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — the classic local-fingerprint scheme

@@ -186,7 +186,21 @@ object TextOps {
       TextAnalysis.redactPii(withPii, "text", Seq("doc_id"))
         .select(col("doc_id"), md5(col("redacted_text")).as("redacted_md5"),
           col("n_pii"))
-    })
+    }),
+
+    // Context-length segmentation: 64-token sliding windows advancing
+    // by 48 (16-token overlap); chunk text rides as an md5 digest so
+    // the dump stays small while still witnessing exact content.
+    "d24_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkTokenWindows(Tables.documents(s, d), "text", "doc_id",
+          window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
+    // Corpus keyword extraction: top-5 TF-IDF tokens per document.
+    "d25_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), "text", "doc_id",
+        k = 5))
   )
 
   /** 12 NATO-alphabet tokens standing in for a leaked benchmark
@@ -489,6 +503,30 @@ object TextOps {
            (cum - n_tokens) // 512 AS first_seq,
            (cum - 1) // 512 AS last_seq
          FROM c""",
+    "d24_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         n AS (SELECT doc_id, tk,
+           CASE WHEN len(tk) <= 64 THEN 1
+                ELSE ((len(tk) - 64 + 47) // 48) + 1 END AS nc FROM t),
+         e AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) AS i FROM n)
+         SELECT doc_id, i - 1 AS chunk_idx,
+           len(tk[(i-1)*48+1 : (i-1)*48+64]) AS chunk_tokens,
+           md5(array_to_string(tk[(i-1)*48+1 : (i-1)*48+64], ' ')) AS chunk_md5
+         FROM e""",
+    "d25_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         sc AS (SELECT doc_id, t, tf, df,
+           tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score
+           FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+         r AS (SELECT doc_id, t, tf, df,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, t ASC) AS rank
+         FROM sc)
+         SELECT doc_id, rank, t AS token, tf, df FROM r WHERE rank <= 5""",
     "d10_winnow_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]

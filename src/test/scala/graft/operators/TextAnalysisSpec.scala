@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unit coverage for the chunking / keyword operators (the rest of
+  * TextAnalysis is exercised end-to-end by the d02-d23 oracle queries).
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunksOf(text: String, window: Int, stride: Int): Seq[(Int, Int, String)] =
+    TextAnalysis.chunkTokenWindows(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", window, stride)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+
+  test("chunking: short doc yields one whole-doc chunk") {
+    assert(chunksOf("a b c", window = 5, stride = 3) === Seq((0, 3, "a b c")))
+  }
+
+  test("chunking: exact-window doc yields one chunk, not an empty tail") {
+    assert(chunksOf("a b c d e", window = 5, stride = 3) ===
+      Seq((0, 5, "a b c d e")))
+  }
+
+  test("chunking: overlap and short final chunk") {
+    // 7 tokens, window 5, stride 3: ceil((7-5)/3)+1 = 2 chunks,
+    // second starts at token 4 and runs short (4 tokens)
+    assert(chunksOf("a b c d e f g", window = 5, stride = 3) === Seq(
+      (0, 5, "a b c d e"),
+      (1, 4, "d e f g")))
+  }
+
+  test("chunking: stride == window tiles without overlap") {
+    assert(chunksOf("a b c d e f", window = 3, stride = 3) === Seq(
+      (0, 3, "a b c"),
+      (1, 3, "d e f")))
+  }
+
+  test("chunking: every token is covered at window+1 length") {
+    // 6 tokens, window 5, stride 3: second chunk picks up token 6
+    assert(chunksOf("a b c d e f", window = 5, stride = 3) === Seq(
+      (0, 5, "a b c d e"),
+      (1, 3, "d e f")))
+  }
+
+  test("chunking: invalid window/stride rejected") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokenWindows(df, "text", "doc_id", window = 0, stride = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokenWindows(df, "text", "doc_id", window = 3, stride = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokenWindows(df, "text", "doc_id", window = 3, stride = 0)
+    }
+  }
+
+  test("tfidf: corpus-common token ranks below distinctive repeated token") {
+    // "the" is in all 3 docs (df=3); "cat"/"dog"/"fish" in one each (df=1).
+    // In doc 1, "cat" has tf=2 and idf ln(4/2)+1 vs "the" tf=1 idf ln(4/4)+1
+    // -> cat scores 2*(ln2+1) ~ 3.39, the scores 1.0: cat must rank first.
+    val docs = Seq(
+      (1L, "the cat cat"),
+      (2L, "the dog"),
+      (3L, "the fish")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out((1L, 1)) === (("cat", 2L, 1L)))
+    assert(out((1L, 2)) === (("the", 1L, 3L)))
+    assert(out((2L, 1)) === (("dog", 1L, 1L)))
+    assert(out((3L, 1)) === (("fish", 1L, 1L)))
+  }
+
+  test("tfidf: equal-score ties break by token order, k caps output") {
+    // doc 1 has two df=1 tf=1 tokens with identical scores: token order
+    // decides; k=1 keeps exactly one row per doc
+    val docs = Seq(
+      (1L, "zeta alpha"),
+      (2L, "beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    assert(out === Map(1L -> "alpha", 2L -> "beta"))
+  }
+}
