@@ -89,6 +89,89 @@ object Similarity {
       .select(col(idCol), col("__cid").as("cid"), col("v"), col("nrm"))
   }
 
+  /** A fitted spherical-k-means model: the final per-vector assignment
+    * (same shape as [[assignToCentroids]] output, with `cid` = 0-based
+    * centroid index, so it composes directly with [[buildIvfIndex]] /
+    * [[knnIvf]]), plus the trained centroids and their norms. */
+  case class KMeansModel(assignment: DataFrame,
+      centroids: Seq[Array[Float]], norms: Seq[Double])
+
+  /** Spherical k-means (Lloyd) — the training step that produces the
+    * IVF centroid codebook: seed with the `k` lowest-id vectors, then
+    * `iters` rounds of {max-cosine assignment, mean update}, returning
+    * the assignment under the final centroids.
+    *
+    * Built for reproducibility at scale: the centroid update
+    * accumulates vectors QUANTIZED to `quantScale`-ths as longs, so the
+    * distributed per-cluster sum is exact integer arithmetic — the
+    * result is bit-identical under any partitioning, task order, or
+    * engine (floating-point sums commute only approximately; long sums
+    * commute exactly). Each new centroid dimension is then one double
+    * division, cast to float — a deterministic derivation an external
+    * oracle reproduces exactly. Empty clusters keep their previous
+    * centroid.
+    *
+    * Scale shape: per round, one ZERO-shuffle narrow pass (the
+    * configuration-sized centroids ride into `graft_argmax_cos` as
+    * literals, cf. [[assignToCentroids]]) plus one k-row aggregate
+    * whose map-side combine reduces each task to k×(dim+1) longs; the
+    * driver holds k×dim floats between rounds ([[DriverBounded]]).
+    * Rows whose vector is null or mismatches `dim` are dropped (the
+    * argmax contract). `base` must be a [[withNorm]] projection. */
+  def kmeansFit(base: DataFrame, idCol: String, k: Int, iters: Int,
+      dim: Int, quantScale: Int = 1000, maxK: Int = 4096): KMeansModel = {
+    require(k > 0 && k <= maxK, s"kmeansFit: k must be in [1, $maxK], got $k")
+    require(iters >= 1, s"kmeansFit: iters must be >= 1, got $iters")
+    require(dim > 0 && quantScale > 0,
+      s"kmeansFit: dim and quantScale must be positive, got $dim, $quantScale")
+    graft.functions.GraftFunctions.register(base.sparkSession)
+
+    // sqrt(sum x_i^2) via the same left-to-right widening double fold
+    // graft_dot and DuckDB's list_dot_product use — norms must be
+    // bit-identical to what an oracle computes from the same floats
+    def normOf(c: Array[Float]): Double =
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    def assignIdx(cvs: Seq[Array[Float]], cns: Seq[Double]) =
+      call_function("graft_argmax_cos", col("v"), col("nrm"),
+        typedlit(cvs.map(_.toSeq)), typedlit(cns))
+
+    // deterministic seeds: the k lowest-id vectors (fewer if the corpus
+    // is smaller than k)
+    var cvs: Seq[Array[Float]] = DriverBounded.takeFirst(
+        base.select(col(idCol), col("v")).orderBy(col(idCol)), k)
+      .map(_.getSeq[Float](1).toArray).toSeq
+    require(cvs.nonEmpty, "kmeansFit: empty input")
+    var cns: Seq[Double] = cvs.map(normOf)
+
+    // exact update accumulators: round(v_i * quantScale) as long — a
+    // float times a non-power-of-two integer never lands exactly on
+    // .5, so the two engines' tie conventions can never disagree
+    val sumExprs = (1 to dim).map(i => sum(expr(
+      s"cast(round(cast(element_at(v, $i) as double) * $quantScale) as bigint)"))
+      .as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val byCluster = DriverBounded.collectCapped(
+        base.withColumn("__ci", assignIdx(cvs, cns))
+          .filter(col("__ci").isNotNull)
+          .groupBy("__ci")
+          .agg(count(lit(1)).as("cnt"), sumExprs: _*),
+        cvs.length,
+        "kmeansFit: more clusters than centroids in the update aggregate")
+      val updates = byCluster.map { r =>
+        val cnt = r.getLong(1)
+        r.getInt(0) -> Array.tabulate(dim)(d =>
+          (r.getLong(d + 2).toDouble / (quantScale.toDouble * cnt)).toFloat)
+      }.toMap
+      cvs = cvs.zipWithIndex.map { case (old, j) => updates.getOrElse(j, old) }
+      cns = cvs.map(normOf)
+    }
+    KMeansModel(
+      base.withColumn("cid", assignIdx(cvs, cns))
+        .filter(col("cid").isNotNull)
+        .select(col(idCol), col("cid"), col("v"), col("nrm")),
+      cvs, cns)
+  }
+
   /** Deterministic ±1 random-hyperplane weights for sign-LSH: plane `p`
     * dimension `i` weighs +1 when the first byte of md5("p,i") is below
     * 0x80. The derivation is pure and engine-independent, so an external

@@ -122,8 +122,28 @@ object VectorOps {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val assigned = Similarity.assignToCentroids(base, centroids(base), "vec_id")
       Similarity.nearDupPairs(assigned, "vec_id", threshold = 0.4)
+    }),
+
+    // Spherical k-means fit — the IVF centroid TRAINING step the other
+    // e-queries assume as given: 8 clusters seeded by the lowest
+    // vec_ids, 2 Lloyd rounds with exact milli-quantized mean updates
+    // (bit-deterministic under any partitioning). Output is the final
+    // assignment plus cluster sizes — integers only, hash-robust.
+    "e08_kmeans_fit" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = Similarity.kmeansFit(base, "vec_id", k = KmK,
+        iters = KmIters, dim = Dim, quantScale = KmScale)
+      val sizes = model.assignment.groupBy("cid")
+        .agg(count(lit(1)).as("cluster_size"))
+      model.assignment.select(col("vec_id"), col("cid"))
+        .join(broadcast(sizes), Seq("cid"))
+        .select(col("vec_id"), col("cid"), col("cluster_size"))
     })
   )
+
+  private val KmK = 8 // k-means clusters (configuration-sized codebook)
+  private val KmIters = 2 // Lloyd rounds (unrolled verbatim in the oracle)
+  private val KmScale = 1000 // exact-update quantization: round(v*1000) longs
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
@@ -286,6 +306,50 @@ object VectorOps {
          SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM assigned a JOIN assigned b
            ON a.cid = b.cid AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4"""
+         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
+    "e08_kmeans_fit" -> kmeansOracleSql
   )
+
+  /** The k-means oracle, Lloyd rounds unrolled verbatim: assignment is
+    * the proven e02 row_number-over-cosine mirror of graft_argmax_cos;
+    * the mean update sums round(v*1000) BIGINTs (exact, order-free,
+    * identical to the engine's quantized accumulators) and derives each
+    * centroid dimension by one double division cast through FLOAT —
+    * the same IEEE op sequence the engine performs, so every
+    * intermediate centroid is bit-identical and the final assignment
+    * cannot drift. Empty clusters keep the previous centroid (the LEFT
+    * JOIN + CASE). */
+  private def kmeansOracleSql: String = {
+    val dimSums = (1 to Dim)
+      .map(dd => s"sum(round(v[$dd] * $KmScale)::BIGINT) AS s$dd")
+      .mkString(", ")
+    def assignCte(name: String, cSrc: String) =
+      s"""$name AS (SELECT vec_id, ci, v, nrm FROM (
+         SELECT e.vec_id, c.ci, e.v, e.nrm, row_number()
+           OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                          c.ci ASC) AS rn
+         FROM e CROSS JOIN $cSrc c) WHERE rn = 1)"""
+    val rounds = (1 to KmIters).map { i =>
+      val newCv = "[" + (1 to Dim)
+        .map(dd => s"(u$i.s$dd / ($KmScale.0 * u$i.cnt))::FLOAT::DOUBLE")
+        .mkString(", ") + "]"
+      s"""u$i AS (SELECT ci, count(*) AS cnt, $dimSums FROM a$i GROUP BY ci),
+         c$i AS (SELECT cp.ci,
+           CASE WHEN u$i.cnt IS NULL THEN cp.cv ELSE $newCv END AS cv
+           FROM c${i - 1} cp LEFT JOIN u$i ON cp.ci = u$i.ci),
+         n$i AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$i),
+         ${assignCte(s"a${i + 1}", s"n$i")}"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
+         n0 AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c0),
+         ${assignCte("a1", "n0")},
+         $rounds
+         SELECT a.vec_id, a.ci AS cid, s.cluster_size
+         FROM a${KmIters + 1} a JOIN (SELECT ci, count(*) AS cluster_size
+           FROM a${KmIters + 1} GROUP BY 1) s ON a.ci = s.ci"""
+  }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** kmeansFit invariants: separable clusters converge, updates are
+  * partition-independent (the exact-quantized-sum contract), empty
+  * clusters retain their centroid, and the guards fire.
+  */
+class KMeansSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, Seq[Float])]) = Similarity.withNorm(
+    rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+  // two tight direction-separated groups: ids 1-3 near +x, ids 4-6 near +y
+  private val separable = Seq(
+    (1L, Seq(1.0f, 0.05f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.1f, 0.0f)),
+    (4L, Seq(0.05f, 1.0f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.0f, 1.1f)))
+
+  test("separable clusters converge to the two directions") {
+    // seeds are ids 1 and 2 — both in the +x group — so convergence to
+    // a balanced split requires the mean update to actually move
+    // centroid 1 toward +y once the +y points win the cosine argmax
+    val m = Similarity.kmeansFit(frame(separable), "vec_id",
+      k = 2, iters = 3, dim = 2)
+    val byCluster = m.assignment.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byCluster.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Set(byCluster(1L), byCluster(2L), byCluster(3L)).size === 1)
+    assert(Set(byCluster(4L), byCluster(5L), byCluster(6L)).size === 1)
+    assert(byCluster(1L) !== byCluster(4L))
+  }
+
+  test("centroids are bit-identical under different partitionings") {
+    // the whole point of quantized long accumulation: the distributed
+    // mean must not depend on how rows are split across tasks
+    val df = separable.toDF("vec_id", "embedding")
+    val a = Similarity.kmeansFit(Similarity.withNorm(
+      df.repartition(1), "vec_id", "embedding"), "vec_id", 2, 2, 2)
+    val b = Similarity.kmeansFit(Similarity.withNorm(
+      df.repartition(5, col("vec_id")), "vec_id", "embedding"), "vec_id", 2, 2, 2)
+    assert(a.centroids.map(_.toSeq) === b.centroids.map(_.toSeq))
+    assert(a.norms === b.norms)
+  }
+
+  test("an empty cluster keeps its previous centroid") {
+    // both seeds (ids 1, 2) sit in the +x group and every point is
+    // closer to seed 1's direction than to seed 2's after one update;
+    // k=3 would need a third seed — instead craft a direct corner:
+    // two identical seed vectors, so seed 1 (higher index) never wins
+    // a tie (first-wins argmax) and must survive untouched
+    val dup = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f)))
+    val m = Similarity.kmeansFit(frame(dup), "vec_id", k = 2, iters = 2, dim = 2)
+    // round 1 assigns everything to cluster 0 (exact ties go first-wins),
+    // so cluster 1 is empty and must keep the raw seed
+    assert(m.centroids(1).toSeq === Seq(1.0f, 0.0f))
+    // after cluster 0's centroid moves to the 3-point mean, the two
+    // exact-(1,0) vectors now strictly prefer the retained seed — the
+    // kept centroid participates in later rounds, it isn't dead
+    val byCluster = m.assignment.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byCluster === Map(1L -> 1, 2L -> 1, 3L -> 0))
+  }
+
+  test("corpus smaller than k seeds only the available vectors") {
+    val m = Similarity.kmeansFit(frame(separable.take(2)), "vec_id",
+      k = 5, iters = 1, dim = 2)
+    assert(m.centroids.length === 2)
+  }
+
+  test("guards: k, iters, dim, and empty input") {
+    val f = frame(separable)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(f, "vec_id", k = 0, iters = 1, dim = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(f, "vec_id", k = 2, iters = 0, dim = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(f, "vec_id", k = 2, iters = 1, dim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(frame(Seq.empty), "vec_id", k = 2, iters = 1, dim = 2)
+    }
+  }
+}
