@@ -136,16 +136,23 @@ object Similarity {
         typedlit(cvs.map(_.toSeq)), typedlit(cns))
 
     // deterministic seeds: the k lowest-id vectors (fewer if the corpus
-    // is smaller than k)
+    // is smaller than k), under the same drop contract as assignment —
+    // null vectors, null elements, and dim mismatches never seed
     var cvs: Seq[Array[Float]] = DriverBounded.takeFirst(
-        base.select(col(idCol), col("v")).orderBy(col(idCol)), k)
+        base.select(col(idCol), col("v"))
+          .filter(col("v").isNotNull && size(col("v")) === dim &&
+            expr("forall(v, x -> x is not null)"))
+          .orderBy(col(idCol)), k)
       .map(_.getSeq[Float](1).toArray).toSeq
-    require(cvs.nonEmpty, "kmeansFit: empty input")
+    require(cvs.nonEmpty, "kmeansFit: no usable seed vectors " +
+      s"(null-free vectors of dimension $dim)")
     var cns: Seq[Double] = cvs.map(normOf)
 
-    // exact update accumulators: round(v_i * quantScale) as long — a
-    // float times a non-power-of-two integer never lands exactly on
-    // .5, so the two engines' tie conventions can never disagree
+    // exact update accumulators: round(v_i * quantScale) as long.
+    // Half-way products DO occur (0.0625f * 1000 = 62.5 exactly); the
+    // engines agree because BOTH round halves away from zero (Spark
+    // round = HALF_UP, DuckDB round = C round) — an oracle ported to an
+    // engine with banker's rounding would diverge here
     val sumExprs = (1 to dim).map(i => sum(expr(
       s"cast(round(cast(element_at(v, $i) as double) * $quantScale) as bigint)"))
       .as(s"s$i"))

@@ -87,5 +87,10 @@ class KMeansSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.kmeansFit(frame(Seq.empty), "vec_id", k = 2, iters = 1, dim = 2)
     }
+    // a dim that matches no vector must fail loudly at seeding, not
+    // train against truncated sums or return a silently empty model
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(frame(separable), "vec_id", k = 2, iters = 1, dim = 3)
+    }
   }
 }
