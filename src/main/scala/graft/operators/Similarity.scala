@@ -179,6 +179,28 @@ object Similarity {
       cvs, cns)
   }
 
+  /** Johnson-Lindenstrauss random projection: reduce an embedding to
+    * `outDim` dimensions via deterministic ±1 hyperplanes scaled by
+    * 1/sqrt(outDim) — the standard cheap pre-reduction before ANN when
+    * the raw dimensionality dominates scan cost (projected vectors are
+    * outDim/dim of the bytes; JL keeps pairwise distances within
+    * (1±eps) for outDim = O(log n / eps^2)). FULLY NARROW: outDim
+    * codegen'd `graft_dot` folds per row against literal weights
+    * ([[hyperplaneWeights]] — md5-derived, so an external oracle
+    * inlines identical constants), zero exchanges at any scale.
+    * Output: (idCol, rp: array<double>), rp(j) = dot(v, w_j)/sqrt(outDim). */
+  def randomProject(base: DataFrame, idCol: String, outDim: Int,
+      dim: Int): DataFrame = {
+    require(outDim > 0 && dim > 0,
+      s"randomProject: outDim and dim must be positive, got $outDim, $dim")
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    val s = math.sqrt(outDim.toDouble)
+    val planes = hyperplaneWeights(outDim, dim)
+    base.select(col(idCol),
+      array(planes.map(w => dot(col("v"), typedlit(w.toSeq)) / lit(s)): _*)
+        .as("rp"))
+  }
+
   /** Deterministic ±1 random-hyperplane weights for sign-LSH: plane `p`
     * dimension `i` weighs +1 when the first byte of md5("p,i") is below
     * 0x80. The derivation is pure and engine-independent, so an external

@@ -138,12 +138,24 @@ object VectorOps {
       model.assignment.select(col("vec_id"), col("cid"))
         .join(broadcast(sizes), Seq("cid"))
         .select(col("vec_id"), col("cid"), col("cluster_size"))
+    }),
+
+    // JL random projection 64 -> 16 dims; components surface as
+    // micro-unit-rounded BIGINTs so the hash compare never touches a
+    // raw double column.
+    "e09_random_projection" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val rp = Similarity.randomProject(base, "vec_id", outDim = RpDim, dim = Dim)
+      rp.select(col("vec_id") +: (1 to RpDim).map(j =>
+        expr(s"cast(round(element_at(rp, $j) * 1000000) as bigint)")
+          .as(f"p$j%02d")): _*)
     })
   )
 
   private val KmK = 8 // k-means clusters (configuration-sized codebook)
   private val KmIters = 2 // Lloyd rounds (unrolled verbatim in the oracle)
   private val KmScale = 1000 // exact-update quantization: round(v*1000) longs
+  private val RpDim = 16 // JL projection output dims
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
@@ -307,7 +319,20 @@ object VectorOps {
          FROM assigned a JOIN assigned b
            ON a.cid = b.cid AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
-    "e08_kmeans_fit" -> kmeansOracleSql
+    "e08_kmeans_fit" -> kmeansOracleSql,
+    "e09_random_projection" -> {
+      // the same ±1 plane constants the engine derives, inlined (the
+      // lshBucketSql precedent); dot / sqrt * 1e6 left-to-right mirrors
+      // the engine's op order exactly
+      val planes = Similarity.hyperplaneWeights(RpDim, Dim).map(w =>
+        w.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]") + "::DOUBLE[]")
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
+         SELECT vec_id, ${(0 until RpDim).map(j =>
+           s"round(list_dot_product(v, ${planes(j)}) / sqrt($RpDim.0) * 1000000)::BIGINT" +
+             f" AS p${j + 1}%02d").mkString(", ")}
+         FROM e"""
+    }
   )
 
   /** The k-means oracle, Lloyd rounds unrolled verbatim: assignment is

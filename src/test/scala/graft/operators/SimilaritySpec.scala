@@ -29,6 +29,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("randomProject maps basis vectors to the signed plane weights") {
+    import spark.implicits._
+    // e_i . w_j = w_j[i] exactly, so projecting the standard basis
+    // recovers hyperplaneWeights / sqrt(outDim) with no float slack
+    val dim = 8
+    val outDim = 4
+    val basis = (0 until dim).map(i =>
+      (i.toLong, Seq.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)))
+    val rp = Similarity.randomProject(
+      Similarity.withNorm(basis.toDF("vec_id", "embedding"), "vec_id", "embedding"),
+      "vec_id", outDim, dim)
+    val got = rp.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val w = Similarity.hyperplaneWeights(outDim, dim)
+    val s = math.sqrt(outDim.toDouble)
+    for (i <- 0 until dim; j <- 0 until outDim)
+      assert(got(i.toLong)(j) === w(j)(i).toDouble / s,
+        s"basis $i plane $j")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(rp, "vec_id", outDim = 0, dim = 8)
+    }
+  }
+
   test("assignToCentroids replicates window ordering: ties and NaN") {
     import spark.implicits._
     // centroid 10 and 20 are IDENTICAL: every vector ties exactly, and
