@@ -188,7 +188,13 @@ object Similarity {
     * codegen'd `graft_dot` folds per row against literal weights
     * ([[hyperplaneWeights]] — md5-derived, so an external oracle
     * inlines identical constants), zero exchanges at any scale.
-    * Output: (idCol, rp: array<double>), rp(j) = dot(v, w_j)/sqrt(outDim). */
+    *
+    * `base` must be a [[withNorm]] projection with vectors of length
+    * `dim`: a mismatched row fails the job loudly (a codegen'd value
+    * guard — graft_dot would otherwise null it silently). Output:
+    * (idCol, rp: array<float>), rp(j) = float(dot(v, w_j)/sqrt(outDim))
+    * — float, so the result feeds [[withNorm]] and the whole ANN stack
+    * directly and the byte ratio really is outDim/dim. */
   def randomProject(base: DataFrame, idCol: String, outDim: Int,
       dim: Int): DataFrame = {
     require(outDim > 0 && dim > 0,
@@ -196,8 +202,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(base.sparkSession)
     val s = math.sqrt(outDim.toDouble)
     val planes = hyperplaneWeights(outDim, dim)
+    val guardedV = when(size(col("v")) === dim, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: vector of length "), size(col("v")).cast("string"),
+        lit(s" does not match dim $dim"))))
     base.select(col(idCol),
-      array(planes.map(w => dot(col("v"), typedlit(w.toSeq)) / lit(s)): _*)
+      array(planes.map(w =>
+        (dot(guardedV, typedlit(w.toSeq)) / lit(s)).cast("float")): _*)
         .as("rp"))
   }
 

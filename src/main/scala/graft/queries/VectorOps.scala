@@ -32,14 +32,20 @@ object VectorOps {
     s"(SELECT vec_id, v, nrm FROM e WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $IvfC)"
   private val Shortlist = 25 // e07 stage-1 ADC candidate count
 
-  /** The sign-LSH bucket key as DuckDB SQL, with the SAME Scala-derived
-    * ±1 weights inlined as list literals (hyperplaneWeights is pure, so
-    * both engines see identical constants; list_dot_product on DOUBLE[]
-    * is a sequential double fold, matching graft_dot's widening fold). */
+  /** A ±1 hyperplane as a DuckDB DOUBLE[] literal — the single encoding
+    * of the Scala-derived weights every plane-based oracle must share
+    * (hyperplaneWeights is pure, so both engines see identical
+    * constants; list_dot_product on DOUBLE[] is a sequential double
+    * fold, matching graft_dot's widening fold). */
+  private def planeSqlLiteral(w: Array[Float]): String =
+    w.map(x => if (x > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** The sign-LSH bucket key as DuckDB SQL over the shared plane
+    * literals. */
   private def lshBucketSql(v: String): String =
     Similarity.hyperplaneWeights(NPlanes, Dim).map { w =>
-      val lst = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product($v, $lst::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product($v, ${planeSqlLiteral(w)}) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -147,7 +153,7 @@ object VectorOps {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val rp = Similarity.randomProject(base, "vec_id", outDim = RpDim, dim = Dim)
       rp.select(col("vec_id") +: (1 to RpDim).map(j =>
-        expr(s"cast(round(element_at(rp, $j) * 1000000) as bigint)")
+        expr(s"cast(round(cast(element_at(rp, $j) as double) * 1000000) as bigint)")
           .as(f"p$j%02d")): _*)
     })
   )
@@ -321,15 +327,13 @@ object VectorOps {
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
     "e08_kmeans_fit" -> kmeansOracleSql,
     "e09_random_projection" -> {
-      // the same ±1 plane constants the engine derives, inlined (the
-      // lshBucketSql precedent); dot / sqrt * 1e6 left-to-right mirrors
-      // the engine's op order exactly
-      val planes = Similarity.hyperplaneWeights(RpDim, Dim).map(w =>
-        w.map(x => if (x > 0) "1.0" else "-1.0")
-          .mkString("[", ",", "]") + "::DOUBLE[]")
+      // shared plane literals; (dot / sqrt)::FLOAT::DOUBLE * 1e6 then
+      // round mirrors the engine's op order exactly, including the
+      // float cast the operator applies to each component
+      val planes = Similarity.hyperplaneWeights(RpDim, Dim).map(planeSqlLiteral)
       s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings)
          SELECT vec_id, ${(0 until RpDim).map(j =>
-           s"round(list_dot_product(v, ${planes(j)}) / sqrt($RpDim.0) * 1000000)::BIGINT" +
+           s"round((list_dot_product(v, ${planes(j)}) / sqrt($RpDim.0))::FLOAT::DOUBLE * 1000000)::BIGINT" +
              f" AS p${j + 1}%02d").mkString(", ")}
          FROM e"""
     }

@@ -40,12 +40,25 @@ class SimilaritySpec extends AnyFunSuite {
     val rp = Similarity.randomProject(
       Similarity.withNorm(basis.toDF("vec_id", "embedding"), "vec_id", "embedding"),
       "vec_id", outDim, dim)
-    val got = rp.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = rp.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val w = Similarity.hyperplaneWeights(outDim, dim)
     val s = math.sqrt(outDim.toDouble)
     for (i <- 0 until dim; j <- 0 until outDim)
-      assert(got(i.toLong)(j) === w(j)(i).toDouble / s,
+      assert(got(i.toLong)(j) === (w(j)(i).toDouble / s).toFloat,
         s"basis $i plane $j")
+    // float output composes straight back into the ANN stack
+    val reNormed = Similarity.withNorm(
+      rp.withColumnRenamed("rp", "embedding"), "vec_id", "embedding")
+    assert(reNormed.count() === dim)
+    // a dim-mismatched vector fails the job loudly, not null-silently
+    val ex = intercept[Exception] {
+      Similarity.randomProject(Similarity.withNorm(
+          Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding"),
+        "vec_id", outDim, dim).collect()
+    }
+    assert(ex.getMessage.contains("does not match dim") ||
+      Option(ex.getCause).exists(_.getMessage.contains("does not match dim")))
     intercept[IllegalArgumentException] {
       Similarity.randomProject(rp, "vec_id", outDim = 0, dim = 8)
     }
