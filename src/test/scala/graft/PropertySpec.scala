@@ -83,6 +83,34 @@ class PropertySpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("chunkTokenWindows covers every token with the formula count") {
+    val gen = for {
+      n <- Gen.choose(1, 40) // tokens per doc
+      window <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, window)
+    } yield (n, window, stride)
+    forAllP(gen, cases = 12) { case (n, window, stride) =>
+      val toks = (1 to n).map(i => s"t$i")
+      val chunks = graft.operators.TextAnalysis.chunkTokenWindows(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "text", "doc_id", window, stride)
+        .orderBy("chunk_idx")
+        .collect()
+        .map(r => (r.getInt(1), r.getString(3).split(" ").toSeq))
+      val expectedCount =
+        if (n <= window) 1 else ((n - window + stride - 1) / stride) + 1
+      assert(chunks.length === expectedCount, s"n=$n w=$window s=$stride")
+      // chunk i holds exactly tokens [i*stride, i*stride + window)
+      chunks.foreach { case (idx, c) =>
+        assert(c === toks.slice(idx * stride, idx * stride + window),
+          s"n=$n w=$window s=$stride chunk=$idx")
+      }
+      // every token is covered and the last chunk is never empty
+      assert(chunks.flatMap(_._2).toSet === toks.toSet)
+      assert(chunks.last._2.nonEmpty)
+    }
+  }
+
   test("nearDupGroups matches union-find on random pair graphs") {
     forAllP(pairsGen, cases = 8) { pairs =>
       if (pairs.nonEmpty) {

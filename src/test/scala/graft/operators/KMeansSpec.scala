@@ -67,6 +67,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(byCluster === Map(1L -> 1, 2L -> 1, 3L -> 0))
   }
 
+  test("trained model composes into the IVF serving path") {
+    // the point of e08: kmeansFit output is assignToCentroids-shaped,
+    // so the trained assignment feeds index build + probe unchanged
+    val base = Similarity.withNorm(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding")
+    val m = Similarity.kmeansFit(base, "vec_id", k = 4, iters = 2, dim = 64)
+    assert(m.assignment.count() === base.count())
+    val inMem = Similarity.knnIvf(m.assignment, col("vec_id") < 3, "vec_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inMem.nonEmpty)
+    spark.sql("CREATE DATABASE IF NOT EXISTS km_idx")
+    Similarity.buildIvfIndex(m.assignment, "km_idx.ivf_trained", buckets = 2)
+    val probed = Similarity.probeIvfIndex(spark, "km_idx.ivf_trained",
+        col("vec_id") < 3, "vec_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed === inMem)
+  }
+
   test("corpus smaller than k seeds only the available vectors") {
     val m = Similarity.kmeansFit(frame(separable.take(2)), "vec_id",
       k = 5, iters = 1, dim = 2)
