@@ -97,9 +97,13 @@ object Similarity {
       centroids: Seq[Array[Float]], norms: Seq[Double])
 
   /** Spherical k-means (Lloyd) — the training step that produces the
-    * IVF centroid codebook: seed with the `k` lowest-id vectors, then
-    * `iters` rounds of {max-cosine assignment, mean update}, returning
-    * the assignment under the final centroids.
+    * IVF centroid codebook: seed with the `k` vectors of smallest
+    * `md5(id)` (hash order decorrelates the seeds from ingestion order
+    * — the k lowest IDs of a real corpus are one crawl slice, the worst
+    * Lloyd seeding — while staying deterministic and exactly
+    * reproducible by an external oracle), then `iters` rounds of
+    * {max-cosine assignment, mean update}, returning the assignment
+    * under the final centroids.
     *
     * Built for reproducibility at scale: the centroid update
     * accumulates vectors QUANTIZED to `quantScale`-ths as longs, so the
@@ -117,7 +121,20 @@ object Similarity {
     * whose map-side combine reduces each task to k×(dim+1) longs; the
     * driver holds k×dim floats between rounds ([[DriverBounded]]).
     * Rows whose vector is null or mismatches `dim` are dropped (the
-    * argmax contract). `base` must be a [[withNorm]] projection. */
+    * argmax contract). `base` must be a [[withNorm]] projection.
+    *
+    * Overflow headroom: the per-cluster sums are 64-bit — under
+    * `spark.sql.ansi.enabled=false` an overflowing long sum WRAPS
+    * silently into a corrupt centroid, and an external oracle that
+    * widens (DuckDB sums BIGINT into HUGEINT) diverges without any
+    * error. So every update round also aggregates the max |quantized
+    * component| per cluster and fails with sizing guidance when
+    * maxAbs × clusterSize could exceed Long.MaxValue (the conservative
+    * bound |Σterms| ≤ n·max|term| — enforced even when the actual
+    * mixed-sign sum happened to fit). Practical sizing: quantScale ×
+    * max|v_i| × rows-per-cluster must stay below 2^63 — at the default
+    * 1000 with unit-normalized embeddings that allows ~9×10^15 rows per
+    * cluster before the guard even engages. */
   def kmeansFit(base: DataFrame, idCol: String, k: Int, iters: Int,
       dim: Int, quantScale: Int = 1000, maxK: Int = 4096): KMeansModel = {
     require(k > 0 && k <= maxK, s"kmeansFit: k must be in [1, $maxK], got $k")
@@ -135,15 +152,7 @@ object Similarity {
       call_function("graft_argmax_cos", col("v"), col("nrm"),
         typedlit(cvs.map(_.toSeq)), typedlit(cns))
 
-    // deterministic seeds: the k lowest-id vectors (fewer if the corpus
-    // is smaller than k), under the same drop contract as assignment —
-    // null vectors, null elements, and dim mismatches never seed
-    var cvs: Seq[Array[Float]] = DriverBounded.takeFirst(
-        base.select(col(idCol), col("v"))
-          .filter(col("v").isNotNull && size(col("v")) === dim &&
-            expr("forall(v, x -> x is not null)"))
-          .orderBy(col(idCol)), k)
-      .map(_.getSeq[Float](1).toArray).toSeq
+    var cvs: Seq[Array[Float]] = kmeansSeeds(base, idCol, k, dim)
     require(cvs.nonEmpty, "kmeansFit: no usable seed vectors " +
       s"(null-free vectors of dimension $dim)")
     var cns: Seq[Double] = cvs.map(normOf)
@@ -156,18 +165,30 @@ object Similarity {
     val sumExprs = (1 to dim).map(i => sum(expr(
       s"cast(round(cast(element_at(v, $i) as double) * $quantScale) as bigint)"))
       .as(s"s$i"))
+    // overflow sentry: max |quantized component| per cluster, so the
+    // driver can prove |Σterms| <= cnt * maxAbs fits in 64 bits — a
+    // wrapped long sum would otherwise corrupt the centroid silently
+    val maxAbsExpr = max(expr(
+      s"array_max(transform(v, x -> abs(cast(round(cast(x as double) * $quantScale) as bigint))))"))
+      .as("max_abs_q")
     for (_ <- 1 to iters) {
       val byCluster = DriverBounded.collectCapped(
         base.withColumn("__ci", assignIdx(cvs, cns))
           .filter(col("__ci").isNotNull)
           .groupBy("__ci")
-          .agg(count(lit(1)).as("cnt"), sumExprs: _*),
+          .agg(count(lit(1)).as("cnt"), maxAbsExpr +: sumExprs: _*),
         cvs.length,
         "kmeansFit: more clusters than centroids in the update aggregate")
       val updates = byCluster.map { r =>
         val cnt = r.getLong(1)
+        val maxAbsQ = r.getLong(2)
+        require(maxAbsQ <= Long.MaxValue / cnt,
+          s"kmeansFit: quantized-accumulator headroom exceeded in cluster " +
+            s"${r.getInt(0)} (max |component| x quantScale = $maxAbsQ over " +
+            s"$cnt rows risks 64-bit overflow); lower quantScale or the " +
+            "component magnitudes")
         r.getInt(0) -> Array.tabulate(dim)(d =>
-          (r.getLong(d + 2).toDouble / (quantScale.toDouble * cnt)).toFloat)
+          (r.getLong(d + 3).toDouble / (quantScale.toDouble * cnt)).toFloat)
       }.toMap
       cvs = cvs.zipWithIndex.map { case (old, j) => updates.getOrElse(j, old) }
       cns = cvs.map(normOf)
@@ -178,6 +199,22 @@ object Similarity {
         .select(col(idCol), col("cid"), col("v"), col("nrm")),
       cvs, cns)
   }
+
+  /** The kmeansFit seed set: the `k` vectors of smallest
+    * `(md5(cast(id as string)), id)` (fewer if the corpus is smaller),
+    * under the same drop contract as assignment — null vectors, null
+    * elements, and dim mismatches never seed. Hash order makes the
+    * seeds a deterministic pseudo-random corpus sample; both engines
+    * hash the decimal string form of the id, so an external oracle
+    * orders by `md5(id::VARCHAR)` and selects identical rows. */
+  def kmeansSeeds(base: DataFrame, idCol: String, k: Int,
+      dim: Int): Seq[Array[Float]] =
+    DriverBounded.takeFirst(
+        base.select(col(idCol), col("v"))
+          .filter(col("v").isNotNull && size(col("v")) === dim &&
+            expr("forall(v, x -> x is not null)"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol)), k)
+      .map(_.getSeq[Float](1).toArray).toSeq
 
   /** Johnson-Lindenstrauss random projection: reduce an embedding to
     * `outDim` dimensions via deterministic ±1 hyperplanes scaled by
@@ -500,6 +537,11 @@ object Similarity {
     // query-count cap proves the violation at O(cap) cost, so rejecting
     // a billion-row query frame does not first require scanning it
     val maxQueries = maxCandidates / shortlist
+    require(maxQueries > 0,
+      s"knnPqRefineIndexed: shortlist $shortlist exceeds maxCandidates " +
+        s"$maxCandidates — even one query would overflow the candidate " +
+        "bound (a driver-side collect + In-literal predicate); raise " +
+        "maxCandidates deliberately or use knnPqRefine for large shortlists")
     require(!DriverBounded.exceeds(queries, maxQueries),
       s"knnPqRefineIndexed: more than $maxQueries queries x $shortlist " +
         s"shortlist exceeds maxCandidates $maxCandidates (a driver-side " +

@@ -91,16 +91,20 @@ object MultimodalQueries {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Constant oracle frame rows for the AV fixtures:
-    * [[Multimodal.framesForDuration]] applied to each fixture's KNOWN
-    * header duration, with each hash precomputed from the same hex the
-    * query feeds Spark. (Independence is preserved by MultimodalSpec,
-    * which asserts the per-fixture counts 2/5/10 and the 32-cap as
-    * literals.) */
+  /** Engine-independent oracle frame counts for the AV fixtures: the
+    * documented clamp(ceil(ms/1000), 1, 32) rule applied BY HAND to
+    * each fixture's known header duration (2000 / 5000 / 10000 ms), so
+    * the oracle never calls the code under test. MultimodalSpec pins
+    * the same literals against the engine's `framesForDuration`. */
+  private val SynthFrameCounts =
+    Map(9100001L -> 2, 9100002L -> 5, 9100003L -> 10)
+
+  /** Constant oracle frame rows for the AV fixtures: the hand-derived
+    * [[SynthFrameCounts]] with each hash precomputed from the same hex
+    * the query feeds Spark. */
   private def synthFrameSql: String = SynthAv.flatMap {
-    case (id, _, hex, _, _, _, ms) =>
-      val frames = Multimodal.framesForDuration(ms)
-      (0 until frames).map { i =>
+    case (id, _, hex, _, _, _, _) =>
+      (0 until SynthFrameCounts(id)).map { i =>
         s"""SELECT $id::BIGINT AS media_id, $i::INTEGER AS frame_idx,
            '${md5HexFrame(hex, i)}' AS frame_hash"""
       }

@@ -131,10 +131,11 @@ object VectorOps {
     }),
 
     // Spherical k-means fit — the IVF centroid TRAINING step the other
-    // e-queries assume as given: 8 clusters seeded by the lowest
-    // vec_ids, 2 Lloyd rounds with exact milli-quantized mean updates
-    // (bit-deterministic under any partitioning). Output is the final
-    // assignment plus cluster sizes — integers only, hash-robust.
+    // e-queries assume as given: 8 clusters seeded in md5(vec_id) hash
+    // order (ingestion-order-independent), 2 Lloyd rounds with exact
+    // milli-quantized mean updates (bit-deterministic under any
+    // partitioning). Output is the final assignment plus cluster
+    // sizes — integers only, hash-robust.
     "e08_kmeans_fit" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
       val model = Similarity.kmeansFit(base, "vec_id", k = KmK,
@@ -339,15 +340,16 @@ object VectorOps {
     }
   )
 
-  /** The k-means oracle, Lloyd rounds unrolled verbatim: assignment is
-    * the proven e02 row_number-over-cosine mirror of graft_argmax_cos;
-    * the mean update sums round(v*1000) BIGINTs (exact, order-free,
-    * identical to the engine's quantized accumulators) and derives each
-    * centroid dimension by one double division cast through FLOAT —
-    * the same IEEE op sequence the engine performs, so every
-    * intermediate centroid is bit-identical and the final assignment
-    * cannot drift. Empty clusters keep the previous centroid (the LEFT
-    * JOIN + CASE). */
+  /** The k-means oracle, Lloyd rounds unrolled verbatim: seeding is the
+    * engine's (md5(id), id) hash order over the same drop-contract
+    * corpus; assignment is the proven e02 row_number-over-cosine mirror
+    * of graft_argmax_cos; the mean update sums round(v*1000) BIGINTs
+    * (exact, order-free, identical to the engine's quantized
+    * accumulators) and derives each centroid dimension by one double
+    * division cast through FLOAT — the same IEEE op sequence the engine
+    * performs, so every intermediate centroid is bit-identical and the
+    * final assignment cannot drift. Empty clusters keep the previous
+    * centroid (the LEFT JOIN + CASE). */
   private def kmeansOracleSql: String = {
     val dimSums = (1 to Dim)
       .map(dd => s"sum(round(v[$dd] * $KmScale)::BIGINT) AS s$dd")
@@ -370,10 +372,18 @@ object VectorOps {
          n$i AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$i),
          ${assignCte(s"a${i + 1}", s"n$i")}"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, $vSql AS v,
+    s"""WITH e0 AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $KmK)),
+         -- the engine's drop contract (kmeansSeeds + the argmax null
+         -- semantics): only null-free vectors of length Dim ever seed,
+         -- assign, or update — mirrored here so a dirty corpus cannot
+         -- silently diverge the two engines
+         e AS (SELECT vec_id, v, nrm FROM e0 WHERE len(v) = $Dim
+           AND len(list_filter(v, x -> x IS NULL)) = 0),
+         c0 AS (SELECT row_number()
+             OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS ci, v AS cv
+           FROM (SELECT vec_id, v FROM e
+             ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KmK)),
          n0 AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c0),
          ${assignCte("a1", "n0")},
          $rounds

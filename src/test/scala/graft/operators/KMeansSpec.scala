@@ -22,9 +22,10 @@ class KMeansSpec extends AnyFunSuite {
     (4L, Seq(0.05f, 1.0f)), (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.0f, 1.1f)))
 
   test("separable clusters converge to the two directions") {
-    // seeds are ids 1 and 2 — both in the +x group — so convergence to
-    // a balanced split requires the mean update to actually move
-    // centroid 1 toward +y once the +y points win the cosine argmax
+    // md5-order seeds for ids 1..6 are ids 6 and 4 — both in the +y
+    // group — so convergence to a balanced split requires the mean
+    // update to actually move a centroid toward +x once the +x points
+    // win the cosine argmax
     val m = Similarity.kmeansFit(frame(separable), "vec_id",
       k = 2, iters = 3, dim = 2)
     val byCluster = m.assignment.collect()
@@ -48,11 +49,10 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("an empty cluster keeps its previous centroid") {
-    // both seeds (ids 1, 2) sit in the +x group and every point is
-    // closer to seed 1's direction than to seed 2's after one update;
-    // k=3 would need a third seed — instead craft a direct corner:
-    // two identical seed vectors, so seed 1 (higher index) never wins
-    // a tie (first-wins argmax) and must survive untouched
+    // md5 order for ids 1,2,3 coincides with id order (checked in the
+    // seeding spec below), so the seeds are ids 1 and 2 — two identical
+    // seed vectors, so seed 1 (higher index) never wins a tie
+    // (first-wins argmax) and must survive untouched
     val dup = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
       (3L, Seq(0.9f, 0.1f)))
     val m = Similarity.kmeansFit(frame(dup), "vec_id", k = 2, iters = 2, dim = 2)
@@ -84,6 +84,44 @@ class KMeansSpec extends AnyFunSuite {
         col("vec_id") < 3, "vec_id", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probed === inMem)
+  }
+
+  test("seeding follows (md5(id), id) hash order, not ingestion order") {
+    // the scenario md5 seeding exists for: the k lowest ids all sit in
+    // one cluster (one source, one crawl slice) — id-ordered seeding
+    // would start Lloyd from a single direction; hash-ordered seeding
+    // must pick a decorrelated pseudo-random sample instead
+    val lowIdCluster = (1L to 8L).map(i => (i, Seq(1.0f, 0.01f * i)))
+    val highIdCluster = (100L to 107L).map(i => (i, Seq(0.01f * (i - 99), 1.0f)))
+    val seeds = Similarity.kmeansSeeds(
+      frame(lowIdCluster ++ highIdCluster), "vec_id", k = 2, dim = 2)
+    // expected order computed independently of the engine
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byHash = (lowIdCluster ++ highIdCluster)
+      .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+    assert(seeds.map(_.toSeq) === byHash.take(2).map(_._2),
+      "seeds must be the 2 smallest by (md5(id), id)")
+    // and for this fixture hash order genuinely decorrelates: ids 6 and
+    // 101 — one seed per cluster, where id order would give 1 and 2
+    assert(byHash.take(2).map(_._1) === Seq(6L, 101L))
+    // the dup-seed test above depends on md5 order 1 < 2 < 3
+    assert(Seq("1", "2", "3").map(md5Hex) === Seq("1", "2", "3").map(md5Hex).sorted)
+  }
+
+  test("headroom guard rejects quantized sums that could wrap") {
+    // quantized components ~±4e18 with MIXED signs: the actual sum
+    // (~4e18) fits in 64 bits, so neither ANSI arithmetic nor the
+    // oracle would notice — but cnt * maxAbs = 3 * 4e18 exceeds
+    // Long.MaxValue, so a different sign mix WOULD wrap. The sentry
+    // must reject the configuration, not trust the lucky cancellation
+    val huge = Seq((1L, Seq(4.0e15f, 0.0f)), (2L, Seq(-4.0e15f, 0.1f)),
+      (3L, Seq(4.0e15f, 0.05f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(frame(huge), "vec_id", k = 1, iters = 1, dim = 2)
+    }
+    assert(e.getMessage.contains("headroom"))
   }
 
   test("corpus smaller than k seeds only the available vectors") {
