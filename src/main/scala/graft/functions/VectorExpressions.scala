@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -437,6 +437,112 @@ case class ArgMaxCosFloat(first: Expression, second: Expression,
       third = newThird, fourth = newFourth)
 }
 
+/** Scaled matrix-vector product: out[j] = float(v · planes[j] / divisor)
+  * — the whole of a JL random projection ([[graft.operators.Similarity
+  * .randomProject]]) in ONE looped-codegen node.
+  *
+  * The unrolled form (outDim separate graft_dot folds in one Project)
+  * hits Janino's 64 KB method ceiling near outDim ≈ 224 (measured at
+  * dim 768: 16 321 bytes at 64 folds, 55 375 at 192, refused at 256),
+  * after which Spark silently interprets the projection; this node's
+  * generated code loops over a referenced float[][], so method size is
+  * constant in BOTH dimensions. Arithmetic is bit-identical to the
+  * unrolled form: each dot widens to double in a sequential left fold,
+  * then ONE double division by `divisor`, then a float cast — the op
+  * sequence an external oracle replays. `middle` (planes) and `right`
+  * (divisor) must be foldable; a null element or a plane/vector length
+  * mismatch nulls the whole row (the unrolled form nulled components).
+  */
+case class MatVecScaledFloat(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okV = first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val okP = second.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    val okD = third.dataType == DoubleType
+    if (okV && okP && okD && second.foldable && third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_matvec expects (array<float>, foldable array<array<float>>, " +
+          s"foldable double), got ${first.dataType.simpleString}, " +
+          s"${second.dataType.simpleString}, ${third.dataType.simpleString}" +
+          (if (second.foldable && third.foldable) ""
+           else " (planes/divisor not foldable)"))
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  @transient private lazy val planes: Array[Array[Float]] = {
+    val ad = second.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(j => ad.getArray(j).toFloatArray())
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val div = c.asInstanceOf[Double]
+    val n = v.numElements()
+    val out = new Array[Float](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val w = planes(j)
+      if (w.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        acc += v.getFloat(i).toDouble * w(i).toDouble
+        i += 1
+      }
+      out(j) = (acc / div).toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("matvecPlanes", planes, "float[][]")
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, (a, _, c) => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final float[] $out = new float[$pRef.length];
+         |for (int $j = 0; $j < $pRef.length && !${ev.isNull}; $j++) {
+         |  final float[] $w = $pRef[$j];
+         |  if ($w.length != $n) { ${ev.isNull} = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $w[$i];
+         |  }
+         |  if (!${ev.isNull}) { $out[$j] = (float) ($acc / $c); }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = new $gad($out); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): MatVecScaledFloat =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Runtime registration of the graft native functions. */
 object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot")
@@ -446,6 +552,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PqQueryTableFloat].getName, "graft_pq_table")
   val argMaxCosInfo =
     new ExpressionInfo(classOf[ArgMaxCosFloat].getName, "graft_argmax_cos")
+  val matVecInfo =
+    new ExpressionInfo(classOf[MatVecScaledFloat].getName, "graft_matvec")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -471,6 +579,12 @@ object GraftFunctions {
     ArgMaxCosFloat(children(0), children(1), children(2), children(3))
   }
 
+  private[functions] val matVecBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3,
+      s"graft_matvec expects exactly 3 arguments, got ${children.size}")
+    MatVecScaledFloat(children(0), children(1), children(2))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -482,6 +596,8 @@ object GraftFunctions {
         FunctionIdentifier("graft_pq_table"), pqTableInfo, pqTableBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_argmax_cos"), argMaxCosInfo, argMaxCosBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_matvec"), matVecInfo, matVecBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -498,5 +614,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.pqTableInfo, GraftFunctions.pqTableBuilder))
     ext.injectFunction((FunctionIdentifier("graft_argmax_cos"),
       GraftFunctions.argMaxCosInfo, GraftFunctions.argMaxCosBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_matvec"),
+      GraftFunctions.matVecInfo, GraftFunctions.matVecBuilder))
   }
 }

@@ -228,10 +228,19 @@ object Similarity {
     *
     * `base` must be a [[withNorm]] projection with vectors of length
     * `dim`: a mismatched row fails the job loudly (a codegen'd value
-    * guard — graft_dot would otherwise null it silently). Output:
+    * guard — the projection itself would null it silently). Output:
     * (idCol, rp: array<float>), rp(j) = float(dot(v, w_j)/sqrt(outDim))
     * — float, so the result feeds [[withNorm]] and the whole ANN stack
-    * directly and the byte ratio really is outDim/dim. */
+    * directly and the byte ratio really is outDim/dim.
+    *
+    * The projection is ONE looped-codegen node (`graft_matvec`): the
+    * earlier unrolled form — outDim separate dot folds — crossed
+    * Janino's 64 KB method ceiling near outDim ≈ 224 and silently fell
+    * back to interpreted execution (measured; SCALING.md), so like PQ's
+    * encode this loops over a referenced float[][] and stays in
+    * whole-stage codegen at ANY (dim, outDim). Arithmetic is unchanged:
+    * per plane one widening left-fold dot, one double division, one
+    * float cast. */
   def randomProject(base: DataFrame, idCol: String, outDim: Int,
       dim: Int): DataFrame = {
     require(outDim > 0 && dim > 0,
@@ -239,13 +248,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(base.sparkSession)
     val s = math.sqrt(outDim.toDouble)
     val planes = hyperplaneWeights(outDim, dim)
-    val guardedV = when(size(col("v")) === dim, col("v"))
-      .otherwise(raise_error(concat(
-        lit(s"randomProject: vector of length "), size(col("v")).cast("string"),
-        lit(s" does not match dim $dim"))))
+    val projected = call_function("graft_matvec",
+      col("v"), typedlit(planes.map(_.toSeq)), lit(s))
     base.select(col(idCol),
-      array(planes.map(w =>
-        (dot(guardedV, typedlit(w.toSeq)) / lit(s)).cast("float")): _*)
+      when(size(col("v")) === dim, projected)
+        .otherwise(raise_error(concat(
+          lit(s"randomProject: vector of length "), size(col("v")).cast("string"),
+          lit(s" does not match dim $dim"))))
         .as("rp"))
   }
 

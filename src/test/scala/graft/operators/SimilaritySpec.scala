@@ -64,6 +64,62 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("randomProject stays in whole-stage codegen at realistic dims (768->64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // the scale-out concern: 64 dot folds against 768-float literal
+    // planes. Array literals ride the generated code as REFERENCES
+    // (not per-element source), so the method should stay small — this
+    // spec proves it by compiling the actual generated code and
+    // checking the max method bytecode against the fallback threshold
+    // Spark itself uses (hugeMethodLimit; exceeding it silently
+    // interprets the projection — the r5 PQ lesson, SCALING.md)
+    val dim = 768
+    val outDim = 64
+    val rows = (0L until 4L).map(i =>
+      (i, Seq.tabulate(dim)(d => (((i * 31 + d) % 17).toInt - 8) / 8.0f)))
+    // through parquet: a LocalRelation would be constant-folded on the
+    // driver (ConvertToLocalRelation) and leave no codegen stage to prove
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp768").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val base = Similarity.withNorm(
+      spark.read.parquet(dir), "vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val rp = Similarity.randomProject(base, "vec_id", outDim, dim)
+    val plan = rp.queryExecution.executedPlan
+    val planMs = (System.nanoTime() - t0) / 1e6
+    info(f"plan build at 768->64: $planMs%.0f ms")
+    assert(planMs < 30000, "plan build must not blow up at realistic dims")
+    // the projection must sit INSIDE a whole-stage codegen region...
+    val stages = graft.plans.PlanWalk.flatten(plan).collect {
+      case w: WholeStageCodegenExec => w }
+    val rpStages = stages.filter(w => graft.plans.PlanWalk.flatten(w)
+      .exists(_.output.exists(_.name == "rp")))
+    assert(rpStages.nonEmpty, s"no codegen stage produces rp:\n$plan")
+    // ...and its generated code must compile under the huge-method
+    // limit, or Spark executes it interpreted at runtime
+    val limit = spark.sessionState.conf.hugeMethodLimit
+    for (w <- rpStages) {
+      val (_, source) = w.doCodeGen()
+      val (_, stats) = CodeGenerator.compile(source)
+      info(s"max generated method: ${stats.maxMethodCodeSize} bytes (limit $limit)")
+      assert(stats.maxMethodCodeSize <= limit,
+        s"generated method ${stats.maxMethodCodeSize} bytes exceeds " +
+          s"hugeMethodLimit $limit — the projection would silently fall " +
+          "out of codegen")
+    }
+    // values at full width match a driver-side replay of the same fold
+    val w64 = Similarity.hyperplaneWeights(outDim, dim)
+    val s = math.sqrt(outDim.toDouble)
+    val got = rp.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, v) <- rows; j <- 0 until outDim) {
+      val exp = (v.zip(w64(j)).foldLeft(0.0) {
+        case (a, (x, y)) => a + x.toDouble * y.toDouble } / s).toFloat
+      assert(got(id)(j) === exp, s"row $id component $j")
+    }
+  }
+
   test("assignToCentroids replicates window ordering: ties and NaN") {
     import spark.implicits._
     // centroid 10 and 20 are IDENTICAL: every vector ties exactly, and
