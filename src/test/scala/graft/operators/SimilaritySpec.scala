@@ -120,6 +120,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall floors: shipped configs and shortlist convergence") {
+    // Approximation QUALITY, not determinism (the oracles replay the
+    // approximation, so they can never catch a silently-worse blocking
+    // or codebook change). Corpus, seeds, and hashes are all
+    // deterministic, so recall is an exact number — floors sit just
+    // below the values measured in r11 (RecallSweep; table in
+    // SCALING.md "ANN recall"). Fixture embeddings are isotropic noise
+    // (within-label cosine == across-label == 0), the ANN worst case:
+    // recall tracks the scanned-candidate fraction, so absolute values
+    // are low by construction and the floors guard the MECHANISM, not
+    // a production operating point.
+    val k5 = 5
+    val q10 = col("vec_id") < 10
+    val truth = Similarity.knnBrute(base, base.filter(q10), "vec_id", k5)
+      .cache()
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      graft.RecallSweep.recallAt(truth, ann, k5)
+
+    // e02: IVF, id-sampled centroids (measured 0.240)
+    val cents = base.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(20)
+    val ivfAssigned = Similarity.assignToCentroids(base, cents, "vec_id")
+    assert(recall(Similarity.knnIvf(ivfAssigned, q10, "vec_id", k5)) >= 0.20)
+
+    // e04: 6-plane sign-LSH with Hamming-1 probes (measured 0.300)
+    val bucketed = Similarity.assignLshBuckets(
+      base, "vec_id", Similarity.hyperplaneWeights(6, 64))
+    assert(recall(Similarity.knnLshMultiProbe(
+      bucketed, q10, "vec_id", k5, 6)) >= 0.25)
+
+    // e07: ADC shortlist 25 -> exact re-rank, K=16 codebook (measured 0.460)
+    val cb16 = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8,
+      maxCodewords = 16)
+    assert(recall(Similarity.knnPqRefine(
+      Similarity.pqEncode(base, "vec_id", cb16), base, base.filter(q10),
+      "vec_id", cb16, shortlist = 25, k = k5)) >= 0.40)
+
+    // convergence: a richer codebook + deeper shortlist must approach
+    // brute force even on noise (measured 1.000 at K=64, shortlist=200
+    // — the shortlist covers 40% of this corpus). THE structural
+    // floor: if blocking, encode, ADC, or re-rank break, this drops
+    val cb64 = Similarity.pqTrainSampled(base, "vec_id", m = 8,
+      maxCodewords = 64)
+    assert(recall(Similarity.knnPqRefine(
+      Similarity.pqEncode(base, "vec_id", cb64), base, base.filter(q10),
+      "vec_id", cb64, shortlist = 200, k = k5)) >= 0.95)
+  }
+
   test("assignToCentroids replicates window ordering: ties and NaN") {
     import spark.implicits._
     // centroid 10 and 20 are IDENTICAL: every vector ties exactly, and
