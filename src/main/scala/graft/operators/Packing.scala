@@ -26,7 +26,21 @@ object Packing {
     * be integral; `orderCol` values must be unique). `bucketSize` trades
     * level-1 parallelism against the level-2 single-task frame — at
     * 10^12 rows, bucketSize 10^6 leaves 10^6 bucket totals, still a
-    * trivial single task. */
+    * trivial single task.
+    *
+    * The bucket-totals branch is derived FROM the windowed output, not
+    * from a second aggregation of the input: the in-bucket cumulative
+    * sum at a bucket's last row IS the bucket total (`max_by(__local,
+    * orderCol)` — not `max`, which would be wrong for negative values),
+    * and because the windowed subtree is byte-identical under both
+    * consumers, the totals branch re-reads the ONE bucket-keyed
+    * exchange (ReusedExchange, plan-pinned) instead of re-running
+    * everything upstream of the prefix sum. The r10 form aggregated the
+    * input directly; the map-side combine made the totals shuffle tiny,
+    * but the upstream — at 100 TB a corpus scan, and under [[Pipeline
+    * .chunkedPretrainPipeline]] a quality gate + dedup — executed
+    * twice, which is the wrong trade at any scale (measured: d16 went
+    * 3 → 2 exchanges with text never entering any exchange). */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, bucketSize: Long = 1 << 20): DataFrame = {
     // integral `div`, not `/`: Column./ on longs widens to double and
@@ -34,15 +48,23 @@ object Packing {
     val withBkt = df.withColumn("__bkt", expr(s"$orderCol div $bucketSize"))
     val wIn = Window.partitionBy("__bkt").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withBkt.withColumn("__local", sum(col(valueCol)).over(wIn))
     val wBkt = Window.orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = withBkt.groupBy("__bkt").agg(sum(col(valueCol)).as("__t"))
+    val offsets = local.groupBy("__bkt")
+      .agg(max_by(col("__local"), col(orderCol)).as("__t"))
       .withColumn("__off", sum("__t").over(wBkt) - col("__t"))
-      .select(col("__bkt"), col("__off"))
-    withBkt.withColumn("__local", sum(col(valueCol)).over(wIn))
-      .join(broadcast(offsets), "__bkt")
+      .select(col("__bkt").as("__obkt"), col("__off"))
+    // null-safe key on purpose: a plain equi-join plants IsNotNull(__bkt)
+    // below the main branch's exchange but cannot push it through the
+    // offsets branch's global window — the two copies of the windowed
+    // subtree stop being canonically identical and ReusedExchange is
+    // lost (the d25 lesson in filter form). <=> generates no null
+    // filters, keeping both consumers on one exchange; __bkt is never
+    // null anyway for in-contract (non-null) orderCol values.
+    local.join(broadcast(offsets), col("__bkt") <=> col("__obkt"))
       .withColumn(outCol, col("__off") + col("__local"))
-      .drop("__bkt", "__local", "__off")
+      .drop("__bkt", "__obkt", "__local", "__off")
   }
 
   /** Pack whitespace-token documents into `seqLen`-token training

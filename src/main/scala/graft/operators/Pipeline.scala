@@ -115,4 +115,66 @@ object Pipeline {
     val packed = Packing.packSequences(balanced, idCol, textCol, seqLen, bucketSize)
     (packed, () => { train.unpersist(blocking = false); () })
   }
+
+  /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup
+    * -> token-window chunking ([[TextAnalysis.chunkTokenWindows]]
+    * semantics: `window`-token chunks advancing by `stride`) -> sequence
+    * packing of the CHUNK stream into `seqLen`-token contexts in
+    * (doc, chunk) order — real pipelines chunk long documents BEFORE
+    * packing so no training sequence straddles more text than one
+    * window.
+    *
+    * FUSED for scale: the naive composition (chunk rows -> packSequences)
+    * needs a unique integral order key for the distributed prefix sum,
+    * and any synthesized sparse key (`doc_id * 2^20 + chunk_idx`) makes
+    * the prefix sum's bucket level one row per DOCUMENT — corpus-sized,
+    * exactly the single-task collapse the two-level scan exists to
+    * avoid. Instead the chunk grid is arithmetic on the token count
+    * alone (chunks 0..nc-2 are always full windows; only the last runs
+    * short), so the pipeline runs ONE doc-grain prefix sum over the
+    * closed-form per-doc chunk-stream length `n + (nc-1)(window-stride)`
+    * and then a purely narrow explode emits every chunk with its slice
+    * digest and pack offsets — the chunk stream itself never shuffles,
+    * and the output is row-identical to chunkTokenWindows joined
+    * against packSequences of the chunk stream.
+    *
+    * Output per chunk: (idCol, chunk_idx, chunk_tokens, chunk_md5,
+    * start_offset, first_seq, last_seq); `first_seq < last_seq` marks a
+    * chunk split across a context boundary. */
+  def chunkedPretrainPipeline(docs: DataFrame, textCol: String, idCol: String,
+      thresholds: QualityThresholds = QualityThresholds(),
+      window: Int = 64, stride: Int = 48, seqLen: Int = 512,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
+      .filter(col("n_tokens") >= thresholds.minTokens &&
+        col("stopword_ratio") < thresholds.maxStopwordRatio)
+      .select(idCol)
+    val kept = docs.join(quality, idCol)
+    val ded = Dedup.dropExactDuplicates(kept, textCol, idCol)
+    val counted = ded.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__nc", expr(
+        s"if(__n <= $window, 1L, ((__n - $window + $stride - 1) div $stride) + 1L)"))
+      .withColumn("__s",
+        col("__n") + (col("__nc") - lit(1L)) * lit((window - stride).toLong))
+    Packing.prefixSum(counted, idCol, "__s", "__cum", bucketSize)
+      .select(col(idCol), col("__tk"), col("__n"),
+        (col("__cum") - col("__s")).as("__base"),
+        explode(expr("sequence(0L, __nc - 1L)")).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(window.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("chunk_tokens"),
+        md5(array_join(
+          expr(s"slice(__tk, int(chunk_idx * $stride) + 1, $window)"), " "))
+          .as("chunk_md5"),
+        (col("__base") + col("chunk_idx") * window).as("start_offset"))
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_offset + chunk_tokens - 1) div $seqLen"))
+  }
 }

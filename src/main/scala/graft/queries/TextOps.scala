@@ -66,6 +66,17 @@ object TextOps {
       graft.operators.Pipeline.pretrainPipeline(
         Tables.documents(s, d), "text", "doc_id", "source")),
 
+    // Chunk-then-pack pretraining pipeline: quality gate -> exact
+    // dedup -> 64/48 token-window chunks -> 512-token sequence packing
+    // of the chunk stream (d24's chunk grid feeding d16's prefix sum,
+    // fused so the chunk stream never shuffles — one doc-grain
+    // two-level scan, then narrow; bucketSize 64 exercises the
+    // multi-bucket path at sf0.01).
+    "p03_chunked_pretrain" -> ((s, d) =>
+      graft.operators.Pipeline.chunkedPretrainPipeline(
+        Tables.documents(s, d), "text", "doc_id",
+        window = 64, stride = 48, seqLen = 512, bucketSize = 64)),
+
     // Winnowing (rolling-hash) document fingerprint.
     "d10_winnow_fingerprint" -> ((s, d) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, d), "text", Seq("doc_id"))),
@@ -347,6 +358,44 @@ object TextOps {
            (cum - n_tokens) // 512 AS first_seq,
            (cum - 1) // 512 AS last_seq
          FROM c""",
+    // p03 replays the fused pipeline semantically: same quality gate
+    // and dedup as p01/p02, then the chunk grid and a plain running
+    // sum over the (doc_id, chunk_idx)-ordered chunk stream — the
+    // engine's closed-form offsets must equal the straightforward
+    // window-function form exactly (all-integer arithmetic).
+    "p03_chunked_pretrain" ->
+      """WITH q AS (SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+               / len(string_split(text, ' ')) AS swr
+           FROM documents) WHERE n_tokens >= 20 AND swr < 0.5),
+         ded AS (SELECT q.doc_id, q.text FROM q
+           JOIN (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)) k
+           ON q.doc_id = k.keep_id),
+         t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ded),
+         n AS (SELECT doc_id, tk, len(tk)::BIGINT AS n,
+           (CASE WHEN len(tk) <= 64 THEN 1
+                 ELSE ((len(tk) - 64 + 47) // 48) + 1 END)::BIGINT AS nc
+           FROM t),
+         s AS (SELECT doc_id, tk, n, nc, n + (nc - 1) * 16 AS s FROM n),
+         c AS (SELECT doc_id, tk, n, nc,
+           (sum(s) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT - s
+             AS base
+           FROM s),
+         e AS (SELECT doc_id, tk, n, base,
+           unnest(generate_series(1, nc)) AS i FROM c)
+         SELECT doc_id, i - 1 AS chunk_idx,
+           least(64, n - (i - 1) * 48) AS chunk_tokens,
+           md5(array_to_string(tk[(i-1)*48+1 : (i-1)*48+64], ' '))
+             AS chunk_md5,
+           base + (i - 1) * 64 AS start_offset,
+           (base + (i - 1) * 64) // 512 AS first_seq,
+           (base + (i - 1) * 64 + least(64, n - (i - 1) * 48) - 1) // 512
+             AS last_seq
+         FROM e""",
     "d11_neardup_groups" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id,
            CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]

@@ -79,11 +79,19 @@ object ShuffleSweep {
       }
     }
 
-  /** Default scale points for the baseline: two, so a plan that only
+  /** Default scale points for the baseline: three, so a plan that only
     * flips shape at one of them (a broadcast-threshold crossing with a
     * bigger input, say) cannot hide between scale points. */
   val DefaultSfs: Seq[String] =
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+
+  /** Scale points whose baseline also records executed shuffle bytes.
+    * sf0.1 is pinned STATICALLY only (bytes -1): the exchange-count
+    * fingerprint needs planning, not execution, and executing the full
+    * surface at sf0.1 belongs to the per-round value sweep, not every
+    * baseline regeneration. */
+  val ExecuteBytesSfs: Set[String] = DefaultSfs.take(2).toSet
 
   /** One-off main: prints per-query lines for each sf dir given (the
     * two default scale points when none); with `--write PATH` also
@@ -106,7 +114,8 @@ object ShuffleSweep {
         (writeIdx < 0 || i != writeIdx + 1) => a
     }.toSeq
     val sfs = if (positional.nonEmpty) positional else DefaultSfs
-    val bySf = sfs.map(sf => sf -> sweep(TestSpark.spark, sf, execute = true))
+    val bySf = sfs.map(sf =>
+      sf -> sweep(TestSpark.spark, sf, execute = ExecuteBytesSfs(sf)))
     bySf.foreach { case (sf, rows) =>
       rows.foreach {
         case (name, ex, bytes, None) =>

@@ -153,6 +153,23 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(specs.count(_.nonEmpty) >= 1, "per-bucket cumsum window missing")
     assert(specs.count(_.isEmpty) == 1,
       "exactly one single-task window (bucket totals) allowed: " + specs)
+    // the bucket-totals branch must REUSE the windowed exchange, not
+    // recompute the upstream: r11's max_by-over-__local derivation +
+    // null-safe offsets join keep both consumers on one exchange — one
+    // LocalTableScan/FileScan total, one ReusedExchange (a plain equi
+    // join would plant an asymmetric IsNotNull and silently double the
+    // upstream; this pin is what fails if that regresses)
+    graft.ShuffleSweep.withStaticPlans(spark) {
+      val phys = Packing.packSequences(big, "doc_id", "text", seqLen = 64,
+        bucketSize = 8).queryExecution.executedPlan
+      val flat = graft.plans.PlanWalk.flatten(phys, intoReusedExchange = false)
+      val leaves = flat.count(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec] ||
+        p.nodeName.contains("Scan"))
+      assert(leaves == 1, s"packing upstream scanned $leaves times:\n$phys")
+      assert(phys.toString.contains("ReusedExchange"),
+        s"bucket-totals branch lost exchange reuse:\n$phys")
+    }
   }
 
   test("shardAssignments: dense 0-based positions, exact single-window parity") {
@@ -248,6 +265,53 @@ class SamplingPackingSpec extends AnyFunSuite {
           s"group-wide window over row data: partitionSpec=${w.partitionSpec}")
       }
     }
+  }
+
+  test("fused chunk-pack pipeline equals the naive chunk -> pack compose") {
+    // chunkedPretrainPipeline derives chunk sizes and stream offsets in
+    // closed form (zero chunk-level shuffles); this is the row-identity
+    // proof against the literal composition it replaces: the SAME
+    // cleaned corpus through chunkTokenWindows, then a global running
+    // sum over the (doc, chunk) stream. Corpus mixes sub-window docs,
+    // exact-boundary lengths, multi-chunk docs, dupes, and low-quality
+    // rows that must be gated out.
+    val window = 10
+    val stride = 7
+    val corpus = ((0L until 60L).map(i =>
+        (i, ("the a or tok" + (i % 13) + " ") * (i % 26).toInt + "the end")) ++
+      Seq((60L, (0 until 60).map(j => s"the w$j").mkString(" ")),
+        (61L, (0 until 60).map(j => s"the w$j").mkString(" ")), // exact dupe
+        (62L, "short low quality text")))
+      .toDF("doc_id", "text")
+    val fused = graft.operators.Pipeline.chunkedPretrainPipeline(
+      corpus, "text", "doc_id", window = window, stride = stride,
+      seqLen = 16, bucketSize = 8)
+
+    // naive reference: same gate + dedup, real chunker, single-window
+    // running sum over the chunk stream (fine at test scale)
+    val quality = TextAnalysis.qualityScore(corpus, "text", Seq("doc_id"))
+      .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+      .select("doc_id")
+    val ded = Dedup.dropExactDuplicates(
+      corpus.join(quality, "doc_id"), "text", "doc_id")
+    val chunked = TextAnalysis.chunkTokenWindows(
+      ded, "text", "doc_id", window, stride)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id", "chunk_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val reference = chunked
+      .withColumn("__cum", sum(col("chunk_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_tokens").cast("long").as("chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"),
+        (col("__cum") - col("chunk_tokens")).as("start_offset"),
+        expr("(__cum - chunk_tokens) div 16").as("first_seq"),
+        expr("(__cum - 1) div 16").as("last_seq"))
+    assert(fused.count() === reference.count())
+    assert(fused.exceptAll(reference).isEmpty && reference.exceptAll(fused).isEmpty)
+    // the gate really dropped the dupe and the low-quality row
+    assert(fused.select("doc_id").distinct().count() < 63)
   }
 
   test("knnPqRefine with a full shortlist recovers brute-force ranks") {
