@@ -468,7 +468,18 @@ case class MatVecScaledFloat(first: Expression, second: Expression,
     }
     val okD = third.dataType == DoubleType
     if (okV && okP && okD && second.foldable && third.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // planes are configuration, not data: validate the literal's
+      // null structure HERE so both the interpreted and codegen paths
+      // fail at analysis time with the same clear message (a null
+      // matrix would otherwise null-propagate in interpreted eval but
+      // NPE/require in codegen's planes extraction)
+      planesNullError match {
+        case None =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case Some(err) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(s"graft_matvec: $err")
+      }
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "graft_matvec expects (array<float>, foldable array<array<float>>, " +
@@ -478,11 +489,31 @@ case class MatVecScaledFloat(first: Expression, second: Expression,
            else " (planes/divisor not foldable)"))
   }
 
+  private def planesNullError: Option[String] = {
+    val raw = second.eval(null)
+    if (raw == null) return Some("planes literal must not be null")
+    val ad = raw.asInstanceOf[ArrayData]
+    var j = 0
+    while (j < ad.numElements()) {
+      if (ad.isNullAt(j)) return Some(s"plane $j is null")
+      val p = ad.getArray(j)
+      var i = 0
+      while (i < p.numElements()) {
+        if (p.isNullAt(i)) return Some(s"plane $j element $i is null")
+        i += 1
+      }
+      j += 1
+    }
+    None
+  }
+
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_matvec"
 
+  // checkInputDataTypes already rejected null matrices/planes/elements
+  // at analysis time (planesNullError), so the extraction is total here
   @transient private lazy val planes: Array[Array[Float]] = {
     val ad = second.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(ad.numElements())(j => ad.getArray(j).toFloatArray())

@@ -15,6 +15,20 @@ object Pipeline {
       minTokens: Int = 20,
       maxStopwordRatio: Double = 0.5)
 
+  /** The shared quality gate: documents passing the token-count and
+    * stopword-ratio thresholds, original columns only. p02 and p03
+    * gate through here so their oracles stay gate-identical by
+    * construction (p01's variant differs: it keeps the quality columns
+    * for downstream annotation). */
+  private def qualityKept(docs: DataFrame, textCol: String, idCol: String,
+      thresholds: QualityThresholds): DataFrame = {
+    val ids = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
+      .filter(col("n_tokens") >= thresholds.minTokens &&
+        col("stopword_ratio") < thresholds.maxStopwordRatio)
+      .select(idCol)
+    docs.join(ids, idCol)
+  }
+
   /** Optional near-duplicate stage parameters: LSH banding (see
     * [[Dedup.lshCandidatePairs]]) + group-resolution iteration cap. */
   final case class NearDupConfig(
@@ -100,11 +114,7 @@ object Pipeline {
       nearDup: NearDupConfig = NearDupConfig(),
       trainPct: Int = 80, quota: Int = 15,
       seqLen: Int = 512, bucketSize: Int = 64): (DataFrame, () => Unit) = {
-    val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
-      .filter(col("n_tokens") >= thresholds.minTokens &&
-        col("stopword_ratio") < thresholds.maxStopwordRatio)
-      .select(idCol)
-    val kept = docs.join(quality, idCol)
+    val kept = qualityKept(docs, textCol, idCol, thresholds)
     val dominated = Dedup.lshCandidatePairs(kept, textCol, idCol,
         nearDup.k, nearDup.bandWidth, nearDup.shingleSize)
       .select(col("b_id").as(idCol)).distinct()
@@ -149,12 +159,8 @@ object Pipeline {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window=$window], got $stride")
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
-      .filter(col("n_tokens") >= thresholds.minTokens &&
-        col("stopword_ratio") < thresholds.maxStopwordRatio)
-      .select(idCol)
-    val kept = docs.join(quality, idCol)
-    val ded = Dedup.dropExactDuplicates(kept, textCol, idCol)
+    val ded = Dedup.dropExactDuplicates(
+      qualityKept(docs, textCol, idCol, thresholds), textCol, idCol)
     val counted = ded.select(col(idCol),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .withColumn("__n", size(col("__tk")).cast("long"))

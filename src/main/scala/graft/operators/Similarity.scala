@@ -167,9 +167,16 @@ object Similarity {
       .as(s"s$i"))
     // overflow sentry: max |quantized component| per cluster, so the
     // driver can prove |Σterms| <= cnt * maxAbs fits in 64 bits — a
-    // wrapped long sum would otherwise corrupt the centroid silently
+    // wrapped long sum would otherwise corrupt the centroid silently.
+    // Measured in the DOUBLE domain, BEFORE the bigint cast: a
+    // component already past long range clamps to Long.MinValue at the
+    // (non-ANSI) cast, and abs(Long.MinValue) wraps NEGATIVE — a
+    // long-domain max would never see it and the guard would pass the
+    // exact corruption it exists to catch. The double magnitude is
+    // exact where it matters (below 2^53) and errs loud above; a NaN
+    // component poisons the max and fails the require, also loud
     val maxAbsExpr = max(expr(
-      s"array_max(transform(v, x -> abs(cast(round(cast(x as double) * $quantScale) as bigint))))"))
+      s"array_max(transform(v, x -> abs(round(cast(x as double) * $quantScale))))"))
       .as("max_abs_q")
     for (_ <- 1 to iters) {
       val byCluster = DriverBounded.collectCapped(
@@ -181,8 +188,8 @@ object Similarity {
         "kmeansFit: more clusters than centroids in the update aggregate")
       val updates = byCluster.map { r =>
         val cnt = r.getLong(1)
-        val maxAbsQ = r.getLong(2)
-        require(maxAbsQ <= Long.MaxValue / cnt,
+        val maxAbsQ = r.getDouble(2)
+        require(maxAbsQ <= (Long.MaxValue / cnt).toDouble,
           s"kmeansFit: quantized-accumulator headroom exceeded in cluster " +
             s"${r.getInt(0)} (max |component| x quantScale = $maxAbsQ over " +
             s"$cnt rows risks 64-bit overflow); lower quantScale or the " +

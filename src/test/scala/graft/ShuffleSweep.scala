@@ -94,9 +94,12 @@ object ShuffleSweep {
   val ExecuteBytesSfs: Set[String] = DefaultSfs.take(2).toSet
 
   /** One-off main: prints per-query lines for each sf dir given (the
-    * two default scale points when none); with `--write PATH` also
-    * dumps the machine-readable multi-sf baseline consumed by
-    * ShuffleBaselineSpec. Regenerate after a DELIBERATE plan change:
+    * three default scale points when none — executed bytes at the first
+    * two, static-only at sf0.1). Explicitly passed dirs always
+    * execute-measure bytes: asking for a specific dir means asking for
+    * its numbers. With `--write PATH` also dumps the machine-readable
+    * multi-sf baseline consumed by ShuffleBaselineSpec. Regenerate
+    * after a DELIBERATE plan change:
     *   sbt 'Test/runMain graft.ShuffleSweep --write SHUFFLE_BASELINE.json'
     */
   def main(args: Array[String]): Unit = {
@@ -113,9 +116,10 @@ object ShuffleSweep {
       case (a, i) if !a.startsWith("--") &&
         (writeIdx < 0 || i != writeIdx + 1) => a
     }.toSeq
-    val sfs = if (positional.nonEmpty) positional else DefaultSfs
+    val explicit = positional.nonEmpty
+    val sfs = if (explicit) positional else DefaultSfs
     val bySf = sfs.map(sf =>
-      sf -> sweep(TestSpark.spark, sf, execute = ExecuteBytesSfs(sf)))
+      sf -> sweep(TestSpark.spark, sf, execute = explicit || ExecuteBytesSfs(sf)))
     bySf.foreach { case (sf, rows) =>
       rows.foreach {
         case (name, ex, bytes, None) =>

@@ -124,6 +124,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("headroom"))
   }
 
+  test("headroom guard sees components past long range (abs-wrap regression)") {
+    // 1e17f * quantScale(1000) = 1e20 > 2^63. Under ANSI (this
+    // session's default) the bigint cast itself throws — already loud.
+    // The dangerous environment is ansi=false, where the cast CLAMPS to
+    // Long.MinValue and abs(Long.MinValue) wraps negative, so a
+    // long-domain max sentry never saw this component and the sum
+    // wrapped silently; the double-domain sentry must reject it loudly
+    val past = Seq((1L, Seq(1.0e17f, 0.0f)), (2L, Seq(0.5f, 0.1f)))
+    val key = "spark.sql.ansi.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.kmeansFit(frame(past), "vec_id", k = 1, iters = 1, dim = 2)
+      }
+      assert(e.getMessage.contains("headroom"))
+    } finally spark.conf.set(key, old)
+  }
+
   test("corpus smaller than k seeds only the available vectors") {
     val m = Similarity.kmeansFit(frame(separable.take(2)), "vec_id",
       k = 5, iters = 1, dim = 2)

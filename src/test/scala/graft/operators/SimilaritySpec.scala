@@ -120,6 +120,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_matvec rejects null planes with a clear error, not an NPE") {
+    graft.functions.GraftFunctions.register(spark)
+    def messageOf(sql: String): String = {
+      val e = intercept[Throwable] { spark.sql(sql).collect() }
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    assert(messageOf("SELECT graft_matvec(array(float(1.0)), " +
+        "CAST(NULL AS ARRAY<ARRAY<FLOAT>>), 8.0D)")
+      .contains("planes literal must not be null"))
+    assert(messageOf("SELECT graft_matvec(array(float(1.0)), " +
+        "array(CAST(NULL AS ARRAY<FLOAT>)), 8.0D)")
+      .contains("plane 0 is null"))
+    assert(messageOf("SELECT graft_matvec(array(float(1.0)), " +
+        "array(array(CAST(NULL AS FLOAT))), 8.0D)")
+      .contains("plane 0 element 0 is null"))
+    // a null VECTOR element is data, not configuration: row nulls out
+    val row = spark.sql("SELECT graft_matvec(array(float(1.0), " +
+      "CAST(NULL AS FLOAT)), array(array(float(1.0), float(1.0))), 1.0D) AS rp")
+      .collect()
+    assert(row.length == 1 && row(0).isNullAt(0))
+  }
+
   test("ANN recall floors: shipped configs and shortlist convergence") {
     // Approximation QUALITY, not determinism (the oracles replay the
     // approximation, so they can never catch a silently-worse blocking

@@ -5,11 +5,13 @@ import graft.{ShuffleSweep, TestSpark}
 
 /** Standing plan-drift gate: every query's static (non-AQE) shuffle
   * exchange count must match the committed SHUFFLE_BASELINE.json at
-  * EVERY baselined scale point (sf0.001 and sf0.01 by default).
+  * EVERY baselined scale point (sf0.001, sf0.01 and sf0.1 by default;
+  * the sf0.1 section is static-only — its recorded bytes are -1 by
+  * design, the exchange counts are gated all the same).
   *
   * The count is the plan-shape fingerprint — an extra exchange means a
   * lost ReusedExchange, a new shuffle an operator stopped being narrow,
-  * a missing one a join silently became broadcast. Two scale points
+  * a missing one a join silently became broadcast. Several scale points
   * because counts can legitimately differ with input size (broadcast
   * thresholds, AQE-off join picks): a plan that only degrades at one
   * scale must not hide behind a gate pinned at the other. Bytes are
