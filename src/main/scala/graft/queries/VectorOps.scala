@@ -147,6 +147,28 @@ object VectorOps {
         .select(col("vec_id"), col("cid"), col("cluster_size"))
     }),
 
+    // Trained IVF: the e08 -> e02 composition as one gated query —
+    // k-means centroids REPLACE the id-sampled codebook (measured
+    // better recall at every matched cost point, SCALING.md "ANN
+    // recall"), and the model's assignment probes exactly like e02.
+    "e10_knn_ivf_trained" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = Similarity.kmeansFit(base, "vec_id", k = KmK,
+        iters = KmIters, dim = Dim, quantScale = KmScale)
+      Similarity.knnIvf(model.assignment, col("vec_id") < NQ, "vec_id", K)
+    }),
+
+    // Multi-probe IVF: each query scans its 3 highest-cosine centroid
+    // buckets (the probes-over-finer-cells recall lever the r11 sweep
+    // measured) instead of only the nearest.
+    "e11_knn_ivf_multiprobe" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val assigned = Similarity.assignToCentroids(base, cents, "vec_id")
+      Similarity.knnIvfMultiProbe(assigned, cents, col("vec_id") < NQ,
+        "vec_id", K, probes = IvfProbes)
+    }),
+
     // JL random projection 64 -> 16 dims; components surface as
     // micro-unit-rounded BIGINTs so the hash compare never touches a
     // raw double column.
@@ -159,6 +181,7 @@ object VectorOps {
     })
   )
 
+  private val IvfProbes = 3 // e11 multi-probe centroid count
   private val KmK = 8 // k-means clusters (configuration-sized codebook)
   private val KmIters = 2 // Lloyd rounds (unrolled verbatim in the oracle)
   private val KmScale = 1000 // exact-update quantization: round(v*1000) longs
@@ -263,6 +286,43 @@ object VectorOps {
     "e05_knn_pq" ->
       s"""WITH $pqAdcCtes
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    // e10: the e08 Lloyd CTEs verbatim (training replayed exactly),
+    // then the e02 probe pattern over the FINAL assignment.
+    "e10_knn_ivf_trained" ->
+      s"""WITH $kmeansCtes,
+         fa AS (SELECT vec_id, ci, v, nrm FROM a${KmIters + 1}),
+         q AS (SELECT vec_id AS qid, ci AS qci, v AS qv, nrm AS qn
+           FROM fa WHERE vec_id < $NQ),
+         sims AS (SELECT q.qid, fa.vec_id,
+           list_dot_product(fa.v, q.qv) / (fa.nrm * q.qn) AS sim
+           FROM fa JOIN q ON fa.ci = q.qci AND fa.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    // e11: e02's assignment CTEs, then per-query centroid ranking
+    // (psim DESC, cid ASC) keeps the top $IvfProbes buckets as probes.
+    "e11_knn_ivf_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
+         assigned AS (SELECT vec_id, cid, v, nrm FROM (
+           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
+           FROM e CROSS JOIN c) WHERE arn = 1),
+         q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+           FROM assigned WHERE vec_id < $NQ),
+         pr AS (SELECT q0.qid, c.cid AS qcid, q0.qv, q0.qn, row_number()
+             OVER (PARTITION BY q0.qid
+                   ORDER BY list_dot_product(q0.qv, c.cv) / (q0.qn * c.cn) DESC, c.cid ASC) AS prn
+           FROM q0 CROSS JOIN c),
+         probes AS (SELECT qid, qcid, qv, qn FROM pr WHERE prn <= $IvfProbes),
+         sims AS (SELECT p.qid, a.vec_id,
+           list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS sim
+           FROM assigned a JOIN probes p ON a.cid = p.qcid AND a.vec_id <> p.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     "e07_knn_refine" ->
       s"""WITH $pqAdcCtes,
          cands AS (SELECT qid, vec_id FROM ranked WHERE rank <= $Shortlist),
@@ -350,7 +410,16 @@ object VectorOps {
     * performs, so every intermediate centroid is bit-identical and the
     * final assignment cannot drift. Empty clusters keep the previous
     * centroid (the LEFT JOIN + CASE). */
-  private def kmeansOracleSql: String = {
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCtes
+         SELECT a.vec_id, a.ci AS cid, s.cluster_size
+         FROM a${KmIters + 1} a JOIN (SELECT ci, count(*) AS cluster_size
+           FROM a${KmIters + 1} GROUP BY 1) s ON a.ci = s.ci"""
+
+  /** The Lloyd-round CTE chain shared by the e08 oracle and the e10
+    * trained-IVF probe oracle: ends at `a${KmIters + 1}`, the final
+    * (vec_id, ci, v, nrm) assignment under the trained centroids. */
+  private def kmeansCtes: String = {
     val dimSums = (1 to Dim)
       .map(dd => s"sum(round(v[$dd] * $KmScale)::BIGINT) AS s$dd")
       .mkString(", ")
@@ -372,7 +441,7 @@ object VectorOps {
          n$i AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$i),
          ${assignCte(s"a${i + 1}", s"n$i")}"""
     }.mkString(",\n         ")
-    s"""WITH e0 AS (SELECT vec_id, $vSql AS v,
+    s"""e0 AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
          -- the engine's drop contract (kmeansSeeds + the argmax null
          -- semantics): only null-free vectors of length Dim ever seed,
@@ -386,9 +455,6 @@ object VectorOps {
              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KmK)),
          n0 AS (SELECT ci, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c0),
          ${assignCte("a1", "n0")},
-         $rounds
-         SELECT a.vec_id, a.ci AS cid, s.cluster_size
-         FROM a${KmIters + 1} a JOIN (SELECT ci, count(*) AS cluster_size
-           FROM a${KmIters + 1} GROUP BY 1) s ON a.ci = s.ci"""
+         $rounds"""
   }
 }
