@@ -128,6 +128,20 @@ class SamplingPackingSpec extends AnyFunSuite {
     val one = Packing.prefixSum(df, "id", "n", "cum", bucketSize = 1)
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert(one == expected)
+    // NEGATIVE values: the bucket total is the LAST in-bucket cumsum
+    // (max_by over the order column), not the max — with negatives the
+    // running sum peaks mid-bucket and a max-based total would
+    // overstate every later bucket's offset. Negative ids ride along
+    // (trunc-div bucketing stays monotone for them)
+    val negVals = Seq(5L, -9L, 4L, -1L, -6L, 8L, -3L, 2L)
+    val negDf = negVals.zipWithIndex.map { case (v, i) => (i * 37L - 74L, v) }
+      .toDF("id", "n")
+    val negGot = Packing.prefixSum(negDf, "id", "n", "cum", bucketSize = 64)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val negExpected = negVals.zipWithIndex.map { case (_, i) =>
+      (i * 37L - 74L) -> negVals.take(i + 1).sum
+    }.toMap
+    assert(negGot == negExpected)
   }
 
   test("packSequences chunks the concatenated stream at seqLen boundaries") {
