@@ -157,6 +157,12 @@ object RecallSweep {
       reportShipped("method=shipped_e07_refine",
         Similarity.knnPqRefine(encoded, base, base.filter(sq), "vec_id",
           cb, shortlist = 25, k = sk))
+      val model = Similarity.kmeansFit(base, "vec_id", k = 8, iters = 2,
+        dim = dim)
+      reportShipped("method=shipped_e10_ivf_trained",
+        Similarity.knnIvf(model.assignment, sq, "vec_id", sk))
+      reportShipped("method=shipped_e11_ivf_multiprobe",
+        Similarity.knnIvfMultiProbe(assigned, cents, sq, "vec_id", sk, 3))
     }
 
     spark.stop()
