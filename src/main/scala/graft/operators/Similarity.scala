@@ -365,6 +365,38 @@ object Similarity {
       queryIds: Column, idCol: String, k: Int): DataFrame =
     knnIvf(spark.table(table), queryIds, idCol, k)
 
+  /** Incrementally extend a persisted [[buildIvfIndex]] table with new
+    * vectors — the streaming half of index maintenance (wire a
+    * readStream through `CdcStream.foreachBatchLoader(s)(b =>
+    * appendToIvfIndex(b, …))`). Each batch (a [[withNorm]] projection)
+    * is assigned against the index's FIXED centroid codebook — the
+    * geometry never drifts mid-stream; retraining is a batch
+    * [[buildIvfIndex]] rebuild — anti-joined on (cid, id) against the
+    * current table so micro-batch replays are idempotent (at-least-once
+    * delivery → exactly-once table effect, the vault loaders'
+    * contract), and appended task-aligned with the existing bucket
+    * layout.
+    *
+    * Scale shape: the centroid assignment is the zero-shuffle argmax;
+    * the anti-join's table side reads only (id, cid) and its
+    * hash(cid) bucketing already satisfies the (cid, id) join
+    * clustering, so the corpus never shuffles — only the micro-batch
+    * moves. */
+  def appendToIvfIndex(batch: DataFrame, table: String,
+      centroids: DataFrame, idCol: String, buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val assigned = assignToCentroids(batch, centroids, idCol)
+    val existing = spark.table(table).select(col(idCol), col("cid"))
+    val fresh = assigned
+      .join(existing, Seq("cid", idCol), "left_anti")
+      .select(col(idCol), col("cid"), col("v"), col("nrm"))
+    fresh.repartition(buckets, col("cid")).write
+      .bucketBy(buckets, "cid")
+      .mode("append")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** IVF-style ANN: probe only the query vector's centroid bucket. */
   def knnIvf(assigned: DataFrame, queryIds: Column, idCol: String, k: Int): DataFrame = {
     val q = assigned.filter(queryIds)

@@ -306,4 +306,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed === inMem)
     assert(probed.nonEmpty)
   }
+
+  test("incremental IVF append: batches extend the index, replays are no-ops") {
+    // the streaming-maintenance contract: an index built on a corpus
+    // PREFIX, extended by micro-batches of the remainder, must probe
+    // identically to an index built on the full corpus in one shot —
+    // and a replayed batch (at-least-once delivery) must change nothing
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_incremental"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    val prefix = base.filter(col("vec_id") < 300)
+    val batch1 = base.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val batch2 = base.filter(col("vec_id") >= 400)
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(prefix, cents, "vec_id"), tbl, buckets = 4)
+    Similarity.appendToIvfIndex(batch1, tbl, cents, "vec_id", buckets = 4)
+    Similarity.appendToIvfIndex(batch2, tbl, cents, "vec_id", buckets = 4)
+    val full = spark.table(tbl).count()
+    assert(full === base.count())
+    // replay both batches: the (cid, id) anti-join absorbs them
+    Similarity.appendToIvfIndex(batch1, tbl, cents, "vec_id", buckets = 4)
+    Similarity.appendToIvfIndex(batch2, tbl, cents, "vec_id", buckets = 4)
+    assert(spark.table(tbl).count() === full)
+    // probes equal the one-shot full-corpus assignment
+    val oneShot = Similarity.knnIvf(
+        Similarity.assignToCentroids(base, cents, "vec_id"),
+        col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probed = Similarity.probeIvfIndex(spark, tbl,
+        col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed === oneShot)
+    assert(probed.nonEmpty)
+  }
 }

@@ -94,6 +94,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest.getAs[String]("V") === "v2")
   }
 
+  test("foreachBatch maintains a persisted IVF index from an embedding stream") {
+    // streaming index maintenance: new vectors arrive as micro-batches,
+    // each assigned against the FIXED centroid codebook and appended
+    // into the bucketed index table; an overlapping delivery (the
+    // at-least-once case) is absorbed by the (cid, id) anti-join
+    import graft.operators.Similarity
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_streamed"
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(d => (((i * 7 + d) % 5).toInt - 2).toFloat)
+    def frame(rows: Seq[(Long, Seq[Float])]) = Similarity.withNorm(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val seed = (0L until 20L).map(i => (i, vec(i)))
+    val cents = frame(seed.filter(_._1 % 10 == 0))
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(frame(seed), cents, "vec_id"),
+      tbl, buckets = 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = CdcStream.foreachBatchLoader(input.toDF().toDF("vec_id", "embedding")) {
+      batch => Similarity.appendToIvfIndex(
+        Similarity.withNorm(batch, "vec_id", "embedding"),
+        tbl, cents, "vec_id", buckets = 2)
+    }.start()
+    input.addData((20L until 30L).map(i => (i, vec(i))): _*)
+    query.processAllAvailable()
+    // overlapping redelivery of 25..29 plus genuinely new 30..34
+    input.addData((25L until 35L).map(i => (i, vec(i))): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    assert(spark.table(tbl).count() === 35)
+    val oneShot = Similarity.knnIvf(
+        Similarity.assignToCentroids(
+          frame((0L until 35L).map(i => (i, vec(i)))), cents, "vec_id"),
+        col("vec_id") < 3, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val probed = Similarity.probeIvfIndex(spark, tbl,
+        col("vec_id") < 3, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed === oneShot && probed.nonEmpty)
+  }
+
   test("streaming exact dedup drops within-horizon duplicates, keeps firsts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
