@@ -385,7 +385,15 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, table: String,
       centroids: DataFrame, idCol: String, buckets: Int = 32): Unit = {
     val spark = batch.sparkSession
-    val assigned = assignToCentroids(batch, centroids, idCol)
+    // one row per id WITHIN the batch too: an at-least-once source can
+    // redeliver a row inside a single micro-batch, and the table
+    // anti-join below cannot see rows that are not in the table yet.
+    // dropDuplicates picks one row per id — exact for redelivered
+    // copies (identical rows); a stream carrying multiple VERSIONS of
+    // an id per batch must resolve latest-wins upstream, same as the
+    // assignToCentroids unique-id contract
+    val assigned = assignToCentroids(
+      batch.dropDuplicates(Seq(idCol)), centroids, idCol)
     val existing = spark.table(table).select(col(idCol), col("cid"))
     val fresh = assigned
       .join(existing, Seq("cid", idCol), "left_anti")

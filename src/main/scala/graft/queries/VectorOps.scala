@@ -189,6 +189,22 @@ object VectorOps {
 
   private val vSql = "list_transform(embedding, x -> x::DOUBLE)"
 
+  /** The sampled-centroid assignment CTE chain shared by the e02, e11
+    * and d09 oracles — `e` (normed corpus), `c` (the $centroidsSql
+    * codebook), `assigned` (max-cosine assignment, ties to the lowest
+    * centroid id — the graft_argmax_cos mirror). One definition so a
+    * drop-contract or tie-break change cannot desynchronize a subset
+    * of the oracles from the engine. */
+  private def ivfAssignCtes: String =
+    s"""e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
+         assigned AS (SELECT vec_id, cid, v, nrm FROM (
+           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
+           FROM e CROSS JOIN c) WHERE arn = 1)"""
+
   /** Shared PQ ADC CTE chain (e05's pipeline through `ranked`): sampled
     * codebooks, L2-argmin encode, query-side table, fixed-order m=0..M-1
     * summation (one value per leg) mirroring the engine's expression
@@ -237,14 +253,7 @@ object VectorOps {
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     "e02_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
-         assigned AS (SELECT vec_id, cid, v, nrm FROM (
-           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
-             OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
-           FROM e CROSS JOIN c) WHERE arn = 1),
+      s"""WITH $ivfAssignCtes,
          q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
            FROM assigned WHERE vec_id < $NQ),
          sims AS (SELECT q.qid, a.vec_id,
@@ -302,14 +311,7 @@ object VectorOps {
     // e11: e02's assignment CTEs, then per-query centroid ranking
     // (psim DESC, cid ASC) keeps the top $IvfProbes buckets as probes.
     "e11_knn_ivf_multiprobe" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
-         assigned AS (SELECT vec_id, cid, v, nrm FROM (
-           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
-             OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
-           FROM e CROSS JOIN c) WHERE arn = 1),
+      s"""WITH $ivfAssignCtes,
          q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
            FROM assigned WHERE vec_id < $NQ),
          pr AS (SELECT q0.qid, c.cid AS qcid, q0.qv, q0.qn, row_number()
@@ -374,14 +376,7 @@ object VectorOps {
            OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     "d09_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM $centroidsSql),
-         assigned AS (SELECT vec_id, cid, v, nrm FROM (
-           SELECT e.vec_id, c.cid, e.v, e.nrm, row_number()
-             OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid ASC) AS arn
-           FROM e CROSS JOIN c) WHERE arn = 1)
+      s"""WITH $ivfAssignCtes
          SELECT a.vec_id AS a_id, b.vec_id AS b_id
          FROM assigned a JOIN assigned b
            ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -107,7 +107,11 @@ class StreamingSpec extends AnyFunSuite {
     def frame(rows: Seq[(Long, Seq[Float])]) = Similarity.withNorm(
       rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
     val seed = (0L until 20L).map(i => (i, vec(i)))
-    val cents = frame(seed.filter(_._1 % 10 == 0))
+    // ids 0 and 3: vec() is period-5 in its id, so ids congruent mod 5
+    // (e.g. 0 and 10) would be IDENTICAL centroids and every row would
+    // land in one bucket — a degenerate test that multi-bucket routing
+    // bugs would pass. 0 vs 3 gives genuinely distinct centroids
+    val cents = frame(seed.filter(r => r._1 == 0L || r._1 == 3L))
     Similarity.buildIvfIndex(
       Similarity.assignToCentroids(frame(seed), cents, "vec_id"),
       tbl, buckets = 2)
@@ -119,7 +123,8 @@ class StreamingSpec extends AnyFunSuite {
         Similarity.withNorm(batch, "vec_id", "embedding"),
         tbl, cents, "vec_id", buckets = 2)
     }.start()
-    input.addData((20L until 30L).map(i => (i, vec(i))): _*)
+    // 22 redelivered INSIDE the first batch (in-batch dedup)
+    input.addData(((20L until 30L).map(i => (i, vec(i))) :+ (22L, vec(22L))): _*)
     query.processAllAvailable()
     // overlapping redelivery of 25..29 plus genuinely new 30..34
     input.addData((25L until 35L).map(i => (i, vec(i))): _*)
@@ -127,6 +132,9 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
 
     assert(spark.table(tbl).count() === 35)
+    // the appends really routed across buckets, not one degenerate cid
+    assert(spark.table(tbl).filter(col("vec_id") >= 20)
+      .select("cid").distinct().count() > 1)
     val oneShot = Similarity.knnIvf(
         Similarity.assignToCentroids(
           frame((0L until 35L).map(i => (i, vec(i)))), cents, "vec_id"),
