@@ -111,6 +111,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused chunk-pack offsets match the naive compose on random corpora") {
+    // chunkedPretrainPipeline derives chunk sizes and stream offsets in
+    // CLOSED FORM (one doc-grain prefix sum, no chunk-level shuffle);
+    // the SamplingPackingSpec row-identity test uses one crafted
+    // corpus — this property randomizes (window, stride, seqLen, doc
+    // lengths) so boundary cases (exact window multiples, stride 1,
+    // single-chunk docs) are swept. Docs all pass the quality gate and
+    // are unique, isolating the chunk/pack arithmetic under test.
+    val gen = for {
+      window <- Gen.choose(2, 12)
+      stride <- Gen.choose(1, window)
+      seqLen <- Gen.choose(2, 20)
+      lens <- Gen.listOfN(10, Gen.choose(20, 60))
+    } yield (window, stride, seqLen, lens)
+    forAllP(gen, cases = 6) { case (w, s, q, lens) =>
+      val corpus = lens.zipWithIndex.map { case (n, d) =>
+        (d.toLong, (1 to n).map(i => s"d${d}t$i").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val fused = graft.operators.Pipeline.chunkedPretrainPipeline(
+          corpus, "text", "doc_id", window = w, stride = s, seqLen = q,
+          bucketSize = 4)
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_md5",
+          "start_offset", "first_seq", "last_seq")
+        .collect().toSeq
+      val chunked = graft.operators.TextAnalysis.chunkTokenWindows(
+        corpus, "text", "doc_id", w, s)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val reference = chunked
+        .withColumn("__cum", sum(col("chunk_tokens").cast("long")).over(win))
+        .orderBy("doc_id", "chunk_idx")
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("chunk_tokens").cast("long"), md5(col("chunk_text")),
+          (col("__cum") - col("chunk_tokens")).as("start_offset"),
+          expr(s"(__cum - chunk_tokens) div $q"),
+          expr(s"(__cum - 1) div $q"))
+        .collect().toSeq
+      assert(fused === reference, s"w=$w s=$s q=$q lens=$lens")
+    }
+  }
+
   test("nearDupGroups matches union-find on random pair graphs") {
     forAllP(pairsGen, cases = 8) { pairs =>
       if (pairs.nonEmpty) {
