@@ -377,14 +377,51 @@ object Similarity {
     * contract), and appended task-aligned with the existing bucket
     * layout.
     *
-    * Scale shape: the centroid assignment is the zero-shuffle argmax;
-    * the anti-join's table side reads only (id, cid) and its
-    * hash(cid) bucketing already satisfies the (cid, id) join
-    * clustering, so the corpus never shuffles — only the micro-batch
-    * moves. */
+    * Scale shape: the centroid assignment is the zero-shuffle argmax,
+    * and the idempotence check is POINT LOOKUPS, not a corpus join —
+    * the micro-batch's (cid, id) pairs are bounded (`maxBatchIds`,
+    * loud fail past it), so they re-enter the plan as literals: the
+    * index scan bucket-prunes to the batch's cids
+    * (SelectedBucketsCount, plan-pinned) with the id filter pushed to
+    * parquet, and the anti-join broadcasts batch-sized sides. A plain
+    * (cid, id) anti-join against the table is NOT this shape — the
+    * planner re-shuffles the whole index on the composite key (its
+    * hash(cid) buckets don't co-partition a (cid, id) join, even with
+    * subset co-partitioning allowed — measured both ways), which at
+    * 100 TB is a corpus shuffle per micro-batch. */
   def appendToIvfIndex(batch: DataFrame, table: String,
-      centroids: DataFrame, idCol: String, buckets: Int = 32): Unit = {
+      centroids: DataFrame, idCol: String, buckets: Int = 32,
+      maxBatchIds: Int = 1 << 20): Unit = {
     val spark = batch.sparkSession
+    val fresh = freshIndexRows(batch, table, centroids, idCol, maxBatchIds)
+    // plan the append with the auto-bucketed-scan heuristic OFF:
+    // DisableUnnecessaryBucketedScan keeps a bucketed scan only for
+    // its output DISTRIBUTION, and nothing above the point-lookup
+    // anti-join needs one — so under the default heuristic the In(cid)
+    // bucket pruning is discarded with the bucketed scan and the check
+    // reads every bucket (measured). Here the bucket layout's value IS
+    // the pruning; one task per selected bucket is exactly the right
+    // execution for a point lookup.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      fresh.repartition(buckets, col("cid")).write
+        .bucketBy(buckets, "cid")
+        .mode("append")
+        .saveAsTable(table)
+    } finally spark.conf.set(key, old)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** [[appendToIvfIndex]]'s idempotence join, exposed for plan pinning:
+    * batch rows not yet in the index, via bucket-pruned point lookups
+    * (the knnPqRefineIndexed pattern — the batch's keys become
+    * planning-time literals, bounded and loud-failing at
+    * `maxBatchIds`). */
+  private[graft] def freshIndexRows(batch: DataFrame, table: String,
+      centroids: DataFrame, idCol: String,
+      maxBatchIds: Int = 1 << 20): DataFrame = {
     // one row per id WITHIN the batch too: an at-least-once source can
     // redeliver a row inside a single micro-batch, and the table
     // anti-join below cannot see rows that are not in the table yet.
@@ -394,15 +431,19 @@ object Similarity {
     // assignToCentroids unique-id contract
     val assigned = assignToCentroids(
       batch.dropDuplicates(Seq(idCol)), centroids, idCol)
-    val existing = spark.table(table).select(col(idCol), col("cid"))
-    val fresh = assigned
+    val keys = DriverBounded.collectCapped(
+      assigned.select(col(idCol), col("cid")), maxBatchIds,
+      s"appendToIvfIndex: micro-batch exceeds maxBatchIds $maxBatchIds " +
+        "(the batch's keys become planning-time point-lookup literals); " +
+        "split the batch or raise the bound deliberately")
+    val ids = keys.map(_.get(0)).toSeq
+    val cids = keys.map(_.get(1)).distinct.toSeq
+    val existing = batch.sparkSession.table(table)
+      .filter(col("cid").isin(cids: _*) && col(idCol).isin(ids: _*))
+      .select(col(idCol), col("cid"))
+    assigned
       .join(existing, Seq("cid", idCol), "left_anti")
       .select(col(idCol), col("cid"), col("v"), col("nrm"))
-    fresh.repartition(buckets, col("cid")).write
-      .bucketBy(buckets, "cid")
-      .mode("append")
-      .saveAsTable(table)
-    spark.catalog.refreshTable(table)
   }
 
   /** IVF-style ANN: probe only the query vector's centroid bucket. */

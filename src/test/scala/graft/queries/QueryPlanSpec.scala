@@ -235,6 +235,77 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("incremental IVF append: the index side of the idempotence join never shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    // appendToIvfIndex's scale claim: the idempotence check is point
+    // lookups — the batch's (cid, id) keys enter as planning-time
+    // literals, the index scan bucket-prunes to the batch's cids with
+    // the id filter pushed down, and NOTHING shuffles (batch-sized
+    // broadcast anti-join; the zero-shuffle argmax assignment upstream).
+    // A naive (cid, id) anti-join against the table re-shuffles the
+    // whole index on the composite key instead (measured; the hash(cid)
+    // buckets don't co-partition it) — this pin is what fails if that
+    // shape sneaks back.
+    // AQE stays ON (the session default): the non-adaptive preparation
+    // path runs DisableUnnecessaryBucketedScan, which turns off the
+    // bucketed scan (and with it the pruning metadata) whenever no
+    // operator above needs the hash(cid) distribution — under AQE the
+    // bucketed scan and its SelectedBucketsCount survive, which is the
+    // execution path the engine actually runs
+    {
+      spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+      val base = Similarity.withNorm(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), "vec_id", "embedding")
+      val cents = base.filter(col("vec_id") % 100 === 0)
+      // 32 buckets over 5 centroids: the batch's cids cover at most 5
+      // buckets, so pruning has real benefit (with buckets <= cid
+      // count every bucket is selected and Spark disables the bucketed
+      // scan as useless — measured). The batch OVERLAPS the table
+      // (350..399 already present): with a disjoint batch the pruned
+      // index side is empty and AQE correctly elides the whole
+      // anti-join, leaving nothing to pin.
+      Similarity.buildIvfIndex(
+        Similarity.assignToCentroids(base.filter(col("vec_id") < 400), cents,
+          "vec_id"), "sim_idx.ivf_append_pin", buckets = 32)
+      val fresh = Similarity.freshIndexRows(base.filter(col("vec_id") >= 350),
+        "sim_idx.ivf_append_pin", cents, "vec_id")
+      // plan under the operator's own execution conf: appendToIvfIndex
+      // turns the auto-bucketed-scan heuristic off for the append
+      // action, because that heuristic keeps bucketed scans only for
+      // their distribution and would discard the In(cid) pruning here
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try fresh.collect() finally spark.conf.set(key, old)
+      val plan = fresh.queryExecution.executedPlan
+      val anti = flatten(plan).collectFirst {
+        case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j }
+      assert(anti.isDefined, s"no anti join in:\n$plan")
+      val tableSide = flatten(anti.get.right)
+      val tableScan = tableSide.collectFirst {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f }
+      assert(tableScan.isDefined,
+        s"index side is not a bucketed scan:\n${anti.get.right}")
+      // pruning is ENGAGED (SelectedBucketsCount present) — how many
+      // buckets survive depends on which cids the batch happens to hit
+      assert(tableScan.get.metadata.contains("SelectedBucketsCount"),
+        s"index scan did not bucket-prune: ${tableScan.get.metadata}")
+      assert(!tableSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"the index side must be shuffle-free point lookups:\n${anti.get.right}")
+      // the ONLY shuffle anywhere is the batch's own dropDuplicates —
+      // micro-batch-sized by contract; the corpus never moves
+      val shuffles = flatten(plan).collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1 && shuffles.forall(
+          _.outputPartitioning.toString.contains("vec_id")),
+        s"unexpected shuffles in the append plan:\n$plan")
+    }
+  }
+
   test("bucketed vault sides of the hub+sat dedup anti-joins arrive shuffle-free") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
