@@ -393,35 +393,53 @@ object Similarity {
       centroids: DataFrame, idCol: String, buckets: Int = 32,
       maxBatchIds: Int = 1 << 20): Unit = {
     val spark = batch.sparkSession
-    val fresh = freshIndexRows(batch, table, centroids, idCol, maxBatchIds)
-    // plan the append with the auto-bucketed-scan heuristic OFF:
-    // DisableUnnecessaryBucketedScan keeps a bucketed scan only for
-    // its output DISTRIBUTION, and nothing above the point-lookup
-    // anti-join needs one — so under the default heuristic the In(cid)
-    // bucket pruning is discarded with the bucketed scan and the check
-    // reads every bucket (measured). Here the bucket layout's value IS
-    // the pruning; one task per selected bucket is exactly the right
-    // execution for a point lookup.
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    val (fresh, release) = freshIndexRows(batch, table, centroids, idCol,
+      maxBatchIds)
     try {
-      fresh.repartition(buckets, col("cid")).write
-        .bucketBy(buckets, "cid")
-        .mode("append")
-        .saveAsTable(table)
-    } finally spark.conf.set(key, old)
+      // plan the append with the auto-bucketed-scan heuristic OFF:
+      // DisableUnnecessaryBucketedScan keeps a bucketed scan only for
+      // its output DISTRIBUTION, and nothing above the point-lookup
+      // anti-join needs one — so under the default heuristic the
+      // In(cid) bucket pruning is discarded with the bucketed scan and
+      // the check reads every bucket (measured). Here the bucket
+      // layout's value IS the pruning; one task per selected bucket is
+      // exactly the right execution for a point lookup. The conf flip
+      // is session-global, so the plan-execute-restore window holds a
+      // process lock: concurrent appends on one session serialize
+      // (micro-batches are short) instead of racing the save/restore
+      // into a permanently-flipped heuristic.
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      appendConfLock.synchronized {
+        val old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try {
+          fresh.repartition(buckets, col("cid")).write
+            .bucketBy(buckets, "cid")
+            .mode("append")
+            .saveAsTable(table)
+        } finally spark.conf.set(key, old)
+      }
+    } finally release()
     spark.catalog.refreshTable(table)
   }
+
+  private val appendConfLock = new Object
 
   /** [[appendToIvfIndex]]'s idempotence join, exposed for plan pinning:
     * batch rows not yet in the index, via bucket-pruned point lookups
     * (the knnPqRefineIndexed pattern — the batch's keys become
     * planning-time literals, bounded and loud-failing at
-    * `maxBatchIds`). */
+    * `maxBatchIds`). Returns the frame plus an unpersist handle (the
+    * release-handle pattern): the assigned batch is persisted because
+    * it has two consumers — the key collect and the append's anti-join
+    * — and the cache both runs the batch pipeline once and guarantees
+    * the keys the collect saw are the rows the join filters (a
+    * re-execution of a non-deterministic batch source could otherwise
+    * yield rows whose keys were never collected, which would slip past
+    * the point lookups and append as duplicates). */
   private[graft] def freshIndexRows(batch: DataFrame, table: String,
       centroids: DataFrame, idCol: String,
-      maxBatchIds: Int = 1 << 20): DataFrame = {
+      maxBatchIds: Int = 1 << 20): (DataFrame, () => Unit) = {
     // one row per id WITHIN the batch too: an at-least-once source can
     // redeliver a row inside a single micro-batch, and the table
     // anti-join below cannot see rows that are not in the table yet.
@@ -430,7 +448,7 @@ object Similarity {
     // an id per batch must resolve latest-wins upstream, same as the
     // assignToCentroids unique-id contract
     val assigned = assignToCentroids(
-      batch.dropDuplicates(Seq(idCol)), centroids, idCol)
+      batch.dropDuplicates(Seq(idCol)), centroids, idCol).persist()
     val keys = DriverBounded.collectCapped(
       assigned.select(col(idCol), col("cid")), maxBatchIds,
       s"appendToIvfIndex: micro-batch exceeds maxBatchIds $maxBatchIds " +
@@ -441,9 +459,10 @@ object Similarity {
     val existing = batch.sparkSession.table(table)
       .filter(col("cid").isin(cids: _*) && col(idCol).isin(ids: _*))
       .select(col(idCol), col("cid"))
-    assigned
+    val fresh = assigned
       .join(existing, Seq("cid", idCol), "left_anti")
       .select(col(idCol), col("cid"), col("v"), col("nrm"))
+    (fresh, () => { assigned.unpersist(blocking = false); () })
   }
 
   /** IVF-style ANN: probe only the query vector's centroid bucket. */

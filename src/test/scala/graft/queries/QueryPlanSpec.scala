@@ -260,7 +260,7 @@ class QueryPlanSpec extends AnyFunSuite {
     {
       spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
       val base = Similarity.withNorm(
-        Tables.embeddings(spark, "/root/testdata/sf0.001"), "vec_id", "embedding")
+        Tables.embeddings(spark, sf), "vec_id", "embedding")
       val cents = base.filter(col("vec_id") % 100 === 0)
       // 32 buckets over 5 centroids: the batch's cids cover at most 5
       // buckets, so pruning has real benefit (with buckets <= cid
@@ -272,8 +272,9 @@ class QueryPlanSpec extends AnyFunSuite {
       Similarity.buildIvfIndex(
         Similarity.assignToCentroids(base.filter(col("vec_id") < 400), cents,
           "vec_id"), "sim_idx.ivf_append_pin", buckets = 32)
-      val fresh = Similarity.freshIndexRows(base.filter(col("vec_id") >= 350),
-        "sim_idx.ivf_append_pin", cents, "vec_id")
+      val (fresh, release) = Similarity.freshIndexRows(
+        base.filter(col("vec_id") >= 350), "sim_idx.ivf_append_pin", cents,
+        "vec_id")
       // plan under the operator's own execution conf: appendToIvfIndex
       // turns the auto-bucketed-scan heuristic off for the append
       // action, because that heuristic keeps bucketed scans only for
@@ -281,7 +282,10 @@ class QueryPlanSpec extends AnyFunSuite {
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
       spark.conf.set(key, "false")
-      try fresh.collect() finally spark.conf.set(key, old)
+      try fresh.collect() finally {
+        spark.conf.set(key, old)
+        release()
+      }
       val plan = fresh.queryExecution.executedPlan
       val anti = flatten(plan).collectFirst {
         case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j }
