@@ -291,6 +291,52 @@ object TextAnalysis {
         col("tf"), col("df"))
   }
 
+  /** Corpus vocabulary, top `k` tokens by collection frequency (ties:
+    * token ascending — a total order): (token, coll_freq, doc_freq) —
+    * the corpus artifact tokenizer training starts from.
+    *
+    * Shape at scale: per-(doc, token) counts first, then the
+    * vocabulary-level rollup derives doc_freq as `sum(least(tf, 1))` —
+    * the [[tfidfKeywords]] device, which keeps the aggregate
+    * irreducibly referencing tf so both this rollup and any sibling
+    * consumer of the tf frame stay on ONE exchange. The top-k compiles
+    * to TakeOrderedAndProject (distributed partial top-k, k
+    * configuration-sized) — never a global sort. */
+  def vocabularyTopK(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(sum("tf").as("coll_freq"),
+        sum(least(col("tf"), lit(1L))).as("doc_freq"))
+      .orderBy(col("coll_freq").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Adjacent token-pair statistics, top `k` by count (ties: pair
+    * ascending) — the first step of BPE/WordPiece merge training:
+    * every neighboring (tok_a, tok_b) in every document, counted over
+    * the corpus. One narrow explode, one (pair, count) aggregate with
+    * map-side combine, TakeOrderedAndProject for the k cut — shuffles
+    * carry pair strings and counts only, never documents. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // filter BEFORE the sequence: Spark's sequence(0, -1) infers step
+    // -1 and yields [0, -1] instead of an empty array, so a 1-token
+    // doc would fabricate a pair
+    df.select(tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__tk) - 2), i -> " +
+          "struct(element_at(__tk, i + 1) AS a, element_at(__tk, i + 2) AS b))"))
+        .as("__p"))
+      .select(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+  }
+
   /** Winnowing fingerprint (rolling hash): hash every word n-gram
     * shingle, slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — the classic local-fingerprint scheme

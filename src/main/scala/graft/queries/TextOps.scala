@@ -211,7 +211,17 @@ object TextOps {
     // Corpus keyword extraction: top-5 TF-IDF tokens per document.
     "d25_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, d), "text", "doc_id",
-        k = 5))
+        k = 5)),
+
+    // Tokenizer-prep: top-30 corpus vocabulary by collection frequency.
+    "d26_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabularyTopK(Tables.documents(s, d), "text", "doc_id",
+        k = 30)),
+
+    // Tokenizer-prep: top-30 adjacent token pairs (the BPE merge-
+    // candidate statistic).
+    "d27_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30))
   )
 
   /** 12 NATO-alphabet tokens standing in for a leaked benchmark
@@ -562,6 +572,22 @@ object TextOps {
            len(tk[(i-1)*48+1 : (i-1)*48+64]) AS chunk_tokens,
            md5(array_to_string(tk[(i-1)*48+1 : (i-1)*48+64], ' ')) AS chunk_md5
          FROM e""",
+    "d26_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+         SELECT token, sum(tf)::BIGINT AS coll_freq,
+           count(*)::BIGINT AS doc_freq
+         FROM tf GROUP BY token
+         ORDER BY coll_freq DESC, token ASC LIMIT 30""",
+    "d27_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         p AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM t)
+         SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b,
+           count(*)::BIGINT AS pair_count
+         FROM p GROUP BY 1, 2
+         ORDER BY pair_count DESC, tok_a ASC, tok_b ASC LIMIT 30""",
     "d25_tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            FROM documents),

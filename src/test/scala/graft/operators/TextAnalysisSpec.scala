@@ -93,4 +93,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(out === Map(1L -> "alpha", 2L -> "beta"))
   }
+
+  test("vocab: coll_freq vs doc_freq separate, ties break token-asc, k caps") {
+    // "b" appears 3 times across 2 docs; "a" 2 times across 2 docs;
+    // "c" 2 times in 1 doc (coll tie with "a" -> token asc puts a first)
+    val docs = Seq(
+      (1L, "a b c c"),
+      (2L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyTopK(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(out === Seq(("b", 3L, 2L), ("a", 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabularyTopK(docs, "text", "doc_id", k = 0)
+    }
+  }
+
+  test("bpe pairs: adjacent pairs counted, 1-token docs yield none") {
+    // doc 1 "a b a b" yields pairs (a,b),(b,a),(a,b); doc 2 adds one
+    // more (a,b) -> 3 total; single-token doc 3 must contribute
+    // nothing (the sequence(0,-1) edge)
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(out === Seq(("a", "b", 3L), ("b", "a", 1L)))
+    assert(!out.exists(p => p._1 == "solo" || p._2 == "solo"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpePairStats(docs, "text", k = 0)
+    }
+  }
+
+  test("bpe pairs: count ties break (tok_a, tok_b) ascending, k caps") {
+    val docs = Seq((1L, "z y x w")).toDF("doc_id", "text")
+    // pairs (z,y),(y,x),(x,w) all count 1 -> ascending tok_a order
+    val out = TextAnalysis.bpePairStats(docs, "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    assert(out === Seq(("x", "w"), ("y", "x")))
+  }
 }
