@@ -295,12 +295,12 @@ object TextAnalysis {
     * token ascending — a total order): (token, coll_freq, doc_freq) —
     * the corpus artifact tokenizer training starts from.
     *
-    * Shape at scale: per-(doc, token) counts first, then the
-    * vocabulary-level rollup derives doc_freq as `sum(least(tf, 1))` —
-    * the [[tfidfKeywords]] device, which keeps the aggregate
-    * irreducibly referencing tf so both this rollup and any sibling
-    * consumer of the tf frame stay on ONE exchange. The top-k compiles
-    * to TakeOrderedAndProject (distributed partial top-k, k
+    * Shape at scale: per-(doc, token) counts first (one corpus-sized
+    * exchange), then the vocabulary-level rollup — each (doc, token)
+    * row is one document occurrence, so doc_freq is a plain count
+    * (unlike [[tfidfKeywords]], there is no sibling consumer of the
+    * tf frame here, so no exchange-reuse device is needed). The top-k
+    * compiles to TakeOrderedAndProject (distributed partial top-k, k
     * configuration-sized) — never a global sort. */
   def vocabularyTopK(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
@@ -309,7 +309,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     tf.groupBy("token")
       .agg(sum("tf").as("coll_freq"),
-        sum(least(col("tf"), lit(1L))).as("doc_freq"))
+        count(lit(1)).as("doc_freq"))
       .orderBy(col("coll_freq").desc, col("token").asc)
       .limit(k)
   }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** Unit coverage for the chunking / keyword operators (the rest of
-  * TextAnalysis is exercised end-to-end by the d02-d23 oracle queries).
+/** Unit coverage for the chunking, keyword, and tokenizer-statistic
+  * operators (the rest of TextAnalysis is exercised end-to-end by the
+  * d02-d27 oracle queries).
   */
 class TextAnalysisSpec extends AnyFunSuite {
 
