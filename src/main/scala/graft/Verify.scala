@@ -1,9 +1,63 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * A query that throws is caught (one broken query must not hide the
+  * other results from the gate) but the run ENDS LOUDLY: failures are
+  * written to `_failures.json` in the out dir and main exits non-zero.
+  * In r11 two queries that failed to plan were only logged to stderr, so
+  * a 92-query surface silently became a 90-row all-green correctness
+  * file; the loud ending makes a narrowed gate impossible to miss.
+  */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every query's result + the oracle SQL + (when any query threw)
+    * `_failures.json` under `outDir`. Returns the (name, error) failure
+    * list so main can exit non-zero and VerifyContractSpec can assert
+    * the loud-failure contract without a sys.exit killing the JVM. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String]): Seq[(String, String)] = {
+    new java.io.File(outDir).mkdirs()
+    val failures = queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500))
+      }
+    }
+    val json = oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failures.json"), fj)
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.map(_._1).mkString(", "))
+    }
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     // optional third arg: comma-separated name prefixes — dump only the
     // matching queries (and their oracle SQL), e.g. "d,e" for the
@@ -37,29 +91,10 @@ object Verify {
         Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failures = dump(spark, sfDir, outDir,
+      SparkEntry.queries.filter(kv => selected(kv._1)),
+      SparkEntry.oracleSql.filter(kv => selected(kv._1)))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

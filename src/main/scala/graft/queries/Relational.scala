@@ -13,8 +13,10 @@ import graft.sources.Tables
   *    exact result, so float summation-order differences cannot move the
   *    rounded value;
   *  - timestamps never appear raw in output: they are truncated to
-  *    milliseconds and emitted as epoch-ms bigints (events.parquet is
-  *    ns-precision, which Spark truncates to µs but DuckDB keeps);
+  *    milliseconds and emitted as epoch-ms bigints (events.ts has
+  *    shipped as both int64-ns and timestamp[us] across fixture
+  *    generations — Tables.normalizeTs canonicalizes; ms truncation
+  *    keeps the oracle comparison precision-independent);
   *  - every window/top-k has a total tiebreak order.
   */
 object Relational {
@@ -195,9 +197,10 @@ object Relational {
     // table → batch-read path loses nothing and reorders nothing.
     "w02_sessionize_stream" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      // RAW file schema (ts = INT64 nanos under the legacy flag): the
-      // stream must read the bytes as stored; the ns→µs conversion
-      // happens once on the accumulated table, like Tables.events
+      // RAW file schema (whatever physical ts form the fixture carries):
+      // the stream must read the bytes as stored; canonicalization
+      // happens once on the accumulated table via Tables.normalizeTs —
+      // the same normalization point Tables.events uses
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val scratch = java.nio.file.Files.createTempDirectory("graft-w02").toString
       // the fixture is a single parquet FILE; the file stream source
@@ -211,8 +214,7 @@ object Relational {
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val w = Window.partitionBy("user_id").orderBy("event_id")
-      s.read.schema(schema).parquet(s"$scratch/events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeTs(s.read.schema(schema).parquet(s"$scratch/events"))
         .select(col("user_id"), col("event_id"),
           unix_millis(date_trunc("MILLISECOND", col("ts"))).as("start_ms"))
         .withColumn("end_ms", lead("start_ms", 1).over(w))

@@ -19,29 +19,45 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries ns-precision timestamps, which Spark 4
-    * rejects outright. Read them as raw nanos (legacy long mode) and
-    * convert with exact integer division (ns epochs overflow double, so
-    * no floating-point path) to the µs timestamps Spark can process.
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across fixture generations: INT64 nanoseconds (read as LongType
+    * under spark.sql.legacy.parquet.nanosAsLong=true — Spark 4 rejects
+    * ns-precision outright without the flag) and, since 2026-08,
+    * `timestamp[us]` without a timezone (read as TIMESTAMP_NTZ).
+    * [[normalizeTs]] maps every form to one canonical session-local
+    * TimestampType so downstream code (windows, unix_millis, watermarks)
+    * sees a single type regardless of fixture vintage. Sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is the
+    * identity on the underlying epoch micros.
     *
-    * The legacy flag must be set at session construction (Bench, Verify,
-    * TestSpark all do) — setting it here as a read side effect would
-    * silently change how every other ns-parquet in the session is read,
-    * and save/restore is unsound because the physical scan re-reads the
-    * conf at planning time, after this method returned.
+    * The legacy ns flag must be set at session construction (Bench,
+    * Verify, TestSpark all do) — setting it here as a read side effect
+    * would silently change how every other ns-parquet in the session is
+    * read, and save/restore is unsound because the physical scan
+    * re-reads the conf at planning time, after this method returned.
     */
-  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is ns-precision: build the SparkSession with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    val raw = table(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType, whatever
+    * physical form it was read in. Shared with code that must consume
+    * the RAW file bytes first (the w02 stream replay) and only then
+    * canonicalize. Fails loudly on an unrecognized type so the next
+    * fixture-format drift breaks HERE, in one named place, instead of
+    * deep inside two query plans (the r11 lesson). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      // legacy int64-ns under nanosAsLong=true: exact integer division
+      // (ns epochs overflow double, so no floating-point path) to µs
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => sys.error(
+        s"events.ts arrived as unsupported physical type $other — " +
+          "teach graft.sources.Tables.normalizeTs the new fixture form")
     }
-  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

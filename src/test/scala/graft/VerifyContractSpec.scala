@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Verify's loud-failure contract: a query that throws is skipped
+  * (the rest still dump) but the run records it in `_failures.json` and
+  * returns a non-empty failure list — which main turns into exit(1).
+  * This is the guard against the r11 failure mode where a 92-query
+  * surface silently became a 90-row all-green correctness file. */
+class VerifyContractSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("a throwing query is recorded in _failures.json and fails the run") {
+    val out = Files.createTempDirectory("graft-verify-contract").toString
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, _) => s.range(3).select(col("id"))),
+      "broken_query" -> ((_, _) =>
+        throw new RuntimeException("deliberately broken for the contract spec")))
+    val failures = Verify.dump(spark, "unused-sf-dir", out, queries,
+      Map("ok_query" -> "SELECT 1"))
+    assert(failures.map(_._1) == Seq("broken_query"))
+    assert(failures.head._2.contains("deliberately broken"))
+    // the healthy query still dumped — catch-and-continue preserved
+    assert(Files.exists(Paths.get(s"$out/ok_query")))
+    assert(Files.exists(Paths.get(s"$out/oracle_sql.json")))
+    val fj = Files.readString(Paths.get(s"$out/_failures.json"))
+    assert(fj.contains("broken_query") && fj.contains("deliberately broken"))
+  }
+
+  test("an all-green run writes no _failures.json and returns empty") {
+    val out = Files.createTempDirectory("graft-verify-contract-ok").toString
+    val failures = Verify.dump(spark, "unused-sf-dir", out,
+      Map("ok_query" -> ((s, _) => s.range(2).select(col("id")))),
+      Map("ok_query" -> "SELECT 1"))
+    assert(failures.isEmpty)
+    assert(!Files.exists(Paths.get(s"$out/_failures.json")))
+  }
+}
