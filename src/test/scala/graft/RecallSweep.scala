@@ -28,6 +28,50 @@ object RecallSweep {
     t.join(a, Seq("qid", "neighbor_id")).count().toDouble / t.count()
   }
 
+  /** Deterministic CLUSTERED corpus: `blobs` Gaussian blobs around unit
+    * seed centers, point i in blob i % blobs, per-point RNG seeded by a
+    * mix of (seed, i) so the data is identical regardless of
+    * generation order. The fixture embeddings are isotropic noise —
+    * the ANN WORST case, where recall ≈ scanned fraction no matter how
+    * good the blocking is, so a silently-broken bucketing could hide
+    * there. On a clustered corpus true neighbors share a blob, so
+    * working blocking must capture them (recall far above the scanned
+    * fraction) and a blocking bug collapses recall — the shape where
+    * quality bugs are actually visible. Schema matches embeddings
+    * (vec_id, embedding) so every Similarity entry point applies. */
+  def clusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Int, dim: Int, blobs: Int, sigma: Double, seed: Long): DataFrame = {
+    import spark.implicits._
+    val centerRnd = new scala.util.Random(seed)
+    val centers = Array.fill(blobs) {
+      val c = Array.fill(dim)(centerRnd.nextGaussian())
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / nrm)
+    }
+    (0 until n).map { i =>
+      val c = centers(i % blobs)
+      val r = new scala.util.Random(seed ^ (i.toLong * 0x9E3779B97F4A7C15L))
+      (i.toLong, Array.tabulate(dim)(j =>
+        (c(j) + sigma * r.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Shared parameters for the clustered-shape floor measurements: the
+    * sweep prints with these, SimilaritySpec pins floors with THE SAME
+    * values, so the printed numbers and the gated floors never drift
+    * apart. 500×64, 20 blobs of 25. σ is PER-COORDINATE, so the total
+    * noise norm is σ√dim against a unit center: σ=0.05 → E‖noise‖² =
+    * 64·0.0025 = 0.16 and within-blob cosine ≈ 1/(1+0.16) ≈ .86,
+    * cross-blob ≈ 0 (random unit centers in 64-d are near-orthogonal)
+    * — separated but not trivially so. (σ=0.35 would make noise DWARF
+    * the centers — ‖noise‖ ≈ 2.8 — and reduce the corpus to isotropic
+    * noise again, defeating the purpose of the second shape.) */
+  val ClusteredN = 500
+  val ClusteredDim = 64
+  val ClusteredBlobs = 20
+  val ClusteredSigma = 0.05
+  val ClusteredSeed = 42L
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nq = args.lift(1).map(_.toInt).getOrElse(50)
@@ -162,6 +206,53 @@ object RecallSweep {
       reportShipped("method=shipped_e10_ivf_trained",
         Similarity.knnIvf(model.assignment, sq, "vec_id", sk))
       reportShipped("method=shipped_e11_ivf_multiprobe",
+        Similarity.knnIvfMultiProbe(assigned, cents, sq, "vec_id", sk, 3))
+    }
+
+    // The same shipped configurations on the CLUSTERED corpus — the
+    // second shape (r11 advice): on blobs, working blocking beats the
+    // scanned fraction by a wide margin, so these are the numbers that
+    // would actually collapse under a silent bucketing bug. The exact
+    // parameters are shared with SimilaritySpec's clustered floors.
+    {
+      val cbase = Similarity.withNorm(clusteredCorpus(spark,
+        ClusteredN, ClusteredDim, ClusteredBlobs, ClusteredSigma,
+        ClusteredSeed), "vec_id", "embedding").cache()
+      val sk = 5
+      val sq = col("vec_id") < 10
+      val ctruth = Similarity.knnBrute(
+        cbase, cbase.filter(sq), "vec_id", sk).cache()
+      def reportClustered(tag: String, ann: DataFrame): Unit =
+        println(f"RECALL $tag recall=${recallAt(ctruth, ann, sk)}%.3f")
+      val cents = cbase.filter(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").limit(20)
+      val assigned = Similarity.assignToCentroids(cbase, cents, "vec_id")
+      reportClustered("method=clustered_e02_ivf",
+        Similarity.knnIvf(assigned, sq, "vec_id", sk))
+      val bucketed = Similarity.assignLshBuckets(
+        cbase, "vec_id", Similarity.hyperplaneWeights(6, ClusteredDim))
+      reportClustered("method=clustered_e03_lsh",
+        Similarity.knnIvf(bucketed, sq, "vec_id", sk))
+      reportClustered("method=clustered_e04_multiprobe",
+        Similarity.knnLshMultiProbe(bucketed, sq, "vec_id", sk, 6))
+      val cb = Similarity.pqTrainSampled(
+        cbase.filter(col("vec_id") % 50 === 0), "vec_id", m = 8,
+        maxCodewords = 16)
+      val encoded = Similarity.pqEncode(cbase, "vec_id", cb)
+      reportClustered("method=clustered_e05_pq",
+        Similarity.knnPq(encoded, cbase.filter(sq), "vec_id", cb, sk))
+      val encodedAssigned = Similarity.pqEncode(assigned, "vec_id", cb)
+      reportClustered("method=clustered_e06_ivfpq",
+        Similarity.knnIvfPq(encodedAssigned,
+          encodedAssigned.filter(sq), "vec_id", cb, sk))
+      reportClustered("method=clustered_e07_refine",
+        Similarity.knnPqRefine(encoded, cbase, cbase.filter(sq),
+          "vec_id", cb, shortlist = 25, k = sk))
+      val model = Similarity.kmeansFit(cbase, "vec_id",
+        k = ClusteredBlobs, iters = 5, dim = ClusteredDim)
+      reportClustered("method=clustered_e10_ivf_trained",
+        Similarity.knnIvf(model.assignment, sq, "vec_id", sk))
+      reportClustered("method=clustered_e11_ivf_multiprobe",
         Similarity.knnIvfMultiProbe(assigned, cents, sq, "vec_id", sk, 3))
     }
 

@@ -192,6 +192,62 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", cb64, shortlist = 200, k = k5)) >= 0.95)
   }
 
+  test("ANN recall floors on a CLUSTERED corpus: blocking must beat the scanned fraction") {
+    // The isotropic-noise floors above guard mechanism, but on noise
+    // recall ≈ scanned fraction REGARDLESS of blocking quality — a
+    // silently-broken bucketing could hide there (r11 advice). On
+    // Gaussian blobs true neighbors share a blob, so working blocking
+    // concentrates them: these floors sit far above any scanned
+    // fraction and collapse if bucketing, training, or the probe path
+    // break. Parameters are shared with RecallSweep's clustered
+    // section (measured r12: e02 .480, e04 .800, e07 .920, e10 1.000,
+    // e11 .840 — floors just below).
+    import graft.RecallSweep
+    val cbase = Similarity.withNorm(RecallSweep.clusteredCorpus(spark,
+      RecallSweep.ClusteredN, RecallSweep.ClusteredDim,
+      RecallSweep.ClusteredBlobs, RecallSweep.ClusteredSigma,
+      RecallSweep.ClusteredSeed), "vec_id", "embedding").cache()
+    val k5 = 5
+    val q10 = col("vec_id") < 10
+    val truth = Similarity.knnBrute(cbase, cbase.filter(q10), "vec_id", k5)
+      .cache()
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      graft.RecallSweep.recallAt(truth, ann, k5)
+
+    // e02 shape: id-sampled centroids (the sampling only hits 2 of the
+    // 20 blobs — a real pathology of naive sampling, which is exactly
+    // why the floor is mid-range and e10's trained floor is ~1.0)
+    val cents = cbase.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(20)
+    val ivfAssigned = Similarity.assignToCentroids(cbase, cents, "vec_id")
+    assert(recall(Similarity.knnIvf(ivfAssigned, q10, "vec_id", k5)) >= 0.40)
+
+    // e04 shape: 6-plane sign-LSH + Hamming-1 probes (measured .800)
+    val bucketed = Similarity.assignLshBuckets(
+      cbase, "vec_id", Similarity.hyperplaneWeights(6, RecallSweep.ClusteredDim))
+    assert(recall(Similarity.knnLshMultiProbe(
+      bucketed, q10, "vec_id", k5, 6)) >= 0.70)
+
+    // e07 shape: ADC shortlist 25 → exact re-rank (measured .920)
+    val cb16 = Similarity.pqTrainSampled(
+      cbase.filter(col("vec_id") % 50 === 0), "vec_id", m = 8,
+      maxCodewords = 16)
+    assert(recall(Similarity.knnPqRefine(
+      Similarity.pqEncode(cbase, "vec_id", cb16), cbase, cbase.filter(q10),
+      "vec_id", cb16, shortlist = 25, k = k5)) >= 0.85)
+
+    // e10 shape: k-means-trained IVF, k == blob count — training must
+    // RECOVER the generative structure (measured 1.000)
+    val model = Similarity.kmeansFit(cbase, "vec_id",
+      k = RecallSweep.ClusteredBlobs, iters = 5,
+      dim = RecallSweep.ClusteredDim)
+    assert(recall(Similarity.knnIvf(model.assignment, q10, "vec_id", k5)) >= 0.95)
+
+    // e11 shape: 3-probe IVF over the sampled centroids (measured .840)
+    assert(recall(Similarity.knnIvfMultiProbe(
+      ivfAssigned, cents, q10, "vec_id", k5, 3)) >= 0.75)
+  }
+
   test("assignToCentroids replicates window ordering: ties and NaN") {
     import spark.implicits._
     // centroid 10 and 20 are IDENTICAL: every vector ties exactly, and
