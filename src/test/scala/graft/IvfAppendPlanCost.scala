@@ -36,17 +36,19 @@ object IvfAppendPlanCost {
     def mkBatch(n: Int, offset: Long) =
       spark.range(n).select((col("id") + offset).as("vec_id"),
         array((0 until dim).map(j =>
-          (hash(col("id") * (j + 1)) % 1000).cast("float") / 100f): _*)
+          ((hash(col("id") * (j + 1)) % 1000) / 100.0).cast("float")): _*)
           .as("embedding"))
-    val centroids = Similarity.withNorm(mkBatch(32, 10_000_000L),
-      "vec_id", "embedding")
+    def normed(n: Int, offset: Long) = Similarity.withNorm(
+      mkBatch(n, offset), "vec_id", "embedding")
+    val centroids = normed(32, 10_000_000L)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    Similarity.appendToIvfIndex(mkBatch(1000, 20_000_000L), table,
-      centroids, "vec_id")
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(normed(1000, 20_000_000L), centroids,
+        "vec_id"), table)
 
     for (exp <- 14 to maxExp by 2) {
       val n = 1 << exp
-      val batch = mkBatch(n, 0L)
+      val batch = normed(n, 0L)
       val t0 = System.nanoTime()
       val (fresh, release) = Similarity.freshIndexRows(batch, table,
         centroids, "vec_id")
