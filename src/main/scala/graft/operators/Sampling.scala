@@ -207,6 +207,62 @@ object Sampling {
       .drop("__mk", "__pb", "__rn", "__shard", "__os", "__opb", "__off")
   }
 
+  /** Temperature-flattened source mixing: keep `totalTarget` rows
+    * overall, allocated per `groupCol` value proportionally to
+    * n_g^(1/2) — the standard α=0.5 temperature-sampling step that
+    * upweights rare sources/languages relative to their natural share
+    * (α=1 reproduces the corpus mix, α→0 approaches uniform). Rows
+    * within a group are chosen in deterministic md5-shuffled order.
+    *
+    * Weights are INTEGER square roots (`floor(sqrt(n_g))` as BIGINT):
+    * IEEE sqrt is correctly rounded in every engine, so the weights —
+    * and therefore the integer-division targets — reproduce bit-for-bit
+    * in an external oracle, with no float-summation-order hazard (a
+    * double Σ n_g^α could round differently per engine and flip a
+    * ceil at a boundary). A group's target never exceeds its size.
+    *
+    * Scale shape: the corpus is touched exactly TWICE, both times over
+    * the same (group, md5-prefix-bucket) exchange (ReusedExchange, the
+    * d16/d25 lesson): once for the bucket-count aggregate and once for
+    * the row-rank window. Group counts, sqrt weights, the grand total
+    * (a single-partition window over #groups rows — configuration-
+    * sized, never the data; NB "__W" would silently REPLACE "__w"
+    * under Spark's default case-insensitive column resolution, hence
+    * "__tw"), and the per-group targets all derive from that one
+    * bucket aggregate; the targets then ride the broadcast offset
+    * table exactly like [[quotaPerGroup]]'s caps — no group-wide sort,
+    * no second corpus scan, at any size. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      totalTarget: Long, prefixChars: Int = 2,
+      targetCol: String = "mix_target"): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    val withB = withShuffleBuckets(df, idCol, prefixChars)
+    val bucketCounts = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(count(lit(1)).as("__c"))
+    val targets = bucketCounts.groupBy(col(groupCol))
+      .agg(sum("__c").as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(lit(0))))
+      .withColumn(targetCol,
+        least(col("__n"), expr(s"(${totalTarget}L * __w) div __tw")))
+      .select(col(groupCol).as("__tg"), col(targetCol))
+    val wIn = Window.partitionBy(col(groupCol), col("__pb"))
+      .orderBy(col("__mk"), col(idCol))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketCounts
+      .withColumn("__off", sum("__c").over(wOff) - col("__c"))
+      .join(broadcast(targets), col(groupCol) <=> col("__tg"))
+      .filter(col("__off") < col(targetCol))
+      .select(col(groupCol).as("__g"), col("__pb").as("__opb"),
+        col("__off"), col(targetCol))
+    withB.withColumn("__rn", row_number().over(wIn))
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
+      .filter(col("__off") + col("__rn") <= col(targetCol))
+      .drop("__mk", "__pb", "__rn", "__g", "__opb", "__off")
+  }
+
   /** Deterministic upsampling: emit `factors(group)` copies of every
     * row in a mapped group (1 copy when unmapped), with a 1-based
     * `copyCol` index distinguishing repeats — the "repeat high-quality

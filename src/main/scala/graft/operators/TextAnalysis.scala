@@ -114,6 +114,51 @@ object TextAnalysis {
         (col("__top").cast("double") / size(col("__sg"))).as("top_ngram_mass")): _*)
   }
 
+  /** Gopher-style composite quality gate (the public MassiveText /
+    * Gopher filtering rules, re-expressed over this engine's signals):
+    * keep a document only if its token count, mean word length,
+    * stopword ratio, repeated-token/line fractions, and top-bigram
+    * occurrence mass ALL fall inside their thresholds. Composes
+    * [[qualityScore]]'s and [[repetitionSignals]]'s expressions in ONE
+    * narrow pass — every signal is a function of one row, so the whole
+    * gate is a codegen'd projection+filter with zero exchanges at any
+    * corpus size (the d12 lesson: a per-document statistic never needs
+    * a corpus exchange). Emits the kept rows with all six signals for
+    * audit; thresholds are bit-exact to mirror in an external oracle
+    * because every signal is a single int/int division.
+    *
+    * Defaults are tuned to the synthetic fixture corpus (its generated
+    * text repeats tokens far more than natural prose — median
+    * dup-token ratio .54); production Gopher uses 50 ≤ tokens ≤ 100k,
+    * word length [3, 10], ≥ 2 stopword hits, dup-line ≤ .30,
+    * top-2-gram mass ≤ .20. */
+  def gopherQualityFilter(df: DataFrame, textCol: String, idCols: Seq[String],
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+      minStopwordRatio: Double = 0.05,
+      maxDupTokenRatio: Double = 0.60, maxDupLineRatio: Double = 0.30,
+      maxTopNgramMass: Double = 0.20,
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val tk = tokens(col(textCol))
+    val withQ = df
+      .withColumn("n_tokens", size(tk))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double")
+          / col("n_tokens"))
+    repetitionSignals(withQ, textCol,
+        idCols ++ Seq("n_tokens", "avg_word_len", "stopword_ratio"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("avg_word_len") >= minAvgWordLen &&
+        col("avg_word_len") <= maxAvgWordLen &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("dup_token_ratio") <= maxDupTokenRatio &&
+        col("dup_line_ratio") <= maxDupLineRatio &&
+        col("top_ngram_mass") <= maxTopNgramMass)
+  }
+
   /** Rare-token ratio: the fraction of a document's token occurrences
     * whose corpus-wide document frequency is below `maxDf` — a cheap
     * proxy for OOV/gibberish density (the public CCNet-style frequency

@@ -221,7 +221,22 @@ object TextOps {
     // Tokenizer-prep: top-30 adjacent token pairs (the BPE merge-
     // candidate statistic).
     "d27_bpe_pairs" -> ((s, d) =>
-      TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30))
+      TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30)),
+
+    // Gopher-style composite quality gate: all six signals inside
+    // their thresholds, emitted for audit (one narrow pass).
+    "d28_gopher_gate" -> ((s, d) =>
+      TextAnalysis.gopherQualityFilter(Tables.documents(s, d), "text",
+          Seq("doc_id"))
+        .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio",
+          "dup_token_ratio", "dup_line_ratio", "top_ngram_mass")),
+
+    // Temperature-flattened language mix: 300 docs allocated over
+    // langs ∝ sqrt(n_lang) — en's natural 44% share flattens to ~30%.
+    "d29_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+          totalTarget = 300)
+        .select("doc_id", "lang", "mix_target"))
   )
 
   /** 12 NATO-alphabet tokens standing in for a leaked benchmark
@@ -445,6 +460,47 @@ object TextOps {
            FROM gc GROUP BY 1)
          SELECT n.doc_id, n.dup_token_ratio, n.dup_line_ratio, m.top_ngram_mass
          FROM narrow n JOIN mass m USING (doc_id)""",
+    "d28_gopher_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS ln, text FROM documents),
+         sig AS (SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(tk) AS avg_word_len,
+           len(list_filter(tk,
+               x -> x IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(tk) AS stopword_ratio,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk)
+             AS dup_token_ratio,
+           (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln)
+             AS dup_line_ratio
+         FROM t),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM t),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE
+           AS top_ngram_mass FROM gc GROUP BY 1)
+         SELECT s.doc_id, s.n_tokens, s.avg_word_len, s.stopword_ratio,
+           s.dup_token_ratio, s.dup_line_ratio, m.top_ngram_mass
+         FROM sig s JOIN mass m USING (doc_id)
+         WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+           AND s.avg_word_len >= 2.0 AND s.avg_word_len <= 12.0
+           AND s.stopword_ratio >= 0.05
+           AND s.dup_token_ratio <= 0.60 AND s.dup_line_ratio <= 0.30
+           AND m.top_ngram_mass <= 0.20""",
+    "d29_temperature_mix" ->
+      """WITH t AS (SELECT lang, count(*) AS n,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+           FROM documents GROUP BY 1),
+         tg AS (SELECT lang,
+           least(n, (300 * w) // (SELECT sum(w)::BIGINT FROM t))::BIGINT
+             AS mix_target
+           FROM t),
+         r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
+         SELECT r.doc_id, r.lang, tg.mix_target
+         FROM r JOIN tg USING (lang) WHERE rn <= mix_target""",
     "d13_rare_tokens" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
            FROM documents),

@@ -258,6 +258,52 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(gotBudget.sameElements(refBudget), "budget walk diverged")
   }
 
+  test("temperatureMix allocates ∝ floor(sqrt(n)), capped at group size") {
+    // groups: a=100, b=25, c=4 → w = 10, 5, 2, W = 17; target 60 →
+    // a: 60*10 div 17 = 35, b: 60*5 div 17 = 17, c: min(4, 60*2 div 17=7) = 4
+    val df = (0L until 129L).map { i =>
+      (i, if (i < 100) "a" else if (i < 125) "b" else "c")
+    }.toDF("doc_id", "src")
+    val got = Sampling.temperatureMix(df, "doc_id", "src", totalTarget = 60)
+      .groupBy("src").agg(count(lit(1)).as("n"), max("mix_target").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == (35L, 35L), s"got $got")
+    assert(got("b") == (17L, 17L), s"got $got")
+    assert(got("c") == (4L, 4L), s"got $got")
+    // flattening: a is 78% of the corpus but only 62% of the mix
+    assert(got("a")._1.toDouble / 56 < 100.0 / 129)
+  }
+
+  test("temperatureMix matches the single-window reference selection exactly") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = docs.withColumn("src", $"doc_id" % 3)
+    val wq = W.partitionBy("src").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val counts = df.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weights = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val bigW = weights.values.sum
+    val targets = counts.map { case (g, n) =>
+      g -> math.min(n, 90L * weights(g) / bigW) }
+    val ref = df.withColumn("rn", row_number().over(wq)).collect()
+      .filter(r => r.getAs[Int]("rn") <= targets(r.getAs[Long]("src")))
+      .map(_.getAs[Long]("doc_id")).sorted
+    val got = Sampling.temperatureMix(df, "doc_id", "src", totalTarget = 90)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(ref), "temperature selection diverged")
+  }
+
+  test("temperatureMix treats a null group as a group") {
+    val df = docs.withColumn("src",
+      when($"doc_id" % 4 === 0, lit(null).cast("string")).otherwise(lit("a")))
+    val got = Sampling.temperatureMix(df, "doc_id", "src", totalTarget = 40)
+      .groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // null group (50 rows, w=7) and "a" (150 rows, w=12): W=19 →
+    // null: 40*7 div 19 = 14, a: 40*12 div 19 = 25
+    assert(got(None) == 14, s"null group mishandled: $got")
+    assert(got(Some("a")) == 25, s"got $got")
+  }
+
   test("sampler plans: row windows are prefix-bucketed, never one task per group") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = docs.withColumn("src", $"doc_id" % 3)

@@ -139,4 +139,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toSeq
     assert(out === Seq(("x", "w"), ("y", "x")))
   }
+
+  test("gopherQualityFilter: each rule rejects its violator, the clean doc survives") {
+    // one doc per failure mode + one passing all rules. The passing doc
+    // needs 20+ tokens, mostly-distinct, a stopword, varied bigrams.
+    // avg_word_len counts ALPHA chars only, so tokens need real letters
+    val clean = (1 to 24).map(i => s"word$i").mkString(" ") + " the a of to"
+    val docs = Seq(
+      1L -> clean,
+      2L -> "too short the a",                                  // n_tokens < 20
+      3L -> (1 to 28).map(i => s"word$i").mkString(" "),        // no stopwords
+      4L -> ("the dup " * 14).trim,                             // dup tokens + top-bigram mass
+      5L -> (clean + "\nsame line\nsame line\nsame line")       // dup lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFilter(docs, "text", Seq("doc_id"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val sig = out.collect().head
+    assert(sig.getAs[Int]("n_tokens") == 28)
+    assert(sig.getAs[Double]("stopword_ratio") == 4.0 / 28)
+    assert(sig.getAs[Double]("dup_line_ratio") == 0.0)
+  }
+
+  test("gopherQualityFilter is one narrow pass: zero exchanges at any corpus size") {
+    val docs = Seq((1L, "a doc the end")).toDF("doc_id", "text")
+    val gate = TextAnalysis.gopherQualityFilter(docs, "text", Seq("doc_id"))
+    graft.ShuffleSweep.withStaticPlans(spark) {
+      assert(graft.ShuffleSweep.staticExchanges(gate) == 0,
+        "the composite gate must stay a codegen'd projection+filter")
+    }
+  }
 }
