@@ -126,6 +126,48 @@ object Pipeline {
     (packed, () => { train.unpersist(blocking = false); () })
   }
 
+  /** FineWeb-style curation pipeline end-to-end: Gopher composite
+    * quality gate -> LSH near-dup drop -> PII redaction -> temperature-
+    * flattened language mix -> sequence packing. Every stage is one of
+    * the verified operators (d28, d07/p02's dominated drop, d21, d29,
+    * d16), composed the way the published web-corpus recipes chain
+    * them; a user of the reference-style toolkit runs the whole recipe
+    * in one call and gets packed `seqLen`-token contexts out.
+    *
+    * This overload discards the unpersist handle — one-shot runs only.
+    */
+  def fineWebPipeline(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, mixTarget: Long = 150): DataFrame =
+    fineWebPipelineWithRelease(docs, textCol, idCol, langCol, mixTarget)._1
+
+  /** [[fineWebPipeline]] plus an unpersist handle. The stages through
+    * redaction are ONE declarative plan (the gate is a narrow
+    * zero-exchange filter, the LSH drop one anti-join, redaction a
+    * narrow projection); that plan is persisted before the mix because
+    * [[Sampling.temperatureMix]] — like the quota sampler it extends —
+    * deliberately reads its input twice (bucket-count branch + row-rank
+    * branch), and without the cache the shingle/banding work upstream
+    * would compute twice. Packing then reads the mix output once. */
+  def fineWebPipelineWithRelease(docs: DataFrame, textCol: String,
+      idCol: String, langCol: String, mixTarget: Long = 150,
+      nearDup: NearDupConfig = NearDupConfig(),
+      seqLen: Int = 512, bucketSize: Long = 64): (DataFrame, () => Unit) = {
+    val gatedIds = TextAnalysis.gopherQualityFilter(
+      docs, textCol, Seq(idCol)).select(idCol)
+    val kept = docs.join(gatedIds, idCol)
+    val dominated = Dedup.lshCandidatePairs(kept, textCol, idCol,
+        nearDup.k, nearDup.bandWidth, nearDup.shingleSize)
+      .select(col("b_id").as(idCol)).distinct()
+    val deduped = kept.join(dominated, Seq(idCol), "left_anti")
+    val redacted = TextAnalysis.redactPii(deduped, textCol,
+        Seq(idCol, langCol))
+      .persist()
+    val mixed = Sampling.temperatureMix(redacted, idCol, langCol, mixTarget)
+    val packed = Packing.packSequences(mixed, idCol, "redacted_text",
+      seqLen, bucketSize)
+    (packed, () => { redacted.unpersist(blocking = false); () })
+  }
+
   /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup
     * -> token-window chunking ([[TextAnalysis.chunkTokenWindows]]
     * semantics: `window`-token chunks advancing by `stride`) -> sequence

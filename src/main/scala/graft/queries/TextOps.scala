@@ -223,6 +223,13 @@ object TextOps {
     "d27_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30)),
 
+    // FineWeb-style recipe end-to-end: Gopher gate -> LSH near-dup
+    // drop -> PII redaction -> temperature lang mix -> 512-token
+    // packing (bucketSize 64 exercises the multi-bucket path).
+    "p04_fineweb_pipeline" -> ((s, d) =>
+      graft.operators.Pipeline.fineWebPipeline(
+        Tables.documents(s, d), "text", "doc_id", "lang", mixTarget = 150)),
+
     // Gopher-style composite quality gate: all six signals inside
     // their thresholds, emitted for audit (one narrow pass).
     "d28_gopher_gate" -> ((s, d) =>
@@ -460,6 +467,74 @@ object TextOps {
            FROM gc GROUP BY 1)
          SELECT n.doc_id, n.dup_token_ratio, n.dup_line_ratio, m.top_ngram_mass
          FROM narrow n JOIN mass m USING (doc_id)""",
+    // p04 replays the recipe stage by stage: the d28 gate, p02's
+    // dominated-drop banding, d21's redaction chain (a no-op on the
+    // natural fixture text, but the regex chain must still be applied
+    // identically), d29's integer-sqrt temperature targets, and the
+    // d16 running-sum packing — all over each stage's survivors.
+    "p04_fineweb_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS ln, text FROM documents),
+         sig AS (SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(tk) AS awl,
+           len(list_filter(tk,
+               x -> x IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(tk) AS swr,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) AS dtr,
+           (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln) AS dlr
+         FROM t),
+         gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM t),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS tnm
+           FROM gc GROUP BY 1),
+         g AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+           JOIN sig s USING (doc_id) JOIN mass m USING (doc_id)
+           WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+             AND s.awl >= 2.0 AND s.awl <= 12.0 AND s.swr >= 0.05
+             AND s.dtr <= 0.60 AND s.dlr <= 0.30 AND m.tnm <= 0.20),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM g),
+         banded AS (SELECT doc_id,
+           unnest([${(0 until 3).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, ${shingleMinhashSql(2 * b + 1)}))")
+             .mkString(", ")}]) AS band
+         FROM sh),
+         dominated AS (SELECT DISTINCT b.doc_id
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         ded AS (SELECT * FROM g
+           WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
+         red AS (SELECT doc_id, lang,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<PII>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<PII>', 'g'),
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PII>', 'g') AS rt
+           FROM ded),
+         lt AS (SELECT lang, count(*) AS n,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM red GROUP BY 1),
+         tg AS (SELECT lang,
+           least(n, (150 * w) // (SELECT sum(w)::BIGINT FROM lt))::BIGINT
+             AS target FROM lt),
+         mixed AS (SELECT r.doc_id, r.rt FROM
+           (SELECT doc_id, lang, rt, row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM red) r
+           JOIN tg USING (lang) WHERE rn <= target),
+         pt AS (SELECT doc_id,
+           len(string_split(rt, ' '))::BIGINT AS n_tokens FROM mixed),
+         c AS (SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+           FROM pt)
+         SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
+         FROM c""",
     "d28_gopher_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
            string_split(text, chr(10)) AS ln, text FROM documents),
