@@ -130,6 +130,22 @@ object VectorOps {
       Similarity.nearDupPairs(assigned, "vec_id", threshold = 0.4)
     }),
 
+    // SemDeDup-style semantic dedup: d09's same-centroid cosine pairs
+    // feed d11's connected-component resolution over the EMBEDDING
+    // space; every vector whose component representative (min id) is
+    // another vector is dropped. Output: the surviving corpus with its
+    // cluster id — the keep-list a semantic-dedup pass hands the
+    // downstream pipeline.
+    "d30_semantic_dedup" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val assigned = Similarity.assignToCentroids(base, centroids(base), "vec_id")
+      val pairs = Similarity.nearDupPairs(assigned, "vec_id", threshold = 0.4)
+      val groups = graft.operators.Dedup.nearDupGroups(pairs)
+      assigned.select(col("vec_id"), col("cid"))
+        .join(groups.filter(col("doc_id") =!= col("group_id"))
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    }),
+
     // Spherical k-means fit — the IVF centroid TRAINING step the other
     // e-queries assume as given: 8 clusters seeded in md5(vec_id) hash
     // order (ingestion-order-independent), 2 Lloyd rounds with exact
@@ -381,6 +397,22 @@ object VectorOps {
          FROM assigned a JOIN assigned b
            ON a.cid = b.cid AND a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4""",
+    "d30_semantic_dedup" ->
+      s"""WITH RECURSIVE $ivfAssignCtes,
+         cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM assigned a JOIN assigned b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4),
+         edges AS (SELECT a_id AS x, b_id AS y FROM cand
+           UNION SELECT b_id, a_id FROM cand),
+         reach(id, lbl) AS (
+           SELECT DISTINCT x, x FROM edges
+           UNION
+           SELECT e2.x, r.lbl FROM edges e2 JOIN reach r ON e2.y = r.id),
+         grp AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY id),
+         dropped AS (SELECT id FROM grp WHERE id <> group_id)
+         SELECT vec_id, cid FROM assigned
+         WHERE vec_id NOT IN (SELECT id FROM dropped)""",
     "e08_kmeans_fit" -> kmeansOracleSql,
     "e09_random_projection" -> {
       // shared plane literals; (dot / sqrt)::FLOAT::DOUBLE * 1e6 then
