@@ -98,6 +98,33 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
   }
 
+  /** Document-LEVEL cross-corpus contamination: for every corpus doc
+    * sharing at least one MinHash-LSH band with ANY benchmark doc, the
+    * count of distinct matching benchmark docs. The document-similarity
+    * complement of the n-gram-overlap decontamination (d20/d23): grams
+    * catch verbatim passage leaks, band collisions catch whole-document
+    * near-copies whose shared grams are individually unremarkable.
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets,
+    * not corpora), so its banded frame broadcasts — the corpus banding
+    * pipeline stays narrow (shingle explode → codegen'd md5 slots →
+    * per-doc min-agg, map-side combined) and the only corpus-keyed
+    * exchange is the final per-doc count. */
+  def lshContamination(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, k: Int = 6, bandWidth: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val cb = lshBands(
+      minHashSignatures(corpus, textCol, idCol, k, shingleSize),
+      idCol, k, bandWidth)
+    val bb = lshBands(
+      minHashSignatures(bench, textCol, idCol, k, shingleSize),
+      idCol, k, bandWidth)
+      .select(col(idCol).as("bench_id"), col("band"))
+    cb.join(broadcast(bb), "band")
+      .select(col(idCol), col("bench_id")).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_bench_matches"))
+  }
+
   /** Near-duplicate group resolution: connected components over the
     * candidate-pair graph, labeling every document with the minimum
     * doc id of its component — the keep/drop decision a corpus curation

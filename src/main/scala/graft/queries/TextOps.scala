@@ -223,6 +223,20 @@ object TextOps {
     "d27_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30)),
 
+    // Document-level cross-corpus contamination: corpus docs sharing a
+    // MinHash band with any benchmark doc (doc_id % 97 == 0 stands in
+    // for the eval set, as in d20/d23) and how many bench docs matched.
+    // bandWidth=1 (6 single-slot bands): doc-similarity recall is the
+    // point here, and width-2 bands match nothing at the sf0.01 gate —
+    // a 0-row gated query proves nothing.
+    "d31_lsh_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.lshContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", k = 6, bandWidth = 1)
+    }),
+
     // FineWeb-style recipe end-to-end: Gopher gate -> LSH near-dup
     // drop -> PII redaction -> temperature lang mix -> 512-token
     // packing (bucketSize 64 exercises the multi-bucket path).
@@ -467,6 +481,30 @@ object TextOps {
            FROM gc GROUP BY 1)
          SELECT n.doc_id, n.dup_token_ratio, n.dup_line_ratio, m.top_ngram_mass
          FROM narrow n JOIN mass m USING (doc_id)""",
+    "d31_lsh_contamination" ->
+      s"""WITH sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents WHERE doc_id % 97 <> 0),
+         bsh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents WHERE doc_id % 97 = 0),
+         cband AS (SELECT doc_id,
+           unnest([${(0 until 6).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(b)}))")
+             .mkString(", ")}]) AS band FROM sh),
+         bband AS (SELECT doc_id AS bench_id,
+           unnest([${(0 until 6).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(b)}))")
+             .mkString(", ")}]) AS band FROM bsh),
+         m AS (SELECT DISTINCT c.doc_id, b.bench_id
+           FROM cband c JOIN bband b USING (band))
+         SELECT doc_id, count(*) AS n_bench_matches FROM m GROUP BY 1""",
     // p04 replays the recipe stage by stage: the d28 gate, p02's
     // dominated-drop banding, d21's redaction chain (a no-op on the
     // natural fixture text, but the regex chain must still be applied
