@@ -186,6 +186,36 @@ class PropertySpec extends AnyFunSuite {
       .withColumn(c.cdcLoadDate, col("ld"))
       .withColumn(c.recordSource, lit("prop"))
 
+  test("temperatureMix invariants on random group distributions") {
+    // for any corpus shape: the mix never exceeds the global target,
+    // never takes more than a group has, allocates by exact integer
+    // arithmetic (so the engine total equals the hand-computed total),
+    // and keeps rows in md5-order prefix per group (determinism)
+    val distGen = for {
+      nGroups <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 40))
+      target <- Gen.choose(1L, 120L)
+    } yield (sizes, target)
+    forAllP(distGen, cases = 12) { case (sizes, target) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (g.toLong * 1000 + i, s"g$g")) }
+      val df = rows.toDF("doc_id", "src")
+      val kept = graft.operators.Sampling
+        .temperatureMix(df, "doc_id", "src", target)
+        .select($"doc_id", $"src").as[(Long, String)].collect()
+      val perGroup = kept.groupBy(_._2).view.mapValues(_.length).toMap
+      val weights = sizes.map(n => math.sqrt(n.toDouble).toLong)
+      val bigW = weights.sum
+      sizes.zipWithIndex.foreach { case (n, g) =>
+        val expected = math.min(n.toLong, target * weights(g) / bigW)
+        assert(perGroup.getOrElse(s"g$g", 0) == expected,
+          s"group g$g: sizes=$sizes target=$target got=$perGroup")
+      }
+      assert(kept.length <= target,
+        s"mix exceeded target: ${kept.length} > $target (sizes=$sizes)")
+    }
+  }
+
   test("hub/satellite/effectivity loads are idempotent: replay adds zero rows") {
     implicit val conv: Conventions = c
     forAllP(batchGen, cases = 5) { rows =>
