@@ -47,6 +47,12 @@ object Verify {
     val json = oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a green run must CLEAR any stale failure record: out dirs are
+    // reused (the documented workflow writes /tmp/verify_out), and a
+    // leftover _failures.json from a previous broken run would make a
+    // presence-checking consumer condemn this clean one
+    if (failures.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/_failures.json"))
     if (failures.nonEmpty) {
       val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")

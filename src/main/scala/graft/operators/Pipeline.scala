@@ -152,9 +152,9 @@ object Pipeline {
       idCol: String, langCol: String, mixTarget: Long = 150,
       nearDup: NearDupConfig = NearDupConfig(),
       seqLen: Int = 512, bucketSize: Long = 64): (DataFrame, () => Unit) = {
-    val gatedIds = TextAnalysis.gopherQualityFilter(
-      docs, textCol, Seq(idCol)).select(idCol)
-    val kept = docs.join(gatedIds, idCol)
+    // in-place gate: a filter, never an id set joined back (an
+    // O(corpus) id set only broadcasts at toy scale)
+    val kept = TextAnalysis.gopherQualityKept(docs, textCol)
     val dominated = Dedup.lshCandidatePairs(kept, textCol, idCol,
         nearDup.k, nearDup.bandWidth, nearDup.shingleSize)
       .select(col("b_id").as(idCol)).distinct()

@@ -231,7 +231,15 @@ object Sampling {
     * "__tw"), and the per-group targets all derive from that one
     * bucket aggregate; the targets then ride the broadcast offset
     * table exactly like [[quotaPerGroup]]'s caps — no group-wide sort,
-    * no second corpus scan, at any size. */
+    * no second corpus scan, at any size.
+    *
+    * The selection deliberately DUPLICATES quotaPerGroup's two-level
+    * machinery instead of sharing a caps-frame helper: a LITERAL cap
+    * compiles to a partial WindowGroupLimit below the rank exchange
+    * (only ~cap rows per bucket shuffle with their payload —
+    * plan-pinned for d17), and a cap that arrives via a join cannot.
+    * Unifying the two would silently strip that map-side prune from
+    * the quota path. */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
       totalTarget: Long, prefixChars: Int = 2,
       targetCol: String = "mix_target"): DataFrame = {

@@ -44,19 +44,29 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "or", "and", "of", "to", "in", "is")
 
+  /** The three [[qualityScore]] signals APPENDED as columns, original
+    * columns preserved — the single source of these expressions: d03,
+    * the d28 gate, and the composed pipelines all read the same
+    * definitions, so they cannot drift apart. */
+  private def withQualitySignals(df: DataFrame, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens", size(tk))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double")
+          / col("n_tokens"))
+  }
+
   /** Quality heuristics: token count, alpha-chars-per-token, stopword
     * ratio. Ratios are single int/int divisions — bit-deterministic. */
   def qualityScore(df: DataFrame, textCol: String, idCols: Seq[String],
-      stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val tk = tokens(col(textCol))
-    val nTok = size(tk)
-    val nStop = size(filter(tk, t => t.isin(stopwords.map(lit): _*)))
-    val nAlpha = length(regexp_replace(col(textCol), "[^a-z]", ""))
-    df.select(idCols.map(col) ++ Seq(
-      nTok.as("n_tokens"),
-      (nAlpha.cast("double") / nTok).as("avg_word_len"),
-      (nStop.cast("double") / nTok).as("stopword_ratio")): _*)
-  }
+      stopwords: Seq[String] = defaultStopwords): DataFrame =
+    withQualitySignals(df, textCol, stopwords)
+      .select((idCols ++ Seq("n_tokens", "avg_word_len", "stopword_ratio"))
+        .map(col): _*)
 
   /** Marker-stopword language vote; ties resolve in `markers` order. */
   def languageId(df: DataFrame, textCol: String, idCols: Seq[String],
@@ -89,11 +99,13 @@ object TextAnalysis {
     * corpus-sized join of the mass branch back onto the per-row
     * signals (the pre-r8 shape paid all three; a per-document
     * statistic never needs a corpus exchange). */
-  def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String],
-      n: Int = 2): DataFrame = {
-    val tk = tokens(col(textCol))
+  /** The three [[repetitionSignals]] signals APPENDED as columns,
+    * original columns preserved (single-source, like
+    * [[withQualitySignals]]). */
+  private def withRepetitionSignals(df: DataFrame, textCol: String,
+      n: Int): DataFrame = {
     val lines = split(col(textCol), "\n")
-    df.select(idCols.map(col) ++ Seq(col(textCol), tk.as("__tk")): _*)
+    df.withColumn("__tk", tokens(col(textCol)))
       .withColumn("__sg", array_sort(shingles("__tk", textCol, n)))
       .withColumn("__top", aggregate(
         col("__sg"),
@@ -106,58 +118,85 @@ object TextAnalysis {
             greatest(acc.getField("mx"), run).as("mx"))
         },
         acc => acc.getField("mx")))
-      .select(idCols.map(col) ++ Seq(
-        ((size(col("__tk")) - size(array_distinct(col("__tk")))).cast("double")
-          / size(col("__tk"))).as("dup_token_ratio"),
-        ((size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
-          .as("dup_line_ratio"),
-        (col("__top").cast("double") / size(col("__sg"))).as("top_ngram_mass")): _*)
+      .withColumn("dup_token_ratio",
+        (size(col("__tk")) - size(array_distinct(col("__tk")))).cast("double")
+          / size(col("__tk")))
+      .withColumn("dup_line_ratio",
+        (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+      .withColumn("top_ngram_mass",
+        col("__top").cast("double") / size(col("__sg")))
+      .drop("__tk", "__sg", "__top")
   }
+
+  def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String],
+      n: Int = 2): DataFrame =
+    withRepetitionSignals(df, textCol, n)
+      .select((idCols ++
+        Seq("dup_token_ratio", "dup_line_ratio", "top_ngram_mass")).map(col): _*)
+
+  /** Thresholds for the Gopher gate. Defaults are tuned to the
+    * synthetic fixture corpus (its generated text repeats tokens far
+    * more than natural prose — median dup-token ratio .54); production
+    * Gopher uses 50 ≤ tokens ≤ 100k, word length [3, 10], ≥ 2 stopword
+    * hits, dup-line ≤ .30, top-2-gram mass ≤ .20. */
+  final case class GopherThresholds(
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+      minStopwordRatio: Double = 0.05,
+      maxDupTokenRatio: Double = 0.60, maxDupLineRatio: Double = 0.30,
+      maxTopNgramMass: Double = 0.20)
+
+  /** The six gate signal columns, in output order. */
+  val gopherSignalCols: Seq[String] = Seq(
+    "n_tokens", "avg_word_len", "stopword_ratio",
+    "dup_token_ratio", "dup_line_ratio", "top_ngram_mass")
+
+  private def gopherCondition(t: GopherThresholds) =
+    col("n_tokens") >= t.minTokens && col("n_tokens") <= t.maxTokens &&
+      col("avg_word_len") >= t.minAvgWordLen &&
+      col("avg_word_len") <= t.maxAvgWordLen &&
+      col("stopword_ratio") >= t.minStopwordRatio &&
+      col("dup_token_ratio") <= t.maxDupTokenRatio &&
+      col("dup_line_ratio") <= t.maxDupLineRatio &&
+      col("top_ngram_mass") <= t.maxTopNgramMass
+
+  private def gopherSignals(df: DataFrame, textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    withRepetitionSignals(withQualitySignals(df, textCol, stopwords),
+      textCol, n = 2)
 
   /** Gopher-style composite quality gate (the public MassiveText /
     * Gopher filtering rules, re-expressed over this engine's signals):
     * keep a document only if its token count, mean word length,
     * stopword ratio, repeated-token/line fractions, and top-bigram
-    * occurrence mass ALL fall inside their thresholds. Composes
-    * [[qualityScore]]'s and [[repetitionSignals]]'s expressions in ONE
-    * narrow pass — every signal is a function of one row, so the whole
-    * gate is a codegen'd projection+filter with zero exchanges at any
-    * corpus size (the d12 lesson: a per-document statistic never needs
-    * a corpus exchange). Emits the kept rows with all six signals for
-    * audit; thresholds are bit-exact to mirror in an external oracle
-    * because every signal is a single int/int division.
-    *
-    * Defaults are tuned to the synthetic fixture corpus (its generated
-    * text repeats tokens far more than natural prose — median
-    * dup-token ratio .54); production Gopher uses 50 ≤ tokens ≤ 100k,
-    * word length [3, 10], ≥ 2 stopword hits, dup-line ≤ .30,
-    * top-2-gram mass ≤ .20. */
+    * occurrence mass ALL fall inside their thresholds. Built on the
+    * SAME signal expressions d03/d12 emit ([[withQualitySignals]] /
+    * [[withRepetitionSignals]]) in ONE narrow pass — every signal is a
+    * function of one row, so the whole gate is a codegen'd
+    * projection+filter with zero exchanges at any corpus size (the d12
+    * lesson: a per-document statistic never needs a corpus exchange).
+    * Emits the kept rows with all six signals for audit; thresholds
+    * are bit-exact to mirror in an external oracle because every
+    * signal is a single int/int division. */
   def gopherQualityFilter(df: DataFrame, textCol: String, idCols: Seq[String],
-      minTokens: Int = 20, maxTokens: Int = 100000,
-      minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
-      minStopwordRatio: Double = 0.05,
-      maxDupTokenRatio: Double = 0.60, maxDupLineRatio: Double = 0.30,
-      maxTopNgramMass: Double = 0.20,
-      stopwords: Seq[String] = defaultStopwords): DataFrame = {
-    val tk = tokens(col(textCol))
-    val withQ = df
-      .withColumn("n_tokens", size(tk))
-      .withColumn("avg_word_len",
-        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
-          / col("n_tokens"))
-      .withColumn("stopword_ratio",
-        size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double")
-          / col("n_tokens"))
-    repetitionSignals(withQ, textCol,
-        idCols ++ Seq("n_tokens", "avg_word_len", "stopword_ratio"))
-      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("avg_word_len") >= minAvgWordLen &&
-        col("avg_word_len") <= maxAvgWordLen &&
-        col("stopword_ratio") >= minStopwordRatio &&
-        col("dup_token_ratio") <= maxDupTokenRatio &&
-        col("dup_line_ratio") <= maxDupLineRatio &&
-        col("top_ngram_mass") <= maxTopNgramMass)
-  }
+      thresholds: GopherThresholds = GopherThresholds(),
+      stopwords: Seq[String] = defaultStopwords): DataFrame =
+    gopherSignals(df, textCol, stopwords)
+      .filter(gopherCondition(thresholds))
+      .select((idCols ++ gopherSignalCols).map(col): _*)
+
+  /** The gate as an IN-PLACE filter: original columns preserved,
+    * signal columns dropped. This is what a composed pipeline wants —
+    * a `docs.filter(...)`-shaped stage, not a corpus-sized id set
+    * joined back (which only stays cheap while the id set fits a
+    * broadcast; at corpus scale it degrades to a shuffle join the
+    * gate's zero-exchange contract forbids). */
+  def gopherQualityKept(df: DataFrame, textCol: String,
+      thresholds: GopherThresholds = GopherThresholds(),
+      stopwords: Seq[String] = defaultStopwords): DataFrame =
+    gopherSignals(df, textCol, stopwords)
+      .filter(gopherCondition(thresholds))
+      .drop(gopherSignalCols: _*)
 
   /** Rare-token ratio: the fraction of a document's token occurrences
     * whose corpus-wide document frequency is below `maxDf` — a cheap

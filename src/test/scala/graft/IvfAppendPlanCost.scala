@@ -46,7 +46,14 @@ object IvfAppendPlanCost {
       Similarity.assignToCentroids(normed(1000, 20_000_000L), centroids,
         "vec_id"), table)
 
-    for (exp <- 14 to maxExp by 2) {
+    // plan + execute under the SAME conf appendToIvfIndex applies in
+    // production (autoBucketedScan off — under the default heuristic
+    // the In(cid) bucket pruning is discarded and the check reads
+    // every bucket), so the published numbers measure the real path
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try for (exp <- 14 to maxExp by 2) {
       val n = 1 << exp
       val batch = normed(n, 0L)
       val t0 = System.nanoTime()
@@ -63,7 +70,7 @@ object IvfAppendPlanCost {
       release()
       println(f"PLANCOST n=$n%8d collect=$tCollect%7.2fs plan=$tPlan%7.2fs " +
         f"exec=$tExec%7.2fs fresh_rows=$rows%8d plan_chars=$planChars%9d")
-    }
+    } finally spark.conf.set(key, old)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.stop()
   }

@@ -209,11 +209,16 @@ object RecallSweep {
         Similarity.knnIvfMultiProbe(assigned, cents, sq, "vec_id", sk, 3))
     }
 
-    // The same shipped configurations on the CLUSTERED corpus — the
-    // second shape (r11 advice): on blobs, working blocking beats the
-    // scanned fraction by a wide margin, so these are the numbers that
-    // would actually collapse under a silent bucketing bug. The exact
-    // parameters are shared with SimilaritySpec's clustered floors.
+    // The same operator FAMILIES on the CLUSTERED corpus — the second
+    // shape (r11 advice): on blobs, working blocking beats the scanned
+    // fraction by a wide margin, so these are the numbers that would
+    // actually collapse under a silent bucketing bug. Configs are
+    // sized to this corpus, NOT the shipped sf-fixture configs
+    // verbatim: the %50 id sample on 500 ids yields 10 centroids (the
+    // limit(20) is non-binding → effectively C=10), and the trained
+    // row uses k = blob count (20) with 5 iterations so training can
+    // actually recover the generative structure. The exact parameters
+    // are shared with SimilaritySpec's clustered floors.
     {
       val cbase = Similarity.withNorm(clusteredCorpus(spark,
         ClusteredN, ClusteredDim, ClusteredBlobs, ClusteredSigma,

@@ -37,4 +37,17 @@ class VerifyContractSpec extends AnyFunSuite {
     assert(failures.isEmpty)
     assert(!Files.exists(Paths.get(s"$out/_failures.json")))
   }
+
+  test("a green re-run into a reused out dir clears the stale failure record") {
+    val out = Files.createTempDirectory("graft-verify-contract-rerun").toString
+    val broken = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "q" -> ((_, _) => throw new RuntimeException("broken first run")))
+    assert(Verify.dump(spark, "unused", out, broken, Map.empty).nonEmpty)
+    assert(Files.exists(Paths.get(s"$out/_failures.json")))
+    val fixed = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "q" -> ((s, _) => s.range(1).select(col("id"))))
+    assert(Verify.dump(spark, "unused", out, fixed, Map.empty).isEmpty)
+    assert(!Files.exists(Paths.get(s"$out/_failures.json")),
+      "stale _failures.json survived a green re-run")
+  }
 }
