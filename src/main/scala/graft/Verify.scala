@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -26,40 +27,61 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  /** Dump every query's result + the oracle SQL + (when any query threw)
-    * `_failures.json` under `outDir`. Returns the (name, error) failure
-    * list so main can exit non-zero and VerifyContractSpec can assert
-    * the loud-failure contract without a sys.exit killing the JVM. */
+  /** Dump every query's result + the oracle SQL + (when the out dir
+    * holds any failed query) `_failures.json` under `outDir`. Returns
+    * THIS run's (name, error) failure list so main can exit non-zero
+    * and VerifyContractSpec can assert the loud-failure contract
+    * without a sys.exit killing the JVM.
+    *
+    * The failure record is kept per query (`_failures/<name>.txt`) and
+    * `_failures.json` is re-aggregated from it each run, because out
+    * dirs are REUSED (the documented workflow writes /tmp/verify_out)
+    * and runs can be prefix-scoped: a green full run must clear a
+    * stale record, but a green `d`-prefixed run must NOT un-condemn an
+    * out dir whose w-query failure it never re-ran — it clears only
+    * its own entries and the summary reflects the union. */
   def dump(spark: SparkSession, sfDir: String, outDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       oracleSql: Map[String, String]): Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
+    val fdir = Paths.get(s"$outDir/_failures")
+    Files.createDirectories(fdir)
     val failures = queries.toSeq.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        Files.deleteIfExists(fdir.resolve(s"$name.txt"))
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        Some(name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500))
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        Files.writeString(fdir.resolve(s"$name.txt"), msg)
+        Some(name -> msg)
       }
     }
     val json = oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // a green run must CLEAR any stale failure record: out dirs are
-    // reused (the documented workflow writes /tmp/verify_out), and a
-    // leftover _failures.json from a previous broken run would make a
-    // presence-checking consumer condemn this clean one
-    if (failures.isEmpty)
+    // aggregate the record: this run's failures plus any still-standing
+    // entries from queries this (possibly prefix-scoped) run skipped
+    val listing = Files.list(fdir)
+    val standingPaths =
+      try listing.iterator().asScala.toList finally listing.close()
+    val standing = standingPaths
+      .filter(_.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
+      .map(p => p.getFileName.toString.stripSuffix(".txt") ->
+        Files.readString(p))
+    if (standing.isEmpty) {
       Files.deleteIfExists(Paths.get(s"$outDir/_failures.json"))
-    if (failures.nonEmpty) {
-      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      Files.deleteIfExists(fdir)
+    } else {
+      val fj = standing.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/_failures.json"), fj)
       System.err.println(
-        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
-          failures.map(_._1).mkString(", "))
+        s"[verify] ${standing.size} quer${if (standing.size == 1) "y" else "ies"} " +
+          s"FAILED (incl. prior runs into this dir): " +
+          standing.map(_._1).mkString(", "))
     }
     failures
   }

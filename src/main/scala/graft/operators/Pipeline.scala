@@ -16,18 +16,19 @@ object Pipeline {
       maxStopwordRatio: Double = 0.5)
 
   /** The shared quality gate: documents passing the token-count and
-    * stopword-ratio thresholds, original columns only. p02 and p03
-    * gate through here so their oracles stay gate-identical by
+    * stopword-ratio thresholds, original columns only. IN PLACE — a
+    * filter over appended signal columns, never an id set joined back
+    * (an O(corpus) id set only broadcasts at toy scale; past the
+    * broadcast threshold the join degrades to a corpus shuffle). p02
+    * and p03 gate through here so their oracles stay gate-identical by
     * construction (p01's variant differs: it keeps the quality columns
     * for downstream annotation). */
   private def qualityKept(docs: DataFrame, textCol: String, idCol: String,
-      thresholds: QualityThresholds): DataFrame = {
-    val ids = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
+      thresholds: QualityThresholds): DataFrame =
+    TextAnalysis.qualitySignals(docs, textCol)
       .filter(col("n_tokens") >= thresholds.minTokens &&
         col("stopword_ratio") < thresholds.maxStopwordRatio)
-      .select(idCol)
-    docs.join(ids, idCol)
-  }
+      .drop(TextAnalysis.qualitySignalCols: _*)
 
   /** Optional near-duplicate stage parameters: LSH banding (see
     * [[Dedup.lshCandidatePairs]]) + group-resolution iteration cap. */
@@ -66,10 +67,12 @@ object Pipeline {
         "de" -> Seq("der", "die", "und"),
         "es" -> Seq("el", "la", "los")),
       nearDup: Option[NearDupConfig] = None): (DataFrame, () => Unit) = {
-    val quality = TextAnalysis.qualityScore(docs, textCol, Seq(idCol))
-    val kept = docs.join(quality, idCol)
+    // in-place gate like qualityKept, but n_tokens rides along for the
+    // downstream annotation select
+    val kept = TextAnalysis.qualitySignals(docs, textCol)
       .filter(col("n_tokens") >= thresholds.minTokens &&
         col("stopword_ratio") < thresholds.maxStopwordRatio)
+      .drop("avg_word_len", "stopword_ratio")
     val exact = Dedup.dropExactDuplicates(kept, textCol, idCol)
     val (deduped, release) = nearDup match {
       case None => (exact, () => ())

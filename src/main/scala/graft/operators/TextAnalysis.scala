@@ -44,10 +44,26 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "or", "and", "of", "to", "in", "is")
 
+  /** Fail loudly when appending signal columns would silently REPLACE
+    * (and a later drop would then DESTROY) columns the caller already
+    * has — `withColumn` gives no warning on a name collision. */
+  private def requireNoCollision(df: DataFrame, names: Seq[String],
+      op: String): Unit = {
+    val collisions = df.columns.toSet.intersect(names.toSet)
+    require(collisions.isEmpty,
+      s"$op would overwrite caller column(s) ${collisions.mkString(", ")} — " +
+        "rename them upstream before gating")
+  }
+
+  /** The quality-signal column names [[qualityScore]] emits. */
+  val qualitySignalCols: Seq[String] =
+    Seq("n_tokens", "avg_word_len", "stopword_ratio")
+
   /** The three [[qualityScore]] signals APPENDED as columns, original
     * columns preserved — the single source of these expressions: d03,
     * the d28 gate, and the composed pipelines all read the same
-    * definitions, so they cannot drift apart. */
+    * definitions, so they cannot drift apart. Callers needing a
+    * collision guard go through [[qualitySignals]]. */
   private def withQualitySignals(df: DataFrame, textCol: String,
       stopwords: Seq[String]): DataFrame = {
     val tk = tokens(col(textCol))
@@ -58,6 +74,16 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         size(filter(tk, t => t.isin(stopwords.map(lit): _*))).cast("double")
           / col("n_tokens"))
+  }
+
+  /** [[qualityScore]]'s signals appended IN PLACE (original columns
+    * preserved; fails loudly on a name collision) — the building block
+    * for pipelines that gate on quality without a corpus-sized id set
+    * joined back. */
+  def qualitySignals(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    requireNoCollision(df, qualitySignalCols, "qualitySignals")
+    withQualitySignals(df, textCol, stopwords)
   }
 
   /** Quality heuristics: token count, alpha-chars-per-token, stopword
@@ -86,22 +112,10 @@ object TextAnalysis {
     withHits.withColumn("pred_lang", pred)
   }
 
-  /** Repetition-based quality signals (the public Gopher/MassiveText
-    * family of heuristics): fraction of repeated tokens, fraction of
-    * repeated lines, and the occurrence share of the most frequent word
-    * n-gram. Ratios are single int/int divisions — bit-deterministic.
-    *
-    * Fully NARROW: every signal is a function of one row. Top-n-gram
-    * mass sorts the row's shingle array and takes the longest run of
-    * equal adjacent grams (sorted order groups duplicates), so the
-    * count of the most frequent gram falls out of one O(L log L)
-    * per-row pass — no shingle explode, no (doc, gram) shuffle, and no
-    * corpus-sized join of the mass branch back onto the per-row
-    * signals (the pre-r8 shape paid all three; a per-document
-    * statistic never needs a corpus exchange). */
   /** The three [[repetitionSignals]] signals APPENDED as columns,
     * original columns preserved (single-source, like
-    * [[withQualitySignals]]). */
+    * [[withQualitySignals]]; uses `__tk`/`__sg`/`__top` scratch
+    * columns internally). */
   private def withRepetitionSignals(df: DataFrame, textCol: String,
       n: Int): DataFrame = {
     val lines = split(col(textCol), "\n")
@@ -128,6 +142,19 @@ object TextAnalysis {
       .drop("__tk", "__sg", "__top")
   }
 
+  /** Repetition-based quality signals (the public Gopher/MassiveText
+    * family of heuristics): fraction of repeated tokens, fraction of
+    * repeated lines, and the occurrence share of the most frequent word
+    * n-gram. Ratios are single int/int divisions — bit-deterministic.
+    *
+    * Fully NARROW: every signal is a function of one row. Top-n-gram
+    * mass sorts the row's shingle array and takes the longest run of
+    * equal adjacent grams (sorted order groups duplicates), so the
+    * count of the most frequent gram falls out of one O(L log L)
+    * per-row pass — no shingle explode, no (doc, gram) shuffle, and no
+    * corpus-sized join of the mass branch back onto the per-row
+    * signals (the pre-r8 shape paid all three; a per-document
+    * statistic never needs a corpus exchange). */
   def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String],
       n: Int = 2): DataFrame =
     withRepetitionSignals(df, textCol, n)
@@ -161,9 +188,12 @@ object TextAnalysis {
       col("top_ngram_mass") <= t.maxTopNgramMass
 
   private def gopherSignals(df: DataFrame, textCol: String,
-      stopwords: Seq[String]): DataFrame =
+      stopwords: Seq[String]): DataFrame = {
+    requireNoCollision(df,
+      gopherSignalCols ++ Seq("__tk", "__sg", "__top"), "the Gopher gate")
     withRepetitionSignals(withQualitySignals(df, textCol, stopwords),
       textCol, n = 2)
+  }
 
   /** Gopher-style composite quality gate (the public MassiveText /
     * Gopher filtering rules, re-expressed over this engine's signals):

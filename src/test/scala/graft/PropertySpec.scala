@@ -189,8 +189,12 @@ class PropertySpec extends AnyFunSuite {
   test("temperatureMix invariants on random group distributions") {
     // for any corpus shape: the mix never exceeds the global target,
     // never takes more than a group has, allocates by exact integer
-    // arithmetic (so the engine total equals the hand-computed total),
-    // and keeps rows in md5-order prefix per group (determinism)
+    // arithmetic, and keeps EXACTLY the md5-order prefix of each group
+    // (the selected ids are recomputed independently here, so a
+    // right-count-wrong-rows regression cannot pass)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val distGen = for {
       nGroups <- Gen.choose(1, 6)
       sizes <- Gen.listOfN(nGroups, Gen.choose(1, 40))
@@ -203,14 +207,17 @@ class PropertySpec extends AnyFunSuite {
       val kept = graft.operators.Sampling
         .temperatureMix(df, "doc_id", "src", target)
         .select($"doc_id", $"src").as[(Long, String)].collect()
-      val perGroup = kept.groupBy(_._2).view.mapValues(_.length).toMap
       val weights = sizes.map(n => math.sqrt(n.toDouble).toLong)
       val bigW = weights.sum
-      sizes.zipWithIndex.foreach { case (n, g) =>
-        val expected = math.min(n.toLong, target * weights(g) / bigW)
-        assert(perGroup.getOrElse(s"g$g", 0) == expected,
-          s"group g$g: sizes=$sizes target=$target got=$perGroup")
-      }
+      val expectedIds = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val gi = g.stripPrefix("g").toInt
+        val tgt = math.min(sizes(gi).toLong, target * weights(gi) / bigW)
+        rs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+          .take(tgt.toInt)
+      }.toSet
+      assert(kept.map(_._1).toSet == expectedIds,
+        s"selection diverged from the md5-order prefix: sizes=$sizes " +
+          s"target=$target")
       assert(kept.length <= target,
         s"mix exceeded target: ${kept.length} > $target (sizes=$sizes)")
     }

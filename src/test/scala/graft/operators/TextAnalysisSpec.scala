@@ -160,6 +160,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sig.getAs[Double]("dup_line_ratio") == 0.0)
   }
 
+  test("the gate fails loudly when it would destroy caller columns") {
+    // gopherQualityKept's contract is "original columns preserved" —
+    // a caller column named like a signal would be silently replaced
+    // then dropped, so the gate must refuse instead
+    val docs = Seq((1L, "a doc the end", 99)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.gopherQualityKept(docs, "text")
+    }
+    assert(e.getMessage.contains("n_tokens"))
+  }
+
   test("gopherQualityFilter is one narrow pass: zero exchanges at any corpus size") {
     val docs = Seq((1L, "a doc the end")).toDF("doc_id", "text")
     val gate = TextAnalysis.gopherQualityFilter(docs, "text", Seq("doc_id"))
