@@ -38,6 +38,29 @@ class VerifyContractSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/_failures.json")))
   }
 
+  test("a green prefix-scoped run keeps failures of queries it did not re-run") {
+    // full run fails w-query; a later green d-prefixed run into the
+    // same dir must NOT un-condemn the dir — w's failure stands in the
+    // re-aggregated record until a run that re-runs w goes green
+    val out = Files.createTempDirectory("graft-verify-contract-prefix").toString
+    val full = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "d_ok" -> ((s, _) => s.range(1).select(col("id"))),
+      "w_broken" -> ((_, _) => throw new RuntimeException("w still broken")))
+    assert(Verify.dump(spark, "unused", out, full, Map.empty)
+      .map(_._1) == Seq("w_broken"))
+    // prefix-scoped green re-run of only the d query
+    val dOnly = full.filter(_._1.startsWith("d"))
+    assert(Verify.dump(spark, "unused", out, dOnly, Map.empty).isEmpty)
+    val fj = Files.readString(Paths.get(s"$out/_failures.json"))
+    assert(fj.contains("w_broken"),
+      "prefix-scoped green run erased a failure it never re-ran")
+    // a full green re-run then clears everything
+    val fixed = full.updated("w_broken",
+      (s: org.apache.spark.sql.SparkSession, _: String) => s.range(1).select(col("id")))
+    assert(Verify.dump(spark, "unused", out, fixed, Map.empty).isEmpty)
+    assert(!Files.exists(Paths.get(s"$out/_failures.json")))
+  }
+
   test("a green re-run into a reused out dir clears the stale failure record") {
     val out = Files.createTempDirectory("graft-verify-contract-rerun").toString
     val broken = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
