@@ -235,6 +235,30 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("p04: the gate+LSH+redact upstream executes once, cached before the mix") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.sources.Tables
+    val (df, release) = graft.operators.Pipeline.fineWebPipelineWithRelease(
+      Tables.documents(spark, sf), "text", "doc_id", "lang")
+    try {
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      // the temperature mix reads its input twice (bucket counts +
+      // row ranks) and packing once more — all must hit the cache
+      val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans >= 2, s"expected multiple cache reads, got $cacheScans")
+      // the documents scan (gate + banding upstream) must execute
+      // nowhere above the cache
+      val docScans = nodes.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => f
+      }
+      assert(docScans.isEmpty,
+        s"documents scanned ${docScans.size}x outside the cached upstream")
+    } finally release()
+  }
+
   test("incremental IVF append: the index side of the idempotence join never shuffles") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

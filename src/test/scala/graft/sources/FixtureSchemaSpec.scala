@@ -94,4 +94,18 @@ class FixtureSchemaSpec extends AnyFunSuite {
       "Tables.normalizeTs must canonicalize every physical ts form to " +
         "TimestampType — windows, unix_millis and watermarks depend on it")
   }
+
+  test("embeddings are 64-dimensional (the engine's Dim constant)") {
+    // every ANN operator, codebook split (Dim/PqM), hyperplane set and
+    // oracle literal assumes 64 components — a fixture regeneration at
+    // a different dim must fail HERE, not deep inside a PQ slice
+    val dims = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(64),
+      s"embeddings.embedding drifted to dims $dims — the engine (and " +
+        "queries/VectorOps.Dim) assume 64; audit every ANN operator " +
+        "and oracle before re-pinning")
+  }
 }
