@@ -252,6 +252,29 @@ object TextOps {
         .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio",
           "dup_token_ratio", "dup_line_ratio", "top_ngram_mass")),
 
+    // Streaming curation gate: the documents fixture replayed through
+    // a REAL readStream file source into a foreachBatch append sink
+    // (the w02 pattern), then the d28 Gopher gate over the accumulated
+    // table. Hash-matching the batch d28 oracle proves the
+    // stream → table → gate path loses nothing — the streaming-ingest
+    // story extended to the curation operators.
+    "w03_gopher_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val scratch = java.nio.file.Files.createTempDirectory("graft-w03").toString
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        batch.write.mode("append").parquet(s"$scratch/documents")
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      TextAnalysis.gopherQualityFilter(
+        s.read.schema(schema).parquet(s"$scratch/documents"),
+        "text", Seq("doc_id"))
+    }),
+
     // Temperature-flattened language mix: 300 docs allocated over
     // langs ∝ sqrt(n_lang) — en's natural 44% share flattens to ~30%.
     "d29_temperature_mix" -> ((s, d) =>
@@ -573,6 +596,35 @@ object TextOps {
          SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
            (cum - n_tokens) // 512 AS first_seq, (cum - 1) // 512 AS last_seq
          FROM c""",
+    "w03_gopher_stream" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS ln, text FROM documents),
+         sig AS (SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(tk) AS avg_word_len,
+           len(list_filter(tk,
+               x -> x IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(tk) AS stopword_ratio,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk)
+             AS dup_token_ratio,
+           (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln)
+             AS dup_line_ratio
+         FROM t),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM t),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE
+           AS top_ngram_mass FROM gc GROUP BY 1)
+         SELECT s.doc_id, s.n_tokens, s.avg_word_len, s.stopword_ratio,
+           s.dup_token_ratio, s.dup_line_ratio, m.top_ngram_mass
+         FROM sig s JOIN mass m USING (doc_id)
+         WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+           AND s.avg_word_len >= 2.0 AND s.avg_word_len <= 12.0
+           AND s.stopword_ratio >= 0.05
+           AND s.dup_token_ratio <= 0.60 AND s.dup_line_ratio <= 0.30
+           AND m.top_ngram_mass <= 0.20""",
     "d28_gopher_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
            string_split(text, chr(10)) AS ln, text FROM documents),
