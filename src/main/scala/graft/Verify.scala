@@ -73,7 +73,11 @@ object Verify {
         Files.readString(p))
     if (standing.isEmpty) {
       Files.deleteIfExists(Paths.get(s"$outDir/_failures.json"))
-      Files.deleteIfExists(fdir)
+      // best-effort: a stray non-.txt entry (filtered out of `standing`)
+      // would make this DirectoryNotEmptyException — an all-green run
+      // must not crash on it, so leave the dir in place instead
+      try Files.deleteIfExists(fdir)
+      catch { case _: java.io.IOException => () }
     } else {
       val fj = standing.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}")
@@ -114,9 +118,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // fresh warehouse per run: catalog-writing queries (v10, e07)
       // otherwise trip over managed-table locations orphaned by a
-      // previous run's metastore under ./spark-warehouse
+      // previous run's metastore under ./spark-warehouse. Reuse-keyed
+      // (wipe + recreate) rather than createTempDirectory so repeated
+      // verify runs in one session don't accumulate orphan dirs.
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-verify-wh").toString)
+        graft.sources.Scratch.dir("verify-wh", outDir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failures = dump(spark, sfDir, outDir,

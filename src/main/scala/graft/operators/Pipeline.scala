@@ -140,8 +140,10 @@ object Pipeline {
     * This overload discards the unpersist handle — one-shot runs only.
     */
   def fineWebPipeline(docs: DataFrame, textCol: String, idCol: String,
-      langCol: String, mixTarget: Long = 150): DataFrame =
-    fineWebPipelineWithRelease(docs, textCol, idCol, langCol, mixTarget)._1
+      langCol: String, mixTarget: Long, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): DataFrame =
+    fineWebPipelineWithRelease(docs, textCol, idCol, langCol, mixTarget,
+      seqLen = seqLen, bucketSize = bucketSize)._1
 
   /** [[fineWebPipeline]] plus an unpersist handle. The stages through
     * redaction are ONE declarative plan (the gate is a narrow
@@ -152,9 +154,9 @@ object Pipeline {
     * branch), and without the cache the shingle/banding work upstream
     * would compute twice. Packing then reads the mix output once. */
   def fineWebPipelineWithRelease(docs: DataFrame, textCol: String,
-      idCol: String, langCol: String, mixTarget: Long = 150,
+      idCol: String, langCol: String, mixTarget: Long,
       nearDup: NearDupConfig = NearDupConfig(),
-      seqLen: Int = 512, bucketSize: Long = 64): (DataFrame, () => Unit) = {
+      seqLen: Int = 512, bucketSize: Long = 1L << 20): (DataFrame, () => Unit) = {
     // in-place gate: a filter, never an id set joined back (an
     // O(corpus) id set only broadcasts at toy scale)
     val kept = TextAnalysis.gopherQualityKept(docs, textCol)

@@ -207,12 +207,18 @@ object Sampling {
       .drop("__mk", "__pb", "__rn", "__shard", "__os", "__opb", "__off")
   }
 
-  /** Temperature-flattened source mixing: keep `totalTarget` rows
-    * overall, allocated per `groupCol` value proportionally to
+  /** Temperature-flattened source mixing: keep AT MOST `totalTarget`
+    * rows overall, allocated per `groupCol` value proportionally to
     * n_g^(1/2) — the standard α=0.5 temperature-sampling step that
     * upweights rare sources/languages relative to their natural share
     * (α=1 reproduces the corpus mix, α→0 approaches uniform). Rows
     * within a group are chosen in deterministic md5-shuffled order.
+    * The sum of targets systematically undershoots `totalTarget`: the
+    * integer floor division leaves a remainder of up to #groups−1 rows
+    * undistributed (deliberately — largest-remainder redistribution
+    * would reintroduce the cross-engine tie-break hazard the integer
+    * arithmetic exists to avoid), and a group smaller than its target
+    * contributes only its size.
     *
     * Weights are INTEGER square roots (`floor(sqrt(n_g))` as BIGINT):
     * IEEE sqrt is correctly rounded in every engine, so the weights —

@@ -201,8 +201,8 @@ object Relational {
       // the stream must read the bytes as stored; canonicalization
       // happens once on the accumulated table via Tables.normalizeTs —
       // the same normalization point Tables.events uses
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val scratch = java.nio.file.Files.createTempDirectory("graft-w02").toString
+      val schema = Tables.eventsRaw(s, d).schema
+      val scratch = graft.sources.Scratch.dir("w02", d)
       // the fixture is a single parquet FILE; the file stream source
       // wants a directory, so stream the sf dir filtered to that file
       val stream = s.readStream.schema(schema)

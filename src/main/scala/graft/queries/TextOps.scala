@@ -240,9 +240,12 @@ object TextOps {
     // FineWeb-style recipe end-to-end: Gopher gate -> LSH near-dup
     // drop -> PII redaction -> temperature lang mix -> 512-token
     // packing (bucketSize 64 exercises the multi-bucket path).
+    // (fixture-sized mixTarget/bucketSize passed explicitly: the
+    // pipeline's own bucketSize default is the 1<<20 scale value)
     "p04_fineweb_pipeline" -> ((s, d) =>
       graft.operators.Pipeline.fineWebPipeline(
-        Tables.documents(s, d), "text", "doc_id", "lang", mixTarget = 150)),
+        Tables.documents(s, d), "text", "doc_id", "lang", mixTarget = 150,
+        bucketSize = 64)),
 
     // Gopher-style composite quality gate: all six signals inside
     // their thresholds, emitted for audit (one narrow pass).
@@ -261,7 +264,7 @@ object TextOps {
     "w03_gopher_stream" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val scratch = java.nio.file.Files.createTempDirectory("graft-w03").toString
+      val scratch = graft.sources.Scratch.dir("w03", d)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")

@@ -242,7 +242,7 @@ object VaultQueries {
     // every run, so the output is a pure function of the CDC feed.
     "v10_catalog_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StringType}
-      val loc = java.nio.file.Files.createTempDirectory("graft-v10").toString
+      val loc = graft.sources.Scratch.dir("v10", d)
       s.sql("DROP DATABASE IF EXISTS v10_raw CASCADE")
       s.sql("DROP DATABASE IF EXISTS v10_stg CASCADE")
       val config = RawVaultConfig(
@@ -282,11 +282,11 @@ object VaultQueries {
       import org.apache.spark.sql.types.{IntegerType, StringType}
       import s.implicits._
       val t0 = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
-      val loc = java.nio.file.Files.createTempDirectory("graft-v11").toString
+      val loc = graft.sources.Scratch.dir("v11", d)
       // databases are keyed by scale factor (the e07 graft_vecstore.v_<sf>
       // idiom): concurrent runs at different sf must not clobber each
       // other's fixed-name catalog state
-      val sfx = d.split('/').filter(_.nonEmpty).last.replaceAll("[^A-Za-z0-9]", "_")
+      val sfx = graft.sources.Scratch.sfKey(d)
       val rawDb = s"v11_raw_$sfx"
       val stgDb = s"v11_stg_$sfx"
       s.sql(s"DROP DATABASE IF EXISTS $rawDb CASCADE")

@@ -37,7 +37,27 @@ object Tables {
     * re-reads the conf at planning time, after this method returned.
     */
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame =
-    normalizeTs(table(spark, sfDir, "events"))
+    normalizeTs(eventsRaw(spark, sfDir))
+
+  /** The RAW events read, no ts canonicalization — the stream-replay
+    * queries (w02/w04) need the file bytes' own schema. Spark 4 rejects
+    * the legacy int64-ns physical form outright ("Illegal Parquet
+    * type") unless spark.sql.legacy.parquet.nanosAsLong=true was set at
+    * SESSION CONSTRUCTION, which would otherwise surface as a raw
+    * parser error with no hint at the fix; translate it into the
+    * actionable guidance here, the same named place normalizeTs fails
+    * for an unknown fourth form. */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    try table(spark, sfDir, "events")
+    catch {
+      case e: Throwable if Option(e.getMessage).exists(m =>
+          m.contains("NANOS") || m.contains("Illegal Parquet type")) =>
+        throw new IllegalStateException(
+          "events.parquet carries the legacy int64-nanosecond ts form; " +
+            "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
+            "(Bench, Verify and TestSpark all do) so it reads as LongType " +
+            "for Tables.normalizeTs to canonicalize", e)
+    }
 
   /** Normalize an events-shaped frame's `ts` to TimestampType, whatever
     * physical form it was read in. Shared with code that must consume

@@ -240,7 +240,8 @@ class QueryPlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import graft.sources.Tables
     val (df, release) = graft.operators.Pipeline.fineWebPipelineWithRelease(
-      Tables.documents(spark, sf), "text", "doc_id", "lang")
+      Tables.documents(spark, sf), "text", "doc_id", "lang",
+      mixTarget = 150, bucketSize = 64)
     try {
       df.collect()
       val nodes = flatten(df.queryExecution.executedPlan)
