@@ -24,7 +24,14 @@ object VaultQueries {
 
   /** events → prepared-staging shape (the stage_table_df contract). */
   private def stagedEvents(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    stagedFeed(Tables.events(s, d))
+
+  /** The same staging applied to any events-shaped frame (w04 stages
+    * each micro-batch through here so stream and batch derive the CDC
+    * columns from ONE definition). Expects a canonical TimestampType
+    * `ts` (route raw bytes through [[Tables.normalizeTs]] first). */
+  private def stagedFeed(events: DataFrame): DataFrame =
+    events
       .withColumn(c.operation,
         when(col("event_type") === "signup", CdcOp.Create)
           .when(col("event_type") === "error", CdcOp.Delete)
@@ -441,6 +448,116 @@ object VaultQueries {
         .select(col(LoadRawV2Ops.Hkey).as("hkey"),
           col(LoadRawV2Ops.LoadDate).as("ld"),
           col(LoadRawV2Ops.LastSeenDate).as("last_seen"))
+    }),
+
+    // Streaming CDC -> vault-core ingest gate: the events feed, split
+    // into four micro-batch files PLUS a replayed copy of the first
+    // slice (at-least-once delivery), streamed through a REAL
+    // readStream file source into CdcStream.foreachBatchLoader driving
+    // RawVault.loadHub — which loads hub + satellite + effectivity
+    // satellite per batch through the same anti-join kernels as batch —
+    // against catalog tables pre-seeded with the v01/v02/v03 "already
+    // loaded" slices. The final table states minus the seeds
+    // hash-match the v01+v02+v03 batch oracles (as per-table row
+    // fingerprints): streaming ingest into the vault core loses
+    // nothing and duplicates nothing, INCLUDING under replay. This is
+    // the 100 TB deployment story the CdcStream scaladoc describes,
+    // gated. Correct because (user_id, ms-truncated ts) is unique in
+    // the feed (FixtureSchemaSpec pins it): the loaders' (HKEY,
+    // LOAD_DATE) cross-batch anti-join then drops exactly the replayed
+    // rows and nothing else, independent of micro-batch order.
+    "w04_cdc_vault_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val loc = graft.sources.Scratch.dir("w04", d)
+      val sfx = graft.sources.Scratch.sfKey(d)
+      val rawDb = s"w04_raw_$sfx"
+      val stgDb = s"w04_stg_$sfx"
+      s.sql(s"DROP DATABASE IF EXISTS $rawDb CASCADE")
+      s.sql(s"DROP DATABASE IF EXISTS $stgDb CASCADE")
+      // non-bucketed tables: the task-aligned bucketed sink is v10's
+      // gate; here plain appends keep the seed writes one-liners
+      val config = RawVaultConfig(
+        stagingBasePath = loc,
+        stagingPreparedDatabase = stgDb,
+        rawDatabase = rawDb,
+        optimizePartitioning = false,
+        stagingPreparedBasePath = Some(s"$loc/stg.db"),
+        rawBasePath = Some(s"$loc/raw.db"))
+      val vault = new RawVault(s, config, "events",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      vault.initializeDatabase()
+      val satDef = SatelliteDefinition(c.satName("USERS"), Seq(
+        ColumnDefinition("event_type", StringType),
+        ColumnDefinition("props", StringType)))
+      vault.createHub("USERS", Seq(ColumnDefinition("user_id", LongType)))
+      vault.createSatellite("USERS", satDef.attributes)
+      val hubName = c.hubName("USERS")
+      val effName = c.effectivitySatName("USERS")
+
+      // seeds: the v01/v02/v03 "already loaded" slices, written into
+      // the catalog tables the stream will load against
+      val stagedAll = stagedEvents(s, d)
+        .withColumn(c.loadDate, timestamp_millis(col(c.loadDate)))
+      val hubSeed = stagedAll.filter(col("user_id") % 2 === 0)
+        .select(col(c.hkey), col(c.loadDate), col(c.recordSource), col("user_id"))
+        .distinct()
+      val satSeed = stagedAll.filter(col("event_id") % 3 === 0 &&
+          col(c.operation).isin(CdcOp.Create, CdcOp.Update, CdcOp.Snapshot))
+        .withColumn(c.hdiff, Dv.hashNames(Seq("event_type", "props")))
+        .select(col(c.hkey), col(c.hdiff), col(c.loadDate),
+          col("event_type"), col("props"))
+        .distinct()
+      val effSeed = stagedAll.filter(col("event_id") % 3 === 0 &&
+          col(c.operation).isin(CdcOp.Create, CdcOp.Delete, CdcOp.Snapshot))
+        .withColumn(c.deleted, col(c.operation) === CdcOp.Delete)
+        .withColumn(c.hdiff, Dv.hash(Seq(col(c.deleted))))
+        .select(col(c.hkey), col(c.hdiff), col(c.loadDate), col(c.deleted))
+        .distinct()
+      Seq((hubName, hubSeed), (c.satName("USERS"), satSeed), (effName, effSeed))
+        .foreach { case (t, df) =>
+          df.write.mode("append").saveAsTable(s"$rawDb.`$t`") }
+
+      // the feed: four deterministic slices written as separate files
+      // (one micro-batch each under maxFilesPerTrigger=1), then slice 0
+      // appended AGAIN — the at-least-once redelivery the loaders must
+      // absorb. RAW file schema throughout; canonicalization happens
+      // per batch via Tables.normalizeTs before staging.
+      val raw = Tables.eventsRaw(s, d)
+      val feed = s"$loc/feed"
+      (0 until 4).foreach { i =>
+        raw.filter(col("event_id") % 4 === i)
+          .coalesce(1).write.mode("append").parquet(feed)
+      }
+      raw.filter(col("event_id") % 4 === 0)
+        .coalesce(1).write.mode("append").parquet(feed)
+
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        val staged = stagedFeed(graft.sources.Tables.normalizeTs(batch))
+          .withColumn(c.loadDate, timestamp_millis(col(c.loadDate)))
+        vault.loadHub(staged, "USERS", Seq("user_id"), Seq(satDef))
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val hubNew = s.table(s"$rawDb.`$hubName`")
+        .join(hubSeed.select(col(c.hkey)), Seq(c.hkey), "left_anti")
+      val satNew = s.table(s"$rawDb.`${c.satName("USERS")}`")
+        .join(satSeed.select(col(c.hkey), col(c.loadDate)),
+          Seq(c.hkey, c.loadDate), "left_anti")
+      val effNew = s.table(s"$rawDb.`$effName`")
+        .join(effSeed.select(col(c.hkey), col(c.loadDate)),
+          Seq(c.hkey, c.loadDate), "left_anti")
+      hubNew.select(lit("hub").as("tbl"), col(c.hkey).as("hkey"),
+          md5(concat_ws(",", col(c.recordSource), col("user_id"))).as("fp"))
+        .distinct()
+        .unionByName(satNew.select(lit("sat").as("tbl"), col(c.hkey).as("hkey"),
+          md5(concat_ws(",", col(c.hdiff), unix_millis(col(c.loadDate)),
+            col("event_type"), col("props"))).as("fp")))
+        .unionByName(effNew.select(lit("eff").as("tbl"), col(c.hkey).as("hkey"),
+          md5(concat_ws(",", col(c.hdiff), unix_millis(col(c.loadDate)),
+            col(c.deleted))).as("fp")))
     })
   )
 
@@ -464,6 +581,29 @@ object VaultQueries {
            (op = 1) AS deleted
          FROM staged s WHERE op IN (0,1,2)
            AND NOT EXISTS (SELECT 1 FROM cur WHERE cur.hkey = s.hkey AND cur.ld = s.ld)""",
+    // w04 = the v01/v02/v03 new-row sets as (tbl, hkey, fp) fingerprints:
+    // the streaming replay's final table states minus the seeds must
+    // equal the one-shot batch computation row for row
+    "w04_cdc_vault_stream" ->
+      s"""WITH $stagedSql,
+         hub AS (SELECT DISTINCT hkey FROM staged WHERE user_id % 2 = 0),
+         hubn AS (SELECT DISTINCT hkey, 'events' AS rs, user_id FROM staged
+           WHERE NOT EXISTS (SELECT 1 FROM hub WHERE hub.hkey = staged.hkey)),
+         satcur AS (SELECT hkey, ld FROM staged WHERE event_id % 3 = 0 AND op IN (0,2,4)),
+         satn AS (SELECT DISTINCT hkey, md5(concat_ws(',', event_type, props)) AS hdiff,
+             ld, event_type, props
+           FROM staged s WHERE op IN (0,2,4)
+             AND NOT EXISTS (SELECT 1 FROM satcur c WHERE c.hkey = s.hkey AND c.ld = s.ld)),
+         effcur AS (SELECT hkey, ld FROM staged WHERE event_id % 3 = 0 AND op IN (0,1,2)),
+         effn AS (SELECT DISTINCT hkey, md5((op = 1)::VARCHAR) AS hdiff, ld,
+             (op = 1) AS deleted
+           FROM staged s WHERE op IN (0,1,2)
+             AND NOT EXISTS (SELECT 1 FROM effcur c WHERE c.hkey = s.hkey AND c.ld = s.ld))
+         SELECT 'hub' AS tbl, hkey, md5(concat_ws(',', rs, user_id)) AS fp FROM hubn
+         UNION ALL SELECT 'sat' AS tbl, hkey,
+           md5(concat_ws(',', hdiff, ld, event_type, props)) AS fp FROM satn
+         UNION ALL SELECT 'eff' AS tbl, hkey,
+           md5(concat_ws(',', hdiff, ld, deleted)) AS fp FROM effn""",
     "v04_link_rows" ->
       """WITH lnk AS (
            SELECT md5(concat_ws(',', md5(o_orderkey::VARCHAR), md5(o_custkey::VARCHAR))) AS link_hkey,

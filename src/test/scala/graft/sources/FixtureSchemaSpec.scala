@@ -95,6 +95,23 @@ class FixtureSchemaSpec extends AnyFunSuite {
         "TimestampType — windows, unix_millis and watermarks depend on it")
   }
 
+  test("events (user_id, ms-truncated ts) is unique — the w04 replay contract") {
+    // w04's streaming replay hash-matches the one-shot batch oracles
+    // BECAUSE no two events share (user_id, ts@ms): the vault loaders'
+    // (HKEY, LOAD_DATE) cross-batch anti-join then drops exactly the
+    // redelivered rows. A fixture regeneration that introduces such a
+    // collision makes the satellite result order-dependent across
+    // micro-batches — w04 would need a deterministic in-batch
+    // tie-break before re-pinning here.
+    import org.apache.spark.sql.functions._
+    val dups = Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("MILLISECOND", col("ts")))
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0L,
+      s"$dups (user_id, ts@ms) collisions in events — w04's streaming " +
+        "replay is only batch-equivalent when the pair is unique")
+  }
+
   test("embeddings are 64-dimensional (the engine's Dim constant)") {
     // every ANN operator, codebook split (Dim/PqM), hyperplane set and
     // oracle literal assumes 64 components — a fixture regeneration at
