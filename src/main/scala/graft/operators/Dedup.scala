@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact (hash-groupBy), MinHash+LSH, SimHash,
@@ -208,6 +209,80 @@ object Dedup {
     labels.join(sizes, "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
   }
+
+  /** Exact duplicated-SPAN measurement — the substring-level dedup
+    * family (the published "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr line): find, per document, the maximal
+    * runs of tokens covered by a `spanTokens`-token window whose exact
+    * content occurs at least twice ANYWHERE in the corpus (including a
+    * second time in the same document). d14/d23 detect shared grams;
+    * this merges them back into contiguous spans — the unit a curation
+    * run actually strips or thresholds on.
+    *
+    * The reference method is a monolithic suffix array; the Spark-first
+    * re-expression is a sorted n-gram index: overlapping `spanTokens`-
+    * grams with their token position, a corpus-wide occurrence count
+    * per gram hash, and a per-document merge of adjacent/overlapping
+    * duplicated windows (two grams at positions p1 < p2 cover a common
+    * or contiguous token range iff p2 <= p1 + spanTokens). A span of L
+    * duplicated tokens appears as L - spanTokens + 1 consecutive
+    * duplicated windows, so the merge recovers the full span length
+    * the suffix array would report, without ever materializing
+    * suffixes.
+    *
+    * Scale shape: three corpus-keyed exchanges and corpus TEXT rides in
+    * none of them — occurrence rows are (id, pos, 32-hex gram hash).
+    * (1) the gram-count aggregate (map-side combined, so the exchange
+    * carries one row per distinct gram per task); (2) the occurrence
+    * re-key by gram hash for the count join (AQE's skew-join splitting
+    * applies — a Window-based count would be one exchange fewer but
+    * buffers a pathologically common gram's entire partition in one
+    * task, the d13/d14 lesson is to prefer the join); (3) the per-doc
+    * position window, whose hash(id) partitioning then satisfies BOTH
+    * downstream groupBys (span merge, per-doc stats) with no further
+    * exchange. Output: one row per merged span — (id, span_start,
+    * span_end, span_tokens), token positions 0-based inclusive.
+    * Documents shorter than `spanTokens` emit nothing (a whole-document
+    * duplicate at that length is [[exactGroups]]'s job). */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val occ = df
+      .select(col(idCol), col(textCol),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= spanTokens)
+      .select(col(idCol),
+        posexplode(TextAnalysis.shingles("__tk", textCol, spanTokens)))
+      .select(col(idCol), col("pos").as("__pos"), md5(col("col")).as("__gh"))
+    val dupGrams = occ.groupBy("__gh").agg(count(lit(1)).as("__gc"))
+      .filter(col("__gc") >= 2).select("__gh")
+    val wOrd = Window.partitionBy(idCol).orderBy("__pos")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(dupGrams, "__gh")
+      .withColumn("__new",
+        when(col("__pos") > lag("__pos", 1).over(wOrd) + spanTokens, 1)
+          .otherwise(0))
+      .withColumn("__span", sum("__new").over(wRun))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("__pos").as("span_start"),
+        (max("__pos") + lit(spanTokens - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .drop("__span")
+  }
+
+  /** Per-document duplicated-span statistics over [[duplicatedSpans]]:
+    * span count, total duplicated tokens, and the longest duplicated
+    * span — the numbers a curation run thresholds on ("drop documents
+    * whose longest duplicated span exceeds N tokens"). Only documents
+    * with at least one duplicated span are emitted. Inherits the span
+    * frame's hash(id) partitioning, so the rollup adds no exchange. */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame =
+    duplicatedSpans(df, textCol, idCol, spanTokens)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("span_tokens").as("dup_span_tokens"),
+        max("span_tokens").as("longest_dup_span"))
 
   /** SimHash (nBits <= 24): per bit, majority vote of token-hash bits
     * over the distinct token set. */

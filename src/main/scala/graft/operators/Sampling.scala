@@ -226,6 +226,9 @@ object Sampling {
     * in an external oracle, with no float-summation-order hazard (a
     * double Σ n_g^α could round differently per engine and flip a
     * ceil at a boundary). A group's target never exceeds its size.
+    * With `weightCol` (integral, enforced), a group's mass is Σ weight
+    * instead of its row count — the token-weighted form of the
+    * published mixes — while targets and caps stay in rows.
     *
     * Scale shape: the corpus is touched exactly TWICE, both times over
     * the same (group, md5-prefix-bucket) exchange (ReusedExchange, the
@@ -248,14 +251,46 @@ object Sampling {
     * the quota path. */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
       totalTarget: Long, prefixChars: Int = 2,
-      targetCol: String = "mix_target"): DataFrame = {
+      targetCol: String = "mix_target",
+      weightCol: Option[String] = None): DataFrame = {
     require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    // published mixes weight sources by TOKEN mass, not document count:
+    // an optional integer weight column sizes each group by Σ weight
+    // instead of row count before the sqrt flattening. INTEGER weights
+    // only — the bit-exactness argument (exact integer Σ, correctly-
+    // rounded IEEE sqrt, integer division) collapses the moment a
+    // float-summation order can differ between engines. Targets and
+    // caps stay in ROWS: the weight shapes the allocation, the
+    // selection still keeps whole documents.
+    weightCol.foreach { w =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)(df.schema(w).dataType),
+        s"weightCol $w must be integral for bit-exact targets, " +
+          s"got ${df.schema(w).dataType}")
+    }
     val withB = withShuffleBuckets(df, idCol, prefixChars)
-    val bucketCounts = withB.groupBy(col(groupCol), col("__pb"))
-      .agg(count(lit(1)).as("__c"))
-    val targets = bucketCounts.groupBy(col(groupCol))
-      .agg(sum("__c").as("__n"))
-      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    // the weighted bucket aggregate carries one extra column (__cw);
+    // it exists ONLY on the weighted path because the offsets branch
+    // prunes it away, which de-canonicalizes the two bucketCounts
+    // subtrees and silently breaks their ReusedExchange — adding it
+    // unconditionally cost d29/p04 one exchange each (caught by the
+    // SHUFFLE_BASELINE regeneration in r13)
+    val bucketCounts = weightCol match {
+      case None => withB.groupBy(col(groupCol), col("__pb"))
+        .agg(count(lit(1)).as("__c"))
+      case Some(w) => withB.groupBy(col(groupCol), col("__pb"))
+        .agg(count(lit(1)).as("__c"), sum(col(w)).as("__cw"))
+    }
+    val targets = (weightCol match {
+      case None => bucketCounts.groupBy(col(groupCol))
+        .agg(sum("__c").as("__n"))
+        .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      case Some(_) => bucketCounts.groupBy(col(groupCol))
+        .agg(sum("__c").as("__n"), sum("__cw").as("__nw"))
+        .withColumn("__w", floor(sqrt(col("__nw"))).cast("long"))
+        .drop("__nw")
+    })
       .withColumn("__tw", sum(col("__w")).over(Window.partitionBy(lit(0))))
       .withColumn(targetCol,
         least(col("__n"), expr(s"(${totalTarget}L * __w) div __tw")))

@@ -228,7 +228,10 @@ object TextOps {
     // for the eval set, as in d20/d23) and how many bench docs matched.
     // bandWidth=1 (6 single-slot bands): doc-similarity recall is the
     // point here, and width-2 bands match nothing at the sf0.01 gate —
-    // a 0-row gated query proves nothing.
+    // a 0-row gated query proves nothing. DedupSpec plants a positive
+    // control (a bench doc near-copy in the corpus side) and pins that
+    // it IS flagged, so a banding bug that silently drops all matches
+    // cannot present as a clean corpus.
     "d31_lsh_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.lshContamination(
@@ -236,6 +239,13 @@ object TextOps {
         docs.filter(col("doc_id") % 97 === 0),
         "text", "doc_id", k = 6, bandWidth = 1)
     }),
+
+    // Substring-level dedup (ExactSubstr family): per-doc count / total
+    // tokens / longest of the maximal duplicated 8-token spans, where
+    // "duplicated" = the exact 8-gram occurs >= 2 times corpus-wide.
+    "d32_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpanStats(Tables.documents(s, d), "text", "doc_id",
+        spanTokens = 8)),
 
     // FineWeb-style recipe end-to-end: Gopher gate -> LSH near-dup
     // drop -> PII redaction -> temperature lang mix -> 512-token
@@ -283,6 +293,18 @@ object TextOps {
     "d29_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
           totalTarget = 300)
+        .select("doc_id", "lang", "mix_target")),
+
+    // Token-weighted temperature mix: each language's mass is its total
+    // token count (Σ per-doc whitespace tokens — the published
+    // token-budget form) instead of its document count; the sqrt
+    // flattening, integer-division targets, and whole-document
+    // selection are d29's machinery unchanged.
+    "d33_weighted_mix" -> ((s, d) =>
+      Sampling.temperatureMix(
+          Tables.documents(s, d)
+            .withColumn("__wt", size(TextAnalysis.tokens(col("text")))),
+          "doc_id", "lang", totalTarget = 300, weightCol = Some("__wt"))
         .select("doc_id", "lang", "mix_target"))
   )
 
@@ -531,6 +553,35 @@ object TextOps {
          m AS (SELECT DISTINCT c.doc_id, b.bench_id
            FROM cband c JOIN bband b USING (band))
          SELECT doc_id, count(*) AS n_bench_matches FROM m GROUP BY 1""",
+    // Mirrors Dedup.duplicatedSpans: positioned 8-gram md5 index ->
+    // corpus-wide count >= 2 -> per-doc merge of windows overlapping or
+    // adjacent (pos gap <= spanTokens) -> per-doc span rollup.
+    "d32_dup_spans" -> {
+      val g = 8
+      val parts = (0 until g).map(k => s"tk[i+$k]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         occ AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - ${g - 1}),
+             i -> struct_pack(pos := i - 1,
+               gh := md5(concat_ws(' ', $parts))))) AS o
+           FROM t WHERE len(tk) >= $g),
+         o2 AS (SELECT doc_id, o.pos AS pos, o.gh AS gh FROM occ),
+         gc AS (SELECT gh FROM o2 GROUP BY gh HAVING count(*) >= 2),
+         d AS (SELECT doc_id, pos FROM o2 JOIN gc USING (gh)),
+         f AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               + $g THEN 1 ELSE 0 END AS nw
+           FROM d),
+         s AS (SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM f),
+         sp AS (SELECT doc_id, span, min(pos) AS st,
+             max(pos) + ${g - 1} AS en FROM s GROUP BY 1, 2)
+         SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+           sum(en - st + 1)::BIGINT AS dup_span_tokens,
+           max(en - st + 1)::INT AS longest_dup_span
+         FROM sp GROUP BY 1"""
+    },
+
     // p04 replays the recipe stage by stage: the d28 gate, p02's
     // dominated-drop banding, d21's redaction chain (a no-op on the
     // natural fixture text, but the regex chain must still be applied
@@ -660,6 +711,20 @@ object TextOps {
     "d29_temperature_mix" ->
       """WITH t AS (SELECT lang, count(*) AS n,
            CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+           FROM documents GROUP BY 1),
+         tg AS (SELECT lang,
+           least(n, (300 * w) // (SELECT sum(w)::BIGINT FROM t))::BIGINT
+             AS mix_target
+           FROM t),
+         r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
+         SELECT r.doc_id, r.lang, tg.mix_target
+         FROM r JOIN tg USING (lang) WHERE rn <= mix_target""",
+    // d29's machinery with group mass = Σ per-doc token count
+    "d33_weighted_mix" ->
+      """WITH t AS (SELECT lang, count(*) AS n,
+           CAST(floor(sqrt(sum(len(string_split(text, ' ')))::BIGINT))
+             AS BIGINT) AS w
            FROM documents GROUP BY 1),
          tg AS (SELECT lang,
            least(n, (300 * w) // (SELECT sum(w)::BIGINT FROM t))::BIGINT

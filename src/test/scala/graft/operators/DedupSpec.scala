@@ -33,6 +33,57 @@ class DedupSpec extends AnyFunSuite {
     assert(g(64L) === (1L, 64L))
   }
 
+  test("duplicatedSpans merges overlapping windows into exact spans") {
+    // docs 1 and 2 share the exact 6-token run S1..S6; with
+    // spanTokens=4 that is 3 consecutive duplicated windows per doc,
+    // which must merge back into ONE span with exact boundaries
+    val span = "S1 S2 S3 S4 S5 S6"
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"u$i").mkString(" ") + " " + span + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")),
+      (2L, "w1 w2 w3 " + span + " x1 x2 x3 x4"),
+      (3L, (1 to 20).map(i => s"only$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got === Set((1L, 10, 15, 6), (2L, 3, 8, 6)),
+      "span boundaries must be exact and doc 3 absent")
+  }
+
+  test("duplicatedSpanStats counts within-doc repetition as duplication") {
+    // the 4-gram S1..S4 occurs twice INSIDE doc 4 (positions 2 and 8,
+    // gap > spanTokens): two separate 4-token spans, like ExactSubstr
+    val docs = Seq(
+      (4L, "y1 y2 S1 S2 S3 S4 z1 z2 S1 S2 S3 S4 q1")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((4L, 2L, 8L, 4)))
+  }
+
+  test("duplicatedSpans: docs shorter than the window emit nothing") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // exact 3-token duplicates, but below the 4-token window: d01's job
+    assert(Dedup.duplicatedSpans(docs, "text", "doc_id", spanTokens = 4).isEmpty)
+  }
+
+  test("lshContamination catches a planted near-copy of a bench doc") {
+    // positive control (the d23 ProbePassage device): a corpus doc that
+    // is a bench doc with ONE trailing token changed must collide in at
+    // least one of the 6 single-slot bands — a banding bug that drops
+    // all matches cannot present as a clean corpus
+    val benchText = (1 to 30).map(i => s"bench$i").mkString(" ")
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, benchText.replaceAll("bench30$", "changed")),
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.lshContamination(corpus, bench, "text", "doc_id",
+        k = 6, bandWidth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse(1L, 0L) >= 1L,
+      "planted near-copy of a bench doc was not flagged")
+    assert(!got.contains(2L), "unrelated doc must not match any bench band")
+  }
+
   test("pipeline near-dup stage drops non-representatives") {
     val filler = (0 until 30).map(i => s"tok$i").mkString(" ")
     // two near-identical docs (share almost all trigrams) + one distinct

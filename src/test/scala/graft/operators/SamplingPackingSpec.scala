@@ -292,6 +292,28 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(got.sameElements(ref), "temperature selection diverged")
   }
 
+  test("temperatureMix weightCol sizes groups by Σ weight, not row count") {
+    // equal ROW counts (50/50) but 16:1 token mass — unweighted would
+    // split evenly; weighted: w = floor(sqrt(3200)) = 56 vs
+    // floor(sqrt(200)) = 14, W = 70 → heavy: 40*56 div 70 = 32,
+    // light: 40*14 div 70 = 8
+    val df = (0L until 100L).map { i =>
+      if (i < 50) (i, "heavy", 64) else (i, "light", 4)
+    }.toDF("doc_id", "src", "w")
+    val got = Sampling.temperatureMix(df, "doc_id", "src", totalTarget = 40,
+        weightCol = Some("w"))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("heavy" -> 32L, "light" -> 8L), s"got $got")
+    // a non-integral weight column must fail loudly, not round silently
+    val bad = df.withColumn("w", $"w".cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(bad, "doc_id", "src", totalTarget = 40,
+        weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("temperatureMix treats a null group as a group") {
     val df = docs.withColumn("src",
       when($"doc_id" % 4 === 0, lit(null).cast("string")).otherwise(lit("a")))

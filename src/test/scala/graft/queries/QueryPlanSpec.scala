@@ -111,6 +111,26 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d32: span dedup plans 3 exchanges and none of them carries text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the scale contract from Dedup.duplicatedSpans: gram-count agg +
+    // occurrence re-key + per-doc window, then hash(doc_id) satisfies
+    // both downstream groupBys — never MORE than 3 (AQE may legally
+    // broadcast the count join below threshold and land at fewer; the
+    // exact static count per sf is SHUFFLE_BASELINE's pin); occurrence
+    // rows are (id, pos, hash) — corpus text must never ride an exchange
+    val df = SparkEntry.queries("d32_dup_spans")(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3,
+      s"span dedup planned ${shuffles.size} exchanges (contract: <= 3)")
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.name == "text"),
+        "corpus text column entered a shuffle")
+    }
+  }
+
   test("q21: sketch aggregates stay within error bounds of exact answers") {
     val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
     assert(out.nonEmpty)
