@@ -244,21 +244,27 @@ object Dedup {
     * span_end, span_tokens), token positions 0-based inclusive.
     * Documents shorter than `spanTokens` emit nothing (a whole-document
     * duplicate at that length is [[exactGroups]]'s job). */
-  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8): DataFrame = {
-    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val occ = df
-      .select(col(idCol), col(textCol),
+  /** Positioned window-occurrence index: one row per `spanTokens`-token
+    * window — (id, __pos 0-based token position, __gh md5 of the window
+    * text). The narrow upstream both span operators share. */
+  private def spanWindowOccurrences(df: DataFrame, textCol: String,
+      idCol: String, spanTokens: Int): DataFrame =
+    df.select(col(idCol), col(textCol),
         TextAnalysis.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= spanTokens)
       .select(col(idCol),
         posexplode(TextAnalysis.shingles("__tk", textCol, spanTokens)))
       .select(col(idCol), col("pos").as("__pos"), md5(col("col")).as("__gh"))
-    val dupGrams = occ.groupBy("__gh").agg(count(lit(1)).as("__gc"))
-      .filter(col("__gc") >= 2).select("__gh")
+
+  /** Merge a (id, __pos) frame of duplicated window positions into
+    * maximal covered-token spans: two windows at p1 < p2 cover a common
+    * or contiguous range iff p2 <= p1 + spanTokens. One hash(id)
+    * exchange (the window), which the span groupBy then reuses. */
+  private def mergeSpanPositions(positions: DataFrame, idCol: String,
+      spanTokens: Int): DataFrame = {
     val wOrd = Window.partitionBy(idCol).orderBy("__pos")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    occ.join(dupGrams, "__gh")
+    positions
       .withColumn("__new",
         when(col("__pos") > lag("__pos", 1).over(wOrd) + spanTokens, 1)
           .otherwise(0))
@@ -268,6 +274,69 @@ object Dedup {
         (max("__pos") + lit(spanTokens - 1)).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .drop("__span")
+  }
+
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val occ = spanWindowOccurrences(df, textCol, idCol, spanTokens)
+    val dupGrams = occ.groupBy("__gh").agg(count(lit(1)).as("__gc"))
+      .filter(col("__gc") >= 2).select("__gh")
+    mergeSpanPositions(occ.join(dupGrams, "__gh").drop("__gh"),
+      idCol, spanTokens)
+  }
+
+  /** The REMOVE step of the ExactSubstr method: strip every token
+    * covered by a duplicated window that is not its window-content's
+    * CANONICAL occurrence, and reassemble the cleaned text — "keep one
+    * copy of each duplicated substring, drop the rest".
+    *
+    * The canonical occurrence of a duplicated window is its minimum
+    * (id, position) site, totally ordered via a zero-padded decimal
+    * "id:pos" string so the min is engine-neutral (no struct-ordering
+    * or integer-packing hazard; ids must be non-negative — a negative
+    * id would sort before its padding). Tokens covered only by
+    * canonical windows survive, so the first site of a duplicated run
+    * keeps its text; a canonical window OVERLAPPED by a redundant one
+    * can still lose the overlap's tokens — the guarantee is that
+    * duplicated content is removed and its first site retained when
+    * sites don't interleave, which is the published method's behavior
+    * too, not that every canonical site survives verbatim.
+    *
+    * Output: only documents that lost tokens — (id, n_removed,
+    * clean_text). A document that is entirely duplicated content
+    * (a whole near-copy) comes back with empty clean_text; dropping
+    * or keeping such husks is the caller's policy. Scale shape: the
+    * same three corpus-keyed text-free exchanges as
+    * [[duplicatedSpans]] plus one id-keyed join of the (small,
+    * affected-docs-only) span list back onto the corpus for the
+    * token filter — the only exchange that carries text, and it
+    * carries it once. */
+  def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val occ = spanWindowOccurrences(df, textCol, idCol, spanTokens)
+      .withColumn("__k", concat(
+        lpad(col(idCol).cast("string"), 20, "0"), lit(":"),
+        lpad(col("__pos").cast("string"), 10, "0")))
+    val gramAgg = occ.groupBy("__gh")
+      .agg(count(lit(1)).as("__gc"), min("__k").as("__canon"))
+      .filter(col("__gc") >= 2)
+    val redundant = occ.join(gramAgg, "__gh")
+      .filter(col("__k") =!= col("__canon"))
+      .select(col(idCol), col("__pos"))
+    val spansPerDoc = mergeSpanPositions(redundant, idCol, spanTokens)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    df.join(spansPerDoc, idCol)
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__tk"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i >= s.getField("span_start") && i <= s.getField("span_end"))))
+      .select(col(idCol),
+        (size(col("__tk")) - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
   /** Per-document duplicated-span statistics over [[duplicatedSpans]]:

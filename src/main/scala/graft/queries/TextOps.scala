@@ -247,6 +247,15 @@ object TextOps {
       Dedup.duplicatedSpanStats(Tables.documents(s, d), "text", "doc_id",
         spanTokens = 8)),
 
+    // The ExactSubstr REMOVE step: strip all-but-canonical duplicated
+    // 8-token spans and reassemble; clean text rides as md5 so the
+    // dump stays small while witnessing exact reassembled content.
+    "d34_strip_spans" -> ((s, d) =>
+      Dedup.stripDuplicatedSpans(Tables.documents(s, d), "text", "doc_id",
+          spanTokens = 8)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))),
+
     // FineWeb-style recipe end-to-end: Gopher gate -> LSH near-dup
     // drop -> PII redaction -> temperature lang mix -> 512-token
     // packing (bucketSize 64 exercises the multi-bucket path).
@@ -580,6 +589,50 @@ object TextOps {
            sum(en - st + 1)::BIGINT AS dup_span_tokens,
            max(en - st + 1)::INT AS longest_dup_span
          FROM sp GROUP BY 1"""
+    },
+
+    // Mirrors Dedup.stripDuplicatedSpans: canonical = min zero-padded
+    // "id:pos" key per duplicated gram; spans from NON-canonical
+    // occurrences only; token filter + reassembly per affected doc.
+    // coalesce on the empty-kept case: DuckDB's array_to_string([]) is
+    // NULL where Spark's concat_ws is '' — a fully-duplicated doc must
+    // hash the empty string in both engines.
+    "d34_strip_spans" -> {
+      val g = 8
+      val parts = (0 until g).map(k => s"tk[i+$k]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         occ AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - ${g - 1}),
+             i -> struct_pack(pos := i - 1,
+               gh := md5(concat_ws(' ', $parts))))) AS o
+           FROM t WHERE len(tk) >= $g),
+         o2 AS (SELECT doc_id, o.pos AS pos, o.gh AS gh,
+             lpad(doc_id::VARCHAR, 20, '0') || ':' ||
+               lpad(o.pos::VARCHAR, 10, '0') AS k
+           FROM occ),
+         gc AS (SELECT gh, min(k) AS canon FROM o2 GROUP BY gh
+           HAVING count(*) >= 2),
+         d AS (SELECT doc_id, pos FROM o2 JOIN gc USING (gh)
+           WHERE k <> canon),
+         f AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               + $g THEN 1 ELSE 0 END AS nw
+           FROM d),
+         s AS (SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM f),
+         sp AS (SELECT doc_id, span, min(pos) AS st,
+             max(pos) + ${g - 1} AS en FROM s GROUP BY 1, 2),
+         spd AS (SELECT doc_id, list(struct_pack(st := st, en := en))
+             AS spans FROM sp GROUP BY 1),
+         cl AS (SELECT t.doc_id,
+             list_transform(list_filter(generate_series(0, len(tk) - 1),
+               p -> len(list_filter(spans,
+                 sx -> sx.st <= p AND p <= sx.en)) = 0),
+               p -> tk[p + 1]) AS kept, len(tk) AS n0
+           FROM t JOIN spd ON t.doc_id = spd.doc_id)
+         SELECT doc_id, (n0 - len(kept))::INT AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         FROM cl"""
     },
 
     // p04 replays the recipe stage by stage: the d28 gate, p02's

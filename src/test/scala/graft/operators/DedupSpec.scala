@@ -66,6 +66,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(docs, "text", "doc_id", spanTokens = 4).isEmpty)
   }
 
+  test("stripDuplicatedSpans keeps the canonical site and strips the rest") {
+    val docs = Seq(
+      // cross-doc duplicate: doc 1 holds the canonical (min id:pos)
+      // site of S1..S4 and must come through UNTOUCHED (absent from
+      // the affected-only output); doc 2's copy is stripped
+      (1L, "u1 u2 u3 u4 u5 S1 S2 S3 S4 v1 v2"),
+      (2L, "w1 S1 S2 S3 S4 x1 x2 x3"),
+      // within-doc duplicate: first occurrence of T1..T4 is canonical
+      // and survives, the second is stripped
+      (3L, "y1 T1 T2 T3 T4 z1 z2 z3 T1 T2 T3 T4 q1"),
+      (4L, (1 to 12).map(i => s"only$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set(
+      (2L, 4, "w1 x1 x2 x3"),
+      (3L, 4, "y1 T1 T2 T3 T4 z1 z2 z3 q1")))
+  }
+
   test("lshContamination catches a planted near-copy of a bench doc") {
     // positive control (the d23 ProbePassage device): a corpus doc that
     // is a bench doc with ONE trailing token changed must collide in at
