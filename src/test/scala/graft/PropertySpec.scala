@@ -223,6 +223,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stripDuplicatedSpans matches a brute-force reference on random corpora") {
+    // tiny vocabulary → duplicated 3-grams arise naturally; the
+    // reference recomputes the full semantic (global window counts,
+    // canonical = min (id, pos) site, strip tokens covered by any
+    // non-canonical window) in plain Scala, so a distributed-side bug
+    // in keying, merging, or reassembly cannot self-confirm
+    val g = 3
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(g, 15).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllP(corpusGen, cases = 12) { docs =>
+      val occs = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        (0 to tk.length - g).map(p => (id, p, tk.slice(p, p + g).mkString(" ")))
+      }
+      val dup = occs.groupBy(_._3).filter(_._2.size >= 2)
+      val canon = dup.map { case (gr, os) => gr -> os.minBy(o => (o._1, o._2)) }
+      val removedPos = dup.values.flatten
+        .filter(o => canon(o._3) != o)
+        .groupBy(_._1).map { case (d, os) =>
+          d -> os.flatMap(o => o._2 until o._2 + g).toSet }
+      val expected = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ")
+        removedPos.get(id).map { rem =>
+          val kept = tk.zipWithIndex.collect { case (t, i) if !rem(i) => t }
+          (id, tk.length - kept.length, kept.mkString(" "))
+        }
+      }.toSet
+      val got = graft.operators.Dedup
+        .stripDuplicatedSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+          spanTokens = g)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == expected, s"strip diverged on $docs")
+    }
+  }
+
   test("hub/satellite/effectivity loads are idempotent: replay adds zero rows") {
     implicit val conv: Conventions = c
     forAllP(batchGen, cases = 5) { rows =>
