@@ -416,6 +416,85 @@ object TextAnalysis {
     * tf frame here, so no exchange-reuse device is needed). The top-k
     * compiles to TakeOrderedAndProject (distributed partial top-k, k
     * configuration-sized) — never a global sort. */
+  /** DSIR-style importance statistics (the published "Data Selection
+    * for Language Models via Importance Resampling" method): hashed
+    * word-bigram features over a TARGET (high-quality/in-domain) slice
+    * vs the RAW rest, one row per feature bucket with occurrence
+    * counts and a quantized importance weight. This is the method's
+    * "train" half — a `buckets`-row artifact, saved and reused across
+    * scoring runs exactly like a trained codebook; the corpus pass it
+    * costs is one explode → bucket-keyed aggregate (map-side combined
+    * to at most `buckets` rows per task), grand totals via a window
+    * over the configuration-sized bucket frame.
+    *
+    * Deliberate deviation from the paper's log-likelihood-ratio: the
+    * weight is the smoothed probability RATIO
+    * (n_t[b]+1)(N_r+B) / ((n_r[b]+1)(N_t+B)), quantized to 2^-20
+    * fixed-point via one floor. ln is not correctly rounded and
+    * differs across libms, so a log-weight can diverge in the last
+    * ulp between engines; the ratio uses only IEEE-exact conversions
+    * and correctly-rounded multiply/divide, so the quantized weight —
+    * and therefore every downstream score, an integer sum — is
+    * bit-identical in any engine at any parallelism. Production code
+    * that wants the exact paper scoring swaps ln in at one line and
+    * gives up oracle-grade determinism, nothing else changes. */
+  def dsirStats(df: DataFrame, textCol: String, isTargetCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(isTargetCol).as("__tgt"), col(textCol),
+        tokens(col(textCol)).as("__tk"))
+      .select(col("__tgt"),
+        explode(shingles("__tk", textCol, 2)).as("__g"))
+      .select(col("__tgt"),
+        (conv(substring(md5(col("__g")), 1, 12), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("n_raw"))
+      .withColumn("__ntt", sum("n_target").over(Window.partitionBy(lit(0))))
+      .withColumn("__nrt", sum("n_raw").over(Window.partitionBy(lit(0))))
+      .withColumn("lambda_q", floor(lit(1048576.0)
+          * ((col("n_target") + 1).cast("double")
+            * (col("__nrt") + buckets).cast("double"))
+          / ((col("n_raw") + 1).cast("double")
+            * (col("__ntt") + buckets).cast("double")))
+        .cast("long"))
+      .select("bucket", "n_target", "n_raw", "lambda_q")
+  }
+
+  /** DSIR scoring, the "apply" half: per-document importance score
+    * Σ_b n_db · λ_q[b] over the document's hashed-bigram bucket counts
+    * and a [[dsirStats]] artifact. An INTEGER sum of quantized
+    * weights — summation-order-free, so the score is deterministic
+    * under any partitioning and reproduces exactly in an external
+    * engine (the float log-sum it replaces is neither).
+    *
+    * One corpus pass: explode → (id, bucket) count (map-side
+    * combined) → broadcast join of the `buckets`-row stats → per-doc
+    * rollup. Text never enters an exchange. Grams hashing to a bucket
+    * absent from `stats` (impossible when stats were trained on a
+    * superset of this corpus; possible on genuinely new data)
+    * contribute zero — the pessimistic reading of "never seen while
+    * training the weights". */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+      stats: DataFrame, buckets: Int = 256,
+      scoreCol: String = "dsir_score"): DataFrame = {
+    // the modulus must be the TRAINING-time bucket count — inferring
+    // it from max(bucket) would silently shift every hash when the top
+    // buckets happen to be empty
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(shingles("__tk", textCol, 2)).as("__g"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__g")), 1, 12), 16, 10).cast("long")
+          % buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(stats.select(col("bucket"), col("lambda_q"))), "bucket")
+      .groupBy(idCol)
+      .agg(sum(col("__n") * col("lambda_q")).as(scoreCol))
+  }
+
   def vocabularyTopK(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

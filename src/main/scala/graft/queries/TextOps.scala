@@ -304,6 +304,19 @@ object TextOps {
           totalTarget = 300)
         .select("doc_id", "lang", "mix_target")),
 
+    // DSIR importance scoring: hashed-bigram likelihood-ratio weights
+    // trained against the doc_id % 97 == 0 target slice (the d20/d31
+    // eval-set stand-in), then every raw doc scored by its integer
+    // quantized-weight sum. Train + apply composed in one plan.
+    "d35_dsir_scores" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = TextAnalysis.dsirStats(
+        docs.withColumn("__tgt", col("doc_id") % 97 === 0),
+        "text", "__tgt", buckets = 256)
+      TextAnalysis.dsirScores(docs.filter(col("doc_id") % 97 =!= 0),
+        "text", "doc_id", stats, buckets = 256)
+    }),
+
     // Token-weighted temperature mix: each language's mass is its total
     // token count (Σ per-doc whitespace tokens — the published
     // token-budget form) instead of its document count; the sqrt
@@ -773,6 +786,30 @@ object TextOps {
            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
          SELECT r.doc_id, r.lang, tg.mix_target
          FROM r JOIN tg USING (lang) WHERE rn <= mix_target""",
+    // Mirrors TextAnalysis.dsirStats + dsirScores exactly: hashed
+    // bigram buckets, add-1-smoothed ratio quantized to 2^-20
+    // fixed-point (identical multiply/divide parenthesization — the
+    // floor of correctly-rounded double arithmetic is engine-exact),
+    // integer score sum.
+    "d35_dsir_scores" -> {
+      val B = 256
+      s"""WITH g AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+           ('0x' || substr(md5(unnest(${gramSql(2)})), 1, 12))::BIGINT % $B AS b
+           FROM documents),
+         bc AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt,
+             sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS nr
+           FROM g GROUP BY 1),
+         tot AS (SELECT sum(nt)::BIGINT AS ntt, sum(nr)::BIGINT AS nrt FROM bc),
+         lam AS (SELECT b,
+             floor(1048576.0 * ((nt + 1)::DOUBLE * (nrt + $B)::DOUBLE)
+               / ((nr + 1)::DOUBLE * (ntt + $B)::DOUBLE))::BIGINT AS lq
+           FROM bc, tot),
+         db AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM g
+           WHERE NOT tgt GROUP BY 1, 2)
+         SELECT doc_id, sum(n * lq)::BIGINT AS dsir_score
+         FROM db JOIN lam USING (b) GROUP BY 1"""
+    },
+
     // d29's machinery with group mass = Σ per-doc token count
     "d33_weighted_mix" ->
       """WITH t AS (SELECT lang, count(*) AS n,

@@ -171,6 +171,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n_tokens"))
   }
 
+  test("dsir: in-domain raw docs outscore out-of-domain, scores are stable") {
+    // target slice speaks vocabulary A; raw doc 10 shares it, raw doc
+    // 11 is disjoint vocabulary B — the importance weights must rank
+    // 10 over 11 (the method's entire point), and the quantized
+    // integer scores must be identical across two evaluations (the
+    // bit-exactness claim dsirStats' scaladoc makes)
+    val aText = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val docs = Seq(
+      (0L, aText, true), (1L, "beta gamma delta alpha beta gamma", true),
+      (10L, "gamma delta alpha beta gamma delta", false),
+      (11L, "zulu yankee xray whiskey victor uniform tango sierra", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val stats = TextAnalysis.dsirStats(docs, "text", "is_tgt", buckets = 64)
+    def run(): Map[Long, Long] =
+      TextAnalysis.dsirScores(docs.filter(!$"is_tgt"), "text", "doc_id",
+          stats, buckets = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = run()
+    assert(s1(10L) > s1(11L),
+      s"in-domain doc must outscore out-of-domain: $s1")
+    assert(s1 == run(), "quantized scores must be run-stable")
+  }
+
   test("gopherQualityFilter is one narrow pass: zero exchanges at any corpus size") {
     val docs = Seq((1L, "a doc the end")).toDF("doc_id", "text")
     val gate = TextAnalysis.gopherQualityFilter(docs, "text", Seq("doc_id"))
