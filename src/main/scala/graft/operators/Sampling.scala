@@ -339,4 +339,71 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Exact global 1-based rank of every row in (`orderCol`, `idCol`)
+    * ascending order — the VALUE-ordered complement of the md5-order
+    * two-level rank the samplers use, for the operators that need a
+    * real sort order (quantile thresholds, score-band splits,
+    * curriculum ordering).
+    *
+    * Never `row_number` over an unpartitioned window (one task holds
+    * the corpus). Instead: range-repartition on the total order
+    * (contiguous ordered ranges per partition), sort within partitions,
+    * read off a per-partition dense local index from
+    * `monotonically_increasing_id` (its value is partitionId·2^33 +
+    * local position — the local position IS the within-partition rank
+    * once the partition is sorted), then add broadcast per-partition
+    * offsets (one config-sized count aggregate). The tie-broken
+    * (orderCol, idCol) pair makes the output exactly `row_number()
+    * OVER (ORDER BY orderCol, id)` regardless of where the sampled
+    * range boundaries fall, so the nondeterminism of range sampling
+    * never reaches the result.
+    *
+    * Returns a NARROW rank-index frame — (idCol, orderCol, rankCol)
+    * only, deliberately: the rank machinery touches two columns, so
+    * the one corpus-keyed range exchange carries two columns and both
+    * its consumers (the offset aggregate and the rank projection) read
+    * identical subtrees — payload would de-canonicalize them under
+    * column pruning and shuffle the corpus body twice. Callers that
+    * need the payload join back on the id (or, most often, just use
+    * the index frame as the artifact it is). */
+  def rankByValue(df: DataFrame, orderCol: String, idCol: String,
+      rankCol: String = "global_rank", partitions: Int = 0): DataFrame = {
+    val narrow = df.select(col(orderCol), col(idCol))
+    val parted = (if (partitions > 0)
+        narrow.repartitionByRange(partitions, col(orderCol), col(idCol))
+      else narrow.repartitionByRange(col(orderCol), col(idCol)))
+      .sortWithinPartitions(col(orderCol), col(idCol))
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = parted.groupBy("__pid")
+      .agg((max(col("__loc")) + 1).as("__c"))
+      .withColumn("__off", sum("__c").over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"))
+      .select(col("__pid").as("__opid"), col("__off"))
+    parted.join(broadcast(offsets), col("__pid") <=> col("__opid"))
+      .select(col(idCol), col(orderCol),
+        (col("__off") + col("__loc") + 1).as(rankCol))
+  }
+
+  /** CCNet-style score-band split: every id labeled head/middle/tail
+    * by exact thirds of the corpus in (`orderCol`, `idCol`) ascending
+    * order (CCNet buckets by perplexity — LOW score = head = best).
+    * Built on [[rankByValue]], and narrow like it: returns (id, order,
+    * band). Band boundaries are exact integer arithmetic over the rank
+    * and the corpus count (a one-row broadcast), so the assignment is
+    * engine-reproducible; thirds are row_number-exact, not ntile
+    * approximations. */
+  def scoreBandSplit(df: DataFrame, orderCol: String, idCol: String,
+      bandCol: String = "band"): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__nn"))
+    rankByValue(df, orderCol, idCol, "__rank")
+      .crossJoin(broadcast(n))
+      .withColumn(bandCol,
+        when((col("__rank") - 1) * 3 < col("__nn"), "head")
+          .when((col("__rank") - 1) * 3 < col("__nn") * 2, "middle")
+          .otherwise("tail"))
+      .drop("__rank", "__nn")
+  }
 }

@@ -304,6 +304,12 @@ object TextOps {
           totalTarget = 300)
         .select("doc_id", "lang", "mix_target")),
 
+    // CCNet-style band split: exact corpus thirds in (n_chars, doc_id)
+    // order via the range-partitioned global rank (never a single-task
+    // row_number window).
+    "d36_score_bands" -> ((s, d) =>
+      Sampling.scoreBandSplit(Tables.documents(s, d), "n_chars", "doc_id")),
+
     // DSIR importance scoring: hashed-bigram likelihood-ratio weights
     // trained against the doc_id % 97 == 0 target slice (the d20/d31
     // eval-set stand-in), then every raw doc scored by its integer
@@ -786,6 +792,15 @@ object TextOps {
            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
          SELECT r.doc_id, r.lang, tg.mix_target
          FROM r JOIN tg USING (lang) WHERE rn <= mix_target""",
+    "d36_score_bands" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+           count(*) OVER () AS n FROM documents)
+         SELECT doc_id, n_chars,
+           CASE WHEN (rk - 1) * 3 < n THEN 'head'
+             WHEN (rk - 1) * 3 < n * 2 THEN 'middle'
+             ELSE 'tail' END AS band
+         FROM r""",
     // Mirrors TextAnalysis.dsirStats + dsirScores exactly: hashed
     // bigram buckets, add-1-smoothed ratio quantized to 2^-20
     // fixed-point (identical multiply/divide parenthesization — the

@@ -292,6 +292,32 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(got.sameElements(ref), "temperature selection diverged")
   }
 
+  test("rankByValue equals the single-window row_number at any partitioning") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // duplicate order values force the idCol tiebreak; forced partition
+    // counts (1, non-divisor 7, more-partitions-than-rows 97) prove the
+    // result is independent of where range boundaries fall
+    val df = (0L until 83L).map(i => (i, (i * 37) % 11)).toDF("doc_id", "v")
+    val ref = df.withColumn("r",
+        row_number().over(W.orderBy($"v", $"doc_id")).cast("long"))
+      .select($"doc_id", $"r").as[(Long, Long)].collect().toMap
+    for (p <- Seq(0, 1, 7, 97)) {
+      val got = Sampling.rankByValue(df, "v", "doc_id", partitions = p)
+        .select($"doc_id", $"global_rank").as[(Long, Long)].collect().toMap
+      assert(got == ref, s"rank diverged at partitions=$p")
+    }
+  }
+
+  test("scoreBandSplit cuts exact thirds with remainder going tail-ward") {
+    val df = (0L until 10L).map(i => (i, 100L - i)).toDF("doc_id", "score")
+    // ascending score = descending doc_id; n=10 → head 4, middle 3, tail 3
+    // ((rk-1)*3 < 10 → rk <= 4; (rk-1)*3 < 20 → rk <= 7)
+    val got = Sampling.scoreBandSplit(df, "score", "doc_id")
+      .groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("head" -> 4L, "middle" -> 3L, "tail" -> 3L), s"got $got")
+  }
+
   test("temperatureMix weightCol sizes groups by Σ weight, not row count") {
     // equal ROW counts (50/50) but 16:1 token mass — unweighted would
     // split evenly; weighted: w = floor(sqrt(3200)) = 56 vs

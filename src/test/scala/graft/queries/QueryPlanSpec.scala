@@ -131,6 +131,33 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d36: rank machinery shares one range exchange, nothing else is corpus-keyed") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    // rankByValue's scale contract: the offset aggregate and the rank
+    // projection read the SAME range exchange (the narrow two-column
+    // carrier exists precisely so pruning cannot de-canonicalize the
+    // two subtrees); the only other exchange is the config-sized
+    // per-partition offset window
+    val df = SparkEntry.queries("d36_score_bands")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(flatten(plan).exists(_.isInstanceOf[ReusedExchangeExec]),
+      "range exchange computed twice — rank carrier stopped being canonical")
+    // distinct exchanges only: the default flatten descends into the
+    // ReusedExchange and would count the shared range exchange twice
+    val shuffles = graft.plans.PlanWalk.flatten(plan, intoReusedExchange = false)
+      .collect { case s: ShuffleExchangeExec => s }
+    val ranged = shuffles.filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(ranged.size == 1,
+      s"expected exactly one range exchange, got ${ranged.size} of ${shuffles.size}")
+    // the rest are config-sized: per-partition offset rows (post
+    // partial-agg), two single-partition tinies (offset window, corpus
+    // count) — none carries corpus-scale rows
+    assert(shuffles.size <= 5,
+      s"rank split planned ${shuffles.size} exchanges (contract: <= 5)")
+  }
+
   test("q21: sketch aggregates stay within error bounds of exact answers") {
     val out = SparkEntry.queries("q21_approx_stats")(spark, sf).collect()
     assert(out.nonEmpty)
