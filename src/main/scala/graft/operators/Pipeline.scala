@@ -173,6 +173,43 @@ object Pipeline {
     (packed, () => { redacted.unpersist(blocking = false); () })
   }
 
+  /** ExactSubstr curation pipeline (the published "Deduplicating
+    * Training Data Makes Language Models Better" recipe composed with
+    * the Gopher gate): quality gate → strip every all-but-canonical
+    * duplicated `spanTokens`-token span WITHIN the gated corpus
+    * ([[Dedup.stripDuplicatedSpans]] — duplication is assessed after
+    * gating, so junk a gate already rejects cannot mark spans in
+    * surviving text) → drop documents stripped to nothing → pack the
+    * clean text into `seqLen`-token training sequences in id order.
+    * Discards the release handle; long sessions should call
+    * [[exactSubstrPipelineWithRelease]]. */
+  def exactSubstrPipeline(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): DataFrame =
+    exactSubstrPipelineWithRelease(docs, textCol, idCol, spanTokens,
+      seqLen, bucketSize)._1
+
+  /** [[exactSubstrPipeline]] plus an unpersist handle. The gate output
+    * has three consumers — the span-occurrence index, the strip step's
+    * text join, and the untouched-docs anti-join — so it is persisted
+    * once (the linkLoad release-handle pattern); packing then reads
+    * the union a single time. */
+  def exactSubstrPipelineWithRelease(docs: DataFrame, textCol: String,
+      idCol: String, spanTokens: Int = 8, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): (DataFrame, () => Unit) = {
+    val kept = TextAnalysis.gopherQualityKept(docs, textCol).persist()
+    val stripped = Dedup.stripDuplicatedSpans(kept, textCol, idCol, spanTokens)
+    val untouched = kept
+      .join(stripped.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol).as("clean_text"))
+    val clean = untouched.unionByName(
+      stripped.filter(col("clean_text") =!= "")
+        .select(col(idCol), col("clean_text")))
+    val packed = Packing.packSequences(clean, idCol, "clean_text",
+      seqLen, bucketSize)
+    (packed, () => { kept.unpersist(blocking = false); () })
+  }
+
   /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup
     * -> token-window chunking ([[TextAnalysis.chunkTokenWindows]]
     * semantics: `window`-token chunks advancing by `stride`) -> sequence

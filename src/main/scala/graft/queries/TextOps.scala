@@ -274,6 +274,15 @@ object TextOps {
         .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio",
           "dup_token_ratio", "dup_line_ratio", "top_ngram_mass")),
 
+    // ExactSubstr recipe end-to-end: Gopher gate -> strip
+    // all-but-canonical duplicated 8-token spans within the gated
+    // corpus -> drop fully-stripped husks -> 512-token packing
+    // (bucketSize 64 exercises the multi-bucket path).
+    "p05_exactsubstr_pipeline" -> ((s, d) =>
+      graft.operators.Pipeline.exactSubstrPipeline(
+        Tables.documents(s, d), "text", "doc_id", spanTokens = 8,
+        seqLen = 512, bucketSize = 64)),
+
     // Streaming curation gate: the documents fixture replayed through
     // a REAL readStream file source into a foreachBatch append sink
     // (the w02 pattern), then the d28 Gopher gate over the accumulated
@@ -751,6 +760,86 @@ object TextOps {
            AND s.stopword_ratio >= 0.05
            AND s.dup_token_ratio <= 0.60 AND s.dup_line_ratio <= 0.30
            AND m.top_ngram_mass <= 0.20""",
+    // p05 replays the recipe stage by stage: the d28 gate's survivor
+    // set, the d34 strip chain computed WITHIN those survivors, the
+    // husk drop, and the d16 running-sum packing in id order.
+    "p05_exactsubstr_pipeline" -> {
+      val g = 8
+      val parts = (0 until g).map(k => s"tk[i+$k]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS ln, text FROM documents),
+         sig AS (SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(tk) AS avg_word_len,
+           len(list_filter(tk,
+               x -> x IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(tk) AS stopword_ratio,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk)
+             AS dup_token_ratio,
+           (len(ln) - len(list_distinct(ln)))::DOUBLE / len(ln)
+             AS dup_line_ratio
+         FROM t),
+         gg AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM t),
+         ggc AS (SELECT doc_id, gram, count(*) AS c FROM gg GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE
+           AS top_ngram_mass FROM ggc GROUP BY 1),
+         q AS (SELECT s.doc_id FROM sig s JOIN mass m USING (doc_id)
+           WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+             AND s.avg_word_len >= 2.0 AND s.avg_word_len <= 12.0
+             AND s.stopword_ratio >= 0.05
+             AND s.dup_token_ratio <= 0.60 AND s.dup_line_ratio <= 0.30
+             AND m.top_ngram_mass <= 0.20),
+         t0 AS (SELECT t.doc_id, t.text, t.tk FROM t JOIN q USING (doc_id)),
+         occ AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - ${g - 1}),
+             i -> struct_pack(pos := i - 1,
+               gh := md5(concat_ws(' ', $parts))))) AS o
+           FROM t0 WHERE len(tk) >= $g),
+         o2 AS (SELECT doc_id, o.pos AS pos, o.gh AS gh,
+             lpad(doc_id::VARCHAR, 20, '0') || ':' ||
+               lpad(o.pos::VARCHAR, 10, '0') AS k
+           FROM occ),
+         sgc AS (SELECT gh, min(k) AS canon FROM o2 GROUP BY gh
+           HAVING count(*) >= 2),
+         sd AS (SELECT doc_id, pos FROM o2 JOIN sgc USING (gh)
+           WHERE k <> canon),
+         sf AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               + $g THEN 1 ELSE 0 END AS nw
+           FROM sd),
+         ss AS (SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM sf),
+         ssp AS (SELECT doc_id, span, min(pos) AS st,
+             max(pos) + ${g - 1} AS en FROM ss GROUP BY 1, 2),
+         spd AS (SELECT doc_id, list(struct_pack(st := st, en := en))
+             AS spans FROM ssp GROUP BY 1),
+         scl AS (SELECT t0.doc_id,
+             list_transform(list_filter(generate_series(0, len(tk) - 1),
+               p -> len(list_filter(spans,
+                 sx -> sx.st <= p AND p <= sx.en)) = 0),
+               p -> tk[p + 1]) AS kept
+           FROM t0 JOIN spd ON t0.doc_id = spd.doc_id),
+         stripped AS (SELECT doc_id,
+             coalesce(array_to_string(kept, ' '), '') AS clean FROM scl),
+         untouched AS (SELECT doc_id, text AS clean FROM t0
+           WHERE doc_id NOT IN (SELECT doc_id FROM spd)),
+         cleanu AS (SELECT * FROM untouched UNION ALL
+           SELECT doc_id, clean FROM stripped WHERE clean <> ''),
+         pt AS (SELECT doc_id,
+           len(string_split(clean, ' '))::BIGINT AS n_tokens FROM cleanu),
+         pc AS (SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         FROM pt)
+         SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM pc"""
+    },
     "d28_gopher_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
            string_split(text, chr(10)) AS ln, text FROM documents),

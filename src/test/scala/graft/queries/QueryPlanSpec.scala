@@ -282,6 +282,30 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("p05: the Gopher gate executes once, cached below strip/anti-join/pack") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.sources.Tables
+    // the gate output has three consumers (span-occurrence index,
+    // strip's text join, untouched anti-join) — every one must read
+    // the cache, never re-run the gate over the scan
+    val (df, release) = graft.operators.Pipeline.exactSubstrPipelineWithRelease(
+      Tables.documents(spark, sf), "text", "doc_id", spanTokens = 8,
+      seqLen = 512, bucketSize = 64)
+    try {
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans >= 3, s"expected >= 3 cache reads, got $cacheScans")
+      val docScans = nodes.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => f
+      }
+      assert(docScans.isEmpty,
+        s"documents scanned ${docScans.size}x outside the cached gate")
+    } finally release()
+  }
+
   test("p04: the gate+LSH+redact upstream executes once, cached before the mix") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
