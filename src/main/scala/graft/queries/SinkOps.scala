@@ -60,6 +60,17 @@ object SinkOps {
       val path = scratch("f03", d)
       Sinks.writeJson(docs, path)
       docsRollup(Sinks.readJson(s, path, docs.schema))
+    }),
+
+    // ORC columnar roundtrip: the same losslessness contract as
+    // f02/f03 through Spark's built-in ORC source (schema travels in
+    // the files — no explicit-schema read needed).
+    "f04_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val path = scratch("f04", d)
+      Sinks.writeOrc(docs, path)
+      docsRollup(Sinks.readOrc(s, path))
     })
   )
 
@@ -68,6 +79,7 @@ object SinkOps {
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
          FROM documents WHERE lang = 'en' GROUP BY source""",
     "f02_csv_roundtrip" -> docsRollupSql,
-    "f03_json_roundtrip" -> docsRollupSql
+    "f03_json_roundtrip" -> docsRollupSql,
+    "f04_orc_roundtrip" -> docsRollupSql
   )
 }

@@ -38,6 +38,17 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Write `df` as ORC — the columnar interchange format of the
+    * Hive/Trino-adjacent stacks. Spark's built-in ORC source keeps the
+    * parquet-grade properties (vectorized reads, predicate pushdown,
+    * per-task files), so the roundtrip contract matches [[writePartitioned]]. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC written by [[writeOrc]]; the schema travels in the files. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write `df` as JSON lines (one object per row). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
