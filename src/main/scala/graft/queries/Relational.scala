@@ -377,6 +377,23 @@ object Relational {
           saltSource = col("event_id"), buckets = 16)
         .select(col("event_type"), round(col("value_sum"), 2).as("value_sum"))),
 
+    // Salted replicated join over a hot fact key: lineitem salted, the
+    // part dimension replicated once per salt bucket — the result must
+    // equal the plain join+rollup the oracle runs (AQE's skew split
+    // handles most cases; this is the explicit form for the ones it
+    // cannot re-plan).
+    "s02_salted_join" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_quantity"))
+      val small = Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(big, small, "pk",
+          saltSource = col("l_quantity"), buckets = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // Semi-structured extraction: numeric field out of the JSON-ish
     // props payload (regex on both engines for identical typing).
     "q20_props_extract" -> ((s, d) =>
@@ -550,6 +567,11 @@ object Relational {
     "s01_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS value_sum
          FROM events GROUP BY 1""",
+    "s02_salted_join" ->
+      """SELECT p_brand, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
     "q20_props_extract" ->
       """SELECT event_type,
          sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS k_total,
