@@ -359,6 +359,10 @@ object Sampling {
     * range boundaries fall, so the nondeterminism of range sampling
     * never reaches the result.
     *
+    * Null order values rank FIRST (Spark's ascending default); an
+    * external mirror must say `ORDER BY o NULLS FIRST` explicitly —
+    * DuckDB's default is NULLS LAST.
+    *
     * Returns a NARROW rank-index frame — (idCol, orderCol, rankCol)
     * only, deliberately: the rank machinery touches two columns, so
     * the one corpus-keyed range exchange carries two columns and both
