@@ -315,9 +315,28 @@ object Dedup {
   def stripDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
       spanTokens: Int = 8): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    // the key contract is enforced, not just documented: lpad TRUNCATES
+    // anything past 20 chars, so a string id (UUIDs!) would silently
+    // collide on its prefix and retain duplicated content; a negative
+    // id ('-' < '0') would mis-order the canonical choice. Integral ids
+    // always fit (long max = 19 digits) and negatives fail the job
+    // loudly instead of corrupting it.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = df.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)(idType),
+        s"stripDuplicatedSpans requires an integral id column (the " +
+          s"canonical-site key zero-pads its decimal rendering; a string " +
+          s"id would be silently truncated at 20 chars) — got $idType for $idCol")
+    }
+    val guardedId = when(col(idCol) < 0,
+      raise_error(concat(lit(s"stripDuplicatedSpans: negative $idCol "),
+        col(idCol).cast("string"),
+        lit(" breaks canonical-site ordering")))).otherwise(col(idCol))
     val occ = spanWindowOccurrences(df, textCol, idCol, spanTokens)
       .withColumn("__k", concat(
-        lpad(col(idCol).cast("string"), 20, "0"), lit(":"),
+        lpad(guardedId.cast("string"), 20, "0"), lit(":"),
         lpad(col("__pos").cast("string"), 10, "0")))
     val gramAgg = occ.groupBy("__gh")
       .agg(count(lit(1)).as("__gc"), min("__k").as("__canon"))

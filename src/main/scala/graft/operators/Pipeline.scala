@@ -189,16 +189,22 @@ object Pipeline {
     exactSubstrPipelineWithRelease(docs, textCol, idCol, spanTokens,
       seqLen, bucketSize)._1
 
-  /** [[exactSubstrPipeline]] plus an unpersist handle. The gate output
-    * has three consumers — the span-occurrence index, the strip step's
-    * text join, and the untouched-docs anti-join — so it is persisted
-    * once (the linkLoad release-handle pattern); packing then reads
-    * the union a single time. */
+  /** [[exactSubstrPipeline]] plus an unpersist handle. Two frames are
+    * persisted (the linkLoad release-handle pattern): the gate output,
+    * which has three consumers — the span-occurrence index, the strip
+    * step's text join, and the untouched-docs anti-join — and the
+    * strip output, which has two (the anti-join's id probe and the
+    * clean-text union branch; uncached, column pruning would
+    * de-canonicalize the two subtrees and re-run the span windows AND
+    * the text-carrying join, breaking stripDuplicatedSpans' carries-
+    * text-once contract). Packing then reads the union a single
+    * time. */
   def exactSubstrPipelineWithRelease(docs: DataFrame, textCol: String,
       idCol: String, spanTokens: Int = 8, seqLen: Int = 512,
       bucketSize: Long = 1L << 20): (DataFrame, () => Unit) = {
     val kept = TextAnalysis.gopherQualityKept(docs, textCol).persist()
-    val stripped = Dedup.stripDuplicatedSpans(kept, textCol, idCol, spanTokens)
+    val stripped = Dedup
+      .stripDuplicatedSpans(kept, textCol, idCol, spanTokens).persist()
     val untouched = kept
       .join(stripped.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol), col(textCol).as("clean_text"))
@@ -207,7 +213,11 @@ object Pipeline {
         .select(col(idCol), col("clean_text")))
     val packed = Packing.packSequences(clean, idCol, "clean_text",
       seqLen, bucketSize)
-    (packed, () => { kept.unpersist(blocking = false); () })
+    (packed, () => {
+      kept.unpersist(blocking = false)
+      stripped.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup

@@ -372,7 +372,15 @@ object Sampling {
     * need the payload join back on the id (or, most often, just use
     * the index frame as the artifact it is). */
   def rankByValue(df: DataFrame, orderCol: String, idCol: String,
-      rankCol: String = "global_rank", partitions: Int = 0): DataFrame = {
+      rankCol: String = "global_rank", partitions: Int = 0): DataFrame =
+    ranked(df, orderCol, idCol, rankCol, partitions)._1
+
+  /** [[rankByValue]]'s machinery, also exposing the config-sized
+    * per-partition count frame (`__pid`, `__c`) so callers needing the
+    * corpus total ([[scoreBandSplit]]) derive it from the rank
+    * exchange instead of paying a second full scan of `df`. */
+  private def ranked(df: DataFrame, orderCol: String, idCol: String,
+      rankCol: String, partitions: Int): (DataFrame, DataFrame) = {
     val narrow = df.select(col(orderCol), col(idCol))
     val parted = (if (partitions > 0)
         narrow.repartitionByRange(partitions, col(orderCol), col(idCol))
@@ -381,14 +389,16 @@ object Sampling {
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
       .withColumn("__loc", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-    val offsets = parted.groupBy("__pid")
+    val counts = parted.groupBy("__pid")
       .agg((max(col("__loc")) + 1).as("__c"))
+    val offsets = counts
       .withColumn("__off", sum("__c").over(Window.orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__c"))
       .select(col("__pid").as("__opid"), col("__off"))
-    parted.join(broadcast(offsets), col("__pid") <=> col("__opid"))
+    val rk = parted.join(broadcast(offsets), col("__pid") <=> col("__opid"))
       .select(col(idCol), col(orderCol),
         (col("__off") + col("__loc") + 1).as(rankCol))
+    (rk, counts)
   }
 
   /** CCNet-style score-band split: every id labeled head/middle/tail
@@ -398,12 +408,15 @@ object Sampling {
     * band). Band boundaries are exact integer arithmetic over the rank
     * and the corpus count (a one-row broadcast), so the assignment is
     * engine-reproducible; thirds are row_number-exact, not ntile
-    * approximations. */
+    * approximations (the boundary arithmetic gives remainder rows to
+    * the EARLIER bands — n=10 splits 4/3/3). The corpus count derives
+    * from the rank machinery's config-sized per-partition counts, not
+    * a second full scan of `df`. */
   def scoreBandSplit(df: DataFrame, orderCol: String, idCol: String,
       bandCol: String = "band"): DataFrame = {
-    val n = df.agg(count(lit(1)).as("__nn"))
-    rankByValue(df, orderCol, idCol, "__rank")
-      .crossJoin(broadcast(n))
+    val (rk, counts) = ranked(df, orderCol, idCol, "__rank", 0)
+    val n = counts.agg(sum("__c").as("__nn"))
+    rk.crossJoin(broadcast(n))
       .withColumn(bandCol,
         when((col("__rank") - 1) * 3 < col("__nn"), "head")
           .when((col("__rank") - 1) * 3 < col("__nn") * 2, "middle")

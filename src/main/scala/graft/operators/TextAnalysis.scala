@@ -490,9 +490,13 @@ object TextAnalysis {
         (conv(substring(md5(col("__g")), 1, 12), 16, 10).cast("long")
           % buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__n"))
-      .join(broadcast(stats.select(col("bucket"), col("lambda_q"))), "bucket")
+      // LEFT join: a doc whose every bucket is absent from the stats
+      // must still come back (scored 0), not vanish — an inner join
+      // would silently drop it from the resampling pool
+      .join(broadcast(stats.select(col("bucket"), col("lambda_q"))),
+        Seq("bucket"), "left")
       .groupBy(idCol)
-      .agg(sum(col("__n") * col("lambda_q")).as(scoreCol))
+      .agg(sum(col("__n") * coalesce(col("lambda_q"), lit(0L))).as(scoreCol))
   }
 
   def vocabularyTopK(df: DataFrame, textCol: String, idCol: String,

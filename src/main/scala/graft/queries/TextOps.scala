@@ -883,7 +883,8 @@ object TextOps {
          FROM r JOIN tg USING (lang) WHERE rn <= mix_target""",
     "d36_score_bands" ->
       """WITH r AS (SELECT doc_id, n_chars,
-           row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+           row_number() OVER (ORDER BY n_chars NULLS FIRST,
+             doc_id NULLS FIRST) AS rk,
            count(*) OVER () AS n FROM documents)
          SELECT doc_id, n_chars,
            CASE WHEN (rk - 1) * 3 < n THEN 'head'
@@ -910,8 +911,8 @@ object TextOps {
            FROM bc, tot),
          db AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM g
            WHERE NOT tgt GROUP BY 1, 2)
-         SELECT doc_id, sum(n * lq)::BIGINT AS dsir_score
-         FROM db JOIN lam USING (b) GROUP BY 1"""
+         SELECT doc_id, sum(n * coalesce(lq, 0))::BIGINT AS dsir_score
+         FROM db LEFT JOIN lam USING (b) GROUP BY 1"""
     },
 
     // d29's machinery with group mass = Σ per-doc token count

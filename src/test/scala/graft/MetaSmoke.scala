@@ -12,7 +12,7 @@ import graft.vault._
 object MetaSmoke {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val stg = java.nio.file.Files.createTempDirectory("meta-smoke").toString
+    val stg = graft.TestScratch.dir("meta-smoke")
     val config = RawVaultConfig(stg, "ms_stg", "ms_raw", partitionSize = 2)
     val vault = new RawVault(spark, config, "ms",
       lit(Timestamp.valueOf("2026-01-01 00:00:00")))

@@ -13,7 +13,7 @@ object StreamSmoke {
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val stagingDir = java.nio.file.Files.createTempDirectory("ss-stg").toString
+    val stagingDir = graft.TestScratch.dir("ss-stg")
     val config = RawVaultConfig(stagingDir, "ss_stg", "ss_raw", partitionSize = 2)
     val vault = new RawVault(spark, config, "ss",
       lit(Timestamp.valueOf("2026-01-01 00:00:00")))

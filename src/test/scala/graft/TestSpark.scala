@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val warehouse = graft.TestScratch.dir("graft-wh")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -12,7 +12,7 @@ import graft.vault._
 object VaultSmoke {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val stg = java.nio.file.Files.createTempDirectory("vault-smoke").toString
+    val stg = graft.TestScratch.dir("vault-smoke")
     val config = RawVaultConfig(stg, "smoke_stg", "smoke_raw", partitionSize = 2)
     val vault = new RawVault(spark, config, "smoke",
       lit(Timestamp.valueOf("2026-01-01 00:00:00")))

@@ -13,7 +13,7 @@ class VerifyContractSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("a throwing query is recorded in _failures.json and fails the run") {
-    val out = Files.createTempDirectory("graft-verify-contract").toString
+    val out = graft.TestScratch.dir("graft-verify-contract")
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       "ok_query" -> ((s, _) => s.range(3).select(col("id"))),
       "broken_query" -> ((_, _) =>
@@ -30,7 +30,7 @@ class VerifyContractSpec extends AnyFunSuite {
   }
 
   test("an all-green run writes no _failures.json and returns empty") {
-    val out = Files.createTempDirectory("graft-verify-contract-ok").toString
+    val out = graft.TestScratch.dir("graft-verify-contract-ok")
     val failures = Verify.dump(spark, "unused-sf-dir", out,
       Map("ok_query" -> ((s, _) => s.range(2).select(col("id")))),
       Map("ok_query" -> "SELECT 1"))
@@ -42,7 +42,7 @@ class VerifyContractSpec extends AnyFunSuite {
     // full run fails w-query; a later green d-prefixed run into the
     // same dir must NOT un-condemn the dir — w's failure stands in the
     // re-aggregated record until a run that re-runs w goes green
-    val out = Files.createTempDirectory("graft-verify-contract-prefix").toString
+    val out = graft.TestScratch.dir("graft-verify-contract-prefix")
     val full = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       "d_ok" -> ((s, _) => s.range(1).select(col("id"))),
       "w_broken" -> ((_, _) => throw new RuntimeException("w still broken")))
@@ -62,7 +62,7 @@ class VerifyContractSpec extends AnyFunSuite {
   }
 
   test("a green re-run into a reused out dir clears the stale failure record") {
-    val out = Files.createTempDirectory("graft-verify-contract-rerun").toString
+    val out = graft.TestScratch.dir("graft-verify-contract-rerun")
     val broken = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       "q" -> ((_, _) => throw new RuntimeException("broken first run")))
     assert(Verify.dump(spark, "unused", out, broken, Map.empty).nonEmpty)

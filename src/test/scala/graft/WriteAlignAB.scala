@@ -24,7 +24,7 @@ object WriteAlignAB {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val buckets = 32
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-ab-wh").toString
+    val warehouse = graft.TestScratch.dir("graft-ab-wh")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -308,7 +308,7 @@ class SamplingPackingSpec extends AnyFunSuite {
     }
   }
 
-  test("scoreBandSplit cuts exact thirds with remainder going tail-ward") {
+  test("scoreBandSplit cuts exact thirds, remainder rows landing in head") {
     val df = (0L until 10L).map(i => (i, 100L - i)).toDF("doc_id", "score")
     // ascending score = descending doc_id; n=10 → head 4, middle 3, tail 3
     // ((rk-1)*3 < 10 → rk <= 4; (rk-1)*3 < 20 → rk <= 7)

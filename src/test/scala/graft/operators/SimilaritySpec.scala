@@ -81,7 +81,7 @@ class SimilaritySpec extends AnyFunSuite {
       (i, Seq.tabulate(dim)(d => (((i * 31 + d) % 17).toInt - 8) / 8.0f)))
     // through parquet: a LocalRelation would be constant-folded on the
     // driver (ConvertToLocalRelation) and leave no codegen stage to prove
-    val dir = java.nio.file.Files.createTempDirectory("graft-rp768").toString
+    val dir = graft.TestScratch.dir("graft-rp768")
     rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
     val base = Similarity.withNorm(
       spark.read.parquet(dir), "vec_id", "embedding")
@@ -338,7 +338,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("index rebuild never deletes an external table's data") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_ext")
-    val extDir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    val extDir = graft.TestScratch.dir("graft-ext")
     base.limit(3).write.mode("overwrite").parquet(extDir)
     spark.sql("DROP TABLE IF EXISTS sim_ext.store")
     spark.sql(s"CREATE TABLE sim_ext.store USING parquet LOCATION '$extDir'")

@@ -424,7 +424,7 @@ class QueryPlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val config = RawVaultConfig(
-        stagingBasePath = java.nio.file.Files.createTempDirectory("graft-bkt").toString,
+        stagingBasePath = graft.TestScratch.dir("graft-bkt"),
         stagingPreparedDatabase = "plan_bkt_stg",
         rawDatabase = "plan_bkt_raw",
         partitionSize = 4)

@@ -55,7 +55,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("foreachBatch drives vault loaders; replays stay idempotent") {
-    val stagingDir = java.nio.file.Files.createTempDirectory("stream-stg").toString
+    val stagingDir = graft.TestScratch.dir("stream-stg")
     val config = RawVaultConfig(stagingDir, "stream_stg", "stream_raw", partitionSize = 2)
     val vault = new RawVault(spark, config, "stream_test",
       lit(Timestamp.valueOf("2026-01-01 00:00:00")))

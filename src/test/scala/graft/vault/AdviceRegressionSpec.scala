@@ -177,7 +177,7 @@ class AdviceRegressionSpec extends AnyFunSuite {
   private val BUPD = 3; private val UPD = 4
 
   private lazy val stagingDir =
-    java.nio.file.Files.createTempDirectory("graft-adv").toString
+    graft.TestScratch.dir("graft-adv")
   private lazy val config =
     RawVaultConfig(stagingDir, "adv_stg", "adv_raw", partitionSize = 2)
   private lazy val vault = new RawVault(spark, config, "adv_test", lit(clock))

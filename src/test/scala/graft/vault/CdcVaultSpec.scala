@@ -31,7 +31,7 @@ class CdcVaultSpec extends AnyFunSuite {
   private val BUPD = 3; private val UPD = 4
 
   private lazy val stagingDir =
-    java.nio.file.Files.createTempDirectory("graft-stg").toString
+    graft.TestScratch.dir("graft-stg")
 
   private lazy val config = RawVaultConfig(
     stagingBasePath = stagingDir,

@@ -20,7 +20,7 @@ class CuratedSpec extends AnyFunSuite {
   private val clock = Timestamp.valueOf("2026-01-01 00:00:00")
 
   private lazy val stagingDir =
-    java.nio.file.Files.createTempDirectory("graft-cur").toString
+    graft.TestScratch.dir("graft-cur")
   private lazy val config = RawVaultConfig(
     stagingDir, "cur_stg", "cur_raw", partitionSize = 2)
   private lazy val vault = new RawVault(spark, config, "cur_test", lit(clock))

@@ -158,7 +158,7 @@ class GoldenVaultSpec extends AnyFunSuite {
     Seq((DEL, t5, "5", "9"), (DEL, t5, "5", "10")))
 
   private lazy val stagingDir =
-    java.nio.file.Files.createTempDirectory("graft-golden").toString
+    graft.TestScratch.dir("graft-golden")
 
   private lazy val loaded: Unit = {
     val config = RawVaultConfig(

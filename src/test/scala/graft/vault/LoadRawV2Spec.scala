@@ -24,7 +24,7 @@ class LoadRawV2Spec extends AnyFunSuite {
     java.sql.Timestamp.from(java.time.Instant.parse(iso))
 
   private lazy val srcDir =
-    java.nio.file.Files.createTempDirectory("graft-v2-src").toString
+    graft.TestScratch.dir("graft-v2-src")
 
   // (PublicID, NAME, RANK, DIRECTOR_ID) per batch; m1 flips back to its
   // batch-1 attribute values (and director) in batch 3.

@@ -113,7 +113,7 @@ class MetadataSpec extends AnyFunSuite {
 
   test("metadata drives create + load end to end") {
     val t0 = Timestamp.valueOf("2024-05-01 00:00:00")
-    val stagingDir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val stagingDir = graft.TestScratch.dir("graft-meta")
     val config = RawVaultConfig(stagingDir, "meta_stg", "meta_raw", partitionSize = 2)
     val vault = new RawVault(spark, config, "meta_test",
       lit(Timestamp.valueOf("2026-01-01 00:00:00")))
@@ -176,7 +176,7 @@ class MetadataSpec extends AnyFunSuite {
   }
 
   test("initializeDatabase honors an explicit warehouse LOCATION") {
-    val loc = java.nio.file.Files.createTempDirectory("graft-loc").toString
+    val loc = graft.TestScratch.dir("graft-loc")
     val config = RawVaultConfig(loc, "loc_stg", "loc_raw", partitionSize = 2,
       stagingPreparedBasePath = Some(s"$loc/stg.db"),
       rawBasePath = Some(s"$loc/raw.db"))
