@@ -62,6 +62,25 @@ object SinkOps {
       docsRollup(Sinks.readJson(s, path, docs.schema))
     }),
 
+    // Z-order clustered layout: lineitem written partitioned by the
+    // Morton bucket of (l_partkey, l_suppkey), then a 2-D range query
+    // read through the intersecting-bucket set (directory pruning,
+    // plan-pinned) + residual filter — must equal the plain filtered
+    // rollup over the unclustered table.
+    "f05_zorder_prune" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val mx = li.agg(max("l_partkey"), max("l_suppkey")).head
+      val (xm, ym) = (mx.getLong(0), mx.getLong(1))
+      val path = scratch("f05", d)
+      graft.operators.ZOrder.writeZOrdered(li, path,
+        "l_partkey", "l_suppkey", xm, ym)
+      graft.operators.ZOrder.readPruned(s, path, "l_partkey", "l_suppkey",
+          (xm / 4, xm / 2), (ym / 4, ym / 2), xm, ym)
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // ORC columnar roundtrip: the same losslessness contract as
     // f02/f03 through Spark's built-in ORC source (schema travels in
     // the files — no explicit-schema read needed).
@@ -80,6 +99,16 @@ object SinkOps {
          FROM documents WHERE lang = 'en' GROUP BY source""",
     "f02_csv_roundtrip" -> docsRollupSql,
     "f03_json_roundtrip" -> docsRollupSql,
-    "f04_orc_roundtrip" -> docsRollupSql
+    "f04_orc_roundtrip" -> docsRollupSql,
+    // the z-machinery is semantics-transparent: bucket enumeration is
+    // a superset of the rectangle and the residual filter is exact, so
+    // the oracle is the plain rollup with the same integer-div bounds
+    "f05_zorder_prune" ->
+      """WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym
+           FROM lineitem)
+         SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem, m
+         WHERE l_partkey BETWEEN xm // 4 AND xm // 2
+           AND l_suppkey BETWEEN ym // 4 AND ym // 2"""
   )
 }
