@@ -466,6 +466,45 @@ object Similarity {
   }
 
   /** IVF-style ANN: probe only the query vector's centroid bucket. */
+  /** Matryoshka-style two-stage ANN (the published MRL retrieval
+    * pattern): shortlist by cosine over the FIRST `prefixDims`
+    * dimensions — MRL-trained embeddings front-load information, so a
+    * 16-of-64 prefix preserves most of the ordering at a quarter of
+    * the dot-product cost — then exact full-dimension rerank of each
+    * query's `shortlist` best. The structural sibling of
+    * [[knnIvfPq]]'s shortlist→refine, with dimension truncation
+    * instead of product quantization as the cheap stage.
+    *
+    * Plan shape: one corpus × broadcast-query join, one per-query
+    * shortlist window, and the rerank window REUSES the shortlist's
+    * qid partitioning — no second corpus exchange. At production
+    * scale the truncated vectors live as their own narrow column (or
+    * table) so the stage-1 scan reads prefixDims floats per row, not
+    * the full vector; here the slice rides the same frame, which
+    * keeps the fixture plan one scan without changing the shape. */
+  def knnMatryoshka(base: DataFrame, queryIds: Column, idCol: String,
+      k: Int, prefixDims: Int, shortlist: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank truncates")
+    val b = base
+      .withColumn("vt", slice(col("v"), 1, prefixDims))
+      .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+    val q = b.filter(queryIds).select(col(idCol).as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"),
+      col("vt").as("qvt"), col("nt").as("qnt"))
+    val wS = Window.partitionBy("qid").orderBy(col("tsim").desc, col(idCol).asc)
+    val wK = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol).asc)
+    b.join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("tsim", dot(col("vt"), col("qvt")) / (col("nt") * col("qnt")))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   def knnIvf(assigned: DataFrame, queryIds: Column, idCol: String, k: Int): DataFrame = {
     val q = assigned.filter(queryIds)
       .select(col(idCol).as("qid"), col("cid").as("qcid"),

@@ -69,6 +69,14 @@ object VectorOps {
       Similarity.knnIvf(bucketed, col("vec_id") < NQ, "vec_id", K)
     }),
 
+    // Matryoshka two-stage ANN: 16-of-64-dim prefix cosine shortlists
+    // 50 per query, exact full-dim rerank picks the top-5.
+    "e12_knn_matryoshka" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.knnMatryoshka(base, col("vec_id") < NQ, "vec_id", K,
+        prefixDims = 16, shortlist = 50)
+    }),
+
     // Multi-probe sign-LSH ANN: each query also scans every Hamming-1
     // bucket, closing e03's boundary-recall gap (a bucket with < k
     // members no longer truncates the query's top-k).
@@ -268,6 +276,29 @@ object VectorOps {
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    // mirrors knnMatryoshka stage for stage: prefix-dim shortlist of
+    // 50 by truncated cosine (ties: vec_id asc), exact full-dim rerank
+    "e12_knn_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm,
+           list_transform(embedding[1:16], x -> x::DOUBLE) AS vt
+           FROM embeddings),
+         e2 AS (SELECT vec_id, v, nrm, vt,
+           sqrt(list_dot_product(vt, vt)) AS nt FROM e),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
+           FROM e2 WHERE vec_id < $NQ),
+         t AS (SELECT q.qid, e2.vec_id, e2.v, e2.nrm, q.qv, q.qn,
+             list_dot_product(e2.vt, q.qvt) / (e2.nt * q.qnt) AS tsim
+           FROM e2 JOIN q ON e2.vec_id <> q.qid),
+         sl AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY tsim DESC, vec_id ASC) AS srank FROM t),
+         rr AS (SELECT qid, vec_id,
+             list_dot_product(v, qv) / (nrm * qn) AS sim
+           FROM sl WHERE srank <= 50),
+         ranked AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, vec_id ASC) AS rank FROM rr)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked
+         WHERE rank <= $K""",
     "e02_knn_ivf" ->
       s"""WITH $ivfAssignCtes,
          q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn

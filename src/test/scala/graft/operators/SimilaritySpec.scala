@@ -181,6 +181,17 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.pqEncode(base, "vec_id", cb16), base, base.filter(q10),
       "vec_id", cb16, shortlist = 25, k = k5)) >= 0.40)
 
+    // e12: matryoshka 16-of-64 prefix, shortlist 50 (measured 0.540 —
+    // far above the 10% scanned fraction because the prefix dot is a
+    // correlated estimate of the full dot, even on isotropic noise)
+    assert(recall(Similarity.knnMatryoshka(
+      base, q10, "vec_id", k5, prefixDims = 16, shortlist = 50)) >= 0.45)
+    // e12 convergence: shortlist >= corpus makes the exact rerank
+    // degenerate to brute force — recall must be EXACTLY 1.0, the
+    // structural proof that stage 2 reranks with true full-dim cosine
+    assert(recall(Similarity.knnMatryoshka(
+      base, q10, "vec_id", k5, prefixDims = 16, shortlist = 600)) == 1.0)
+
     // convergence: a richer codebook + deeper shortlist must approach
     // brute force even on noise (measured 1.000 at K=64, shortlist=200
     // — the shortlist covers 40% of this corpus). THE structural
