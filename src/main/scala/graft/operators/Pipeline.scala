@@ -100,8 +100,13 @@ object Pipeline {
     * one-shot runs only; long sessions should call
     * [[pretrainPipelineWithRelease]]. */
   def pretrainPipeline(docs: DataFrame, textCol: String, idCol: String,
-      sourceCol: String): DataFrame =
-    pretrainPipelineWithRelease(docs, textCol, idCol, sourceCol)._1
+      sourceCol: String,
+      thresholds: QualityThresholds = QualityThresholds(),
+      nearDup: NearDupConfig = NearDupConfig(),
+      trainPct: Int = 80, quota: Int = 15,
+      seqLen: Int = 512, bucketSize: Long = 1L << 20): DataFrame =
+    pretrainPipelineWithRelease(docs, textCol, idCol, sourceCol,
+      thresholds, nearDup, trainPct, quota, seqLen, bucketSize)._1
 
   /** [[pretrainPipeline]] plus an unpersist handle. The stages up to the
     * train split are ONE declarative plan (the quality filter pushes into
@@ -116,7 +121,7 @@ object Pipeline {
       thresholds: QualityThresholds = QualityThresholds(),
       nearDup: NearDupConfig = NearDupConfig(),
       trainPct: Int = 80, quota: Int = 15,
-      seqLen: Int = 512, bucketSize: Int = 64): (DataFrame, () => Unit) = {
+      seqLen: Int = 512, bucketSize: Long = 1L << 20): (DataFrame, () => Unit) = {
     val kept = qualityKept(docs, textCol, idCol, thresholds)
     val dominated = Dedup.lshCandidatePairs(kept, textCol, idCol,
         nearDup.k, nearDup.bandWidth, nearDup.shingleSize)

@@ -279,8 +279,18 @@ object Sampling {
     val bucketCounts = weightCol match {
       case None => withB.groupBy(col(groupCol), col("__pb"))
         .agg(count(lit(1)).as("__c"))
-      case Some(w) => withB.groupBy(col(groupCol), col("__pb"))
-        .agg(count(lit(1)).as("__c"), sum(col(w)).as("__cw"))
+      case Some(w) =>
+        // null/negative weights fail LOUDLY here, matching the loud
+        // integral-type require above: a null silently shrinks its
+        // group's mass, and a negative sum makes sqrt return NaN —
+        // __w casts to null and the group silently vanishes from the
+        // mix instead of erroring
+        val guardedW = when(col(w).isNull || col(w) < 0,
+          raise_error(concat(lit(s"temperatureMix: $w must be a "),
+            lit("non-null, non-negative weight, got "),
+            coalesce(col(w).cast("string"), lit("NULL"))))).otherwise(col(w))
+        withB.groupBy(col(groupCol), col("__pb"))
+          .agg(count(lit(1)).as("__c"), sum(guardedW).as("__cw"))
     }
     val targets = (weightCol match {
       case None => bucketCounts.groupBy(col(groupCol))
@@ -398,6 +408,22 @@ object Sampling {
     val rk = parted.join(broadcast(offsets), col("__pid") <=> col("__opid"))
       .select(col(idCol), col(orderCol),
         (col("__off") + col("__loc") + 1).as(rankCol))
+    // CORRECTNESS, not just cost, rides on ReusedExchange unifying the
+    // offsets and rank-projection consumers of the range exchange:
+    // RangePartitioner boundaries are seeded per-RDD, so if a future
+    // pruning/AQE change de-canonicalized the two subtrees, offsets and
+    // local indexes would come from INDEPENDENTLY-SAMPLED partitionings
+    // and ranks silently corrupt. Assert the precondition (identical
+    // canonicalized repartition subtrees) at plan-build time for every
+    // caller, not just the d36 plan test.
+    val repVariants = rk.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.canonicalized
+    }.distinct
+    require(repVariants.size == 1,
+      s"rankByValue: the ${repVariants.size} range-exchange subtrees no " +
+        "longer canonicalize identically — offsets and ranks would derive " +
+        "from independently-sampled partitionings and silently corrupt")
     (rk, counts)
   }
 

@@ -37,15 +37,21 @@ object ZOrder {
 
   /** The Morton bucket of (`xCol`, `yCol`) given each dim's max.
     * Integral `div`, not Column./ (which widens longs to double —
-    * the Packing prefix-sum lesson). */
+    * the Packing prefix-sum lesson). Negative inputs fail LOUDLY at
+    * write time (the stripDuplicatedSpans pattern): a negative value
+    * would sign-extend into a garbage bucket that readPruned's
+    * enumerated cover never includes — silently dropping rows —
+    * whereas values above max merely clamp into the top cell, which
+    * the residual filter handles. */
   def zBucket(xCol: String, yCol: String, xMax: Long, yMax: Long,
       bitsPerDim: Int = 4): Column = {
     val lim = (1L << bitsPerDim) - 1
-    val qx = least(lit(lim),
-      expr(s"(`$xCol` * ${1L << bitsPerDim}L) div ${xMax + 1}L"))
-    val qy = least(lit(lim),
-      expr(s"(`$yCol` * ${1L << bitsPerDim}L) div ${yMax + 1}L"))
-    interleaveBits(qx, qy, bitsPerDim)
+    def quantized(c: String, max: Long): Column = least(lit(lim), expr(
+      s"(CASE WHEN `$c` < 0 THEN CAST(raise_error(concat(" +
+        s"'zBucket: negative $c ', CAST(`$c` AS STRING), " +
+        s"' falls outside every enumerable cell')) AS BIGINT) " +
+        s"ELSE `$c` END * ${1L << bitsPerDim}L) div ${max + 1}L"))
+    interleaveBits(quantized(xCol, xMax), quantized(yCol, yMax), bitsPerDim)
   }
 
   /** Write `df` hive-partitioned by the Morton bucket of (xCol, yCol). */

@@ -64,7 +64,8 @@ object TextOps {
     // is plan-pinned in QueryPlanSpec).
     "p02_pretrain_pipeline" -> ((s, d) =>
       graft.operators.Pipeline.pretrainPipeline(
-        Tables.documents(s, d), "text", "doc_id", "source")),
+        Tables.documents(s, d), "text", "doc_id", "source",
+        trainPct = 80, quota = 15, seqLen = 512)),
 
     // Chunk-then-pack pretraining pipeline: quality gate -> exact
     // dedup -> 64/48 token-window chunks -> 512-token sequence packing

@@ -43,7 +43,7 @@ object Scratch {
     * processes only, plus at most the dead dirs created since the last
     * Scratch use by anyone. */
   def dir(tag: String, inputDir: String): String = {
-    reapDead()
+    if (reaped.compareAndSet(false, true)) reapDead()
     val p = Paths.get(sys.props("java.io.tmpdir"),
       s"graft-p$pid-$tag-${sfKey(inputDir)}")
     wipe(p)
@@ -51,22 +51,32 @@ object Scratch {
     p.toString
   }
 
+  /** One reap per JVM: the tmpdir listing is O(#tmp entries) and a
+    * process's view of which peers are dead doesn't change in ways
+    * that matter mid-session, so repeated `dir()` calls skip it. */
+  private val reaped = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Delete scratch dirs whose owning process is no longer alive.
     * Best-effort: a dir that disappears mid-reap (another process
-    * reaping concurrently) is skipped, never fatal. */
+    * reaping concurrently) is skipped, never fatal — Files.walk
+    * surfaces that race as UncheckedIOException (a RuntimeException),
+    * so the per-candidate guard is NonFatal, not just IOException.
+    * A >19-digit dir name would overflow owner.toLong; same guard. */
   private def reapDead(): Unit = {
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     val listing = Files.list(tmp)
     val candidates =
       try listing.iterator().asScala.toList finally listing.close()
     candidates.foreach { p =>
-      p.getFileName.toString match {
-        case PidDir(owner) if owner.toLong != pid &&
-            !ProcessHandle.of(owner.toLong).map[Boolean](_.isAlive)
-              .orElse(false) =>
-          try wipe(p) catch { case _: java.io.IOException => () }
-        case _ => ()
-      }
+      try {
+        p.getFileName.toString match {
+          case PidDir(owner) if owner.toLong != pid &&
+              !ProcessHandle.of(owner.toLong).map[Boolean](_.isAlive)
+                .orElse(false) =>
+            wipe(p)
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

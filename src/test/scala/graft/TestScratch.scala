@@ -14,7 +14,7 @@ object TestScratch {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try graft.sources.Scratch.wipe(p)
-      catch { case _: java.io.IOException => () }))
+      catch { case scala.util.control.NonFatal(_) => () }))
     p.toString
   }
 }

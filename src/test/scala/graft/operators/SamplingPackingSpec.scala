@@ -338,6 +338,26 @@ class SamplingPackingSpec extends AnyFunSuite {
         weightCol = Some("w"))
     }
     assert(e.getMessage.contains("integral"))
+    // null / negative weights must also fail loudly: a null silently
+    // shrinks the group's mass, a negative sum NaNs the sqrt and the
+    // group silently vanishes from the mix
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val nullW = df.withColumn("w",
+      when($"doc_id" === 3, lit(null).cast("int")).otherwise($"w"))
+    val e2 = intercept[Exception] {
+      Sampling.temperatureMix(nullW, "doc_id", "src", totalTarget = 40,
+        weightCol = Some("w")).collect()
+    }
+    assert(chain(e2).contains("non-null"), s"got: ${chain(e2)}")
+    val negW = df.withColumn("w",
+      when($"doc_id" === 3, lit(-5)).otherwise($"w"))
+    val e3 = intercept[Exception] {
+      Sampling.temperatureMix(negW, "doc_id", "src", totalTarget = 40,
+        weightCol = Some("w")).collect()
+    }
+    assert(chain(e3).contains("non-negative"), s"got: ${chain(e3)}")
   }
 
   test("temperatureMix treats a null group as a group") {

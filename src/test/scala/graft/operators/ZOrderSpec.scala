@@ -75,4 +75,23 @@ class ZOrderSpec extends AnyFunSuite {
     assert(selected < all,
       s"no directory pruning: $selected of $all buckets read")
   }
+
+  test("zBucket fails loudly on negative inputs instead of dropping rows") {
+    // a negative value sign-extends into a garbage bucket that
+    // readPruned's enumerated cover never includes — the scaladoc's
+    // "can only over-read, never drop" guarantee only holds if
+    // out-of-range-below data cannot be written at all
+    val df = Seq((-1L, 5L, 0L), (3L, 4L, 1L)).toDF("x", "y", "v")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception] {
+      df.select(ZOrder.zBucket("x", "y", 96, 88)).collect()
+    }
+    assert(chain(e).contains("negative"), s"got: ${chain(e)}")
+    // in-range rows are untouched by the guard
+    val ok = Seq((3L, 4L, 1L)).toDF("x", "y", "v")
+      .select(ZOrder.zBucket("x", "y", 96, 88).as("z")).as[Long].head()
+    assert(ok >= 0)
+  }
 }
