@@ -585,6 +585,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ArgMaxCosFloat].getName, "graft_argmax_cos")
   val matVecInfo =
     new ExpressionInfo(classOf[MatVecScaledFloat].getName, "graft_matvec")
+  val bpeInfo =
+    new ExpressionInfo(classOf[BpeEncodeText].getName, "graft_bpe")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -616,6 +618,12 @@ object GraftFunctions {
     MatVecScaledFloat(children(0), children(1), children(2))
   }
 
+  private[functions] val bpeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe expects exactly 2 arguments, got ${children.size}")
+    BpeEncodeText(children(0), children(1))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -629,6 +637,8 @@ object GraftFunctions {
         FunctionIdentifier("graft_argmax_cos"), argMaxCosInfo, argMaxCosBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_matvec"), matVecInfo, matVecBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe"), bpeInfo, bpeBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -647,5 +657,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.argMaxCosInfo, GraftFunctions.argMaxCosBuilder))
     ext.injectFunction((FunctionIdentifier("graft_matvec"),
       GraftFunctions.matVecInfo, GraftFunctions.matVecBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe"),
+      GraftFunctions.bpeInfo, GraftFunctions.bpeBuilder))
   }
 }

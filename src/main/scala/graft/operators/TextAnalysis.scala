@@ -534,6 +534,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** A small character-BPE merge list over common English fragments —
+    * a stand-in for a trained artifact ([[bpePairStats]] computes the
+    * statistics a real training loop iterates on). Rank = position;
+    * later merges may build on earlier ones' surfaces ("in"+"g"). All
+    * surface forms are distinct (BpeTables enforces it — ids would
+    * collide otherwise). */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n",
+    "a" -> "t", "e" -> "s", "o" -> "u", "in" -> "g", "t" -> "o",
+    "i" -> "t", "i" -> "s", "o" -> "f", "a" -> "l", "e" -> "d",
+    "a" -> "r", "s" -> "t", "c" -> "o", "l" -> "e")
+
+  /** BPE-apply (the published GPT-2 encode loop): whitespace words ->
+    * per-word batch merges in rank order -> engine-neutral token ids
+    * (single codepoint = the code point; merge rank r = 0x110000 + r).
+    * One narrow per-row native expression (graft_bpe) — codegen'd, no
+    * UDF, no shuffle at any corpus size; the merge table rides the
+    * plan as one shared reference object with a bounded word cache.
+    * Appends `outCol` (array<int>). Training is out of scope here:
+    * published pipelines iterate [[bpePairStats]] -> take the best
+    * pair -> re-segment; this applies the resulting artifact. */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)] = defaultBpeMerges,
+      outCol: String = "bpe_ids"): DataFrame = {
+    requireNoCollision(df, Seq(outCol), "bpeEncode")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+    df.withColumn(outCol, call_function("graft_bpe", col(textCol), m))
+  }
+
   /** Winnowing fingerprint (rolling hash): hash every word n-gram
     * shingle, slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — the classic local-fingerprint scheme

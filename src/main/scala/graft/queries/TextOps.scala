@@ -333,6 +333,17 @@ object TextOps {
         "text", "doc_id", stats, buckets = 256)
     }),
 
+    // BPE-apply over the default merge list: every doc encoded to
+    // engine-neutral token ids (codepoint / 0x110000+rank) through the
+    // graft_bpe native expression — one narrow per-row call, zero
+    // exchanges at any corpus size. Output is the per-doc id-stream
+    // fingerprint so the gate checks every id at every position.
+    "d37_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d), "text")
+        .select(col("doc_id"), size(col("bpe_ids")).as("n_bpe"),
+          md5(concat_ws(" ",
+            transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
+
     // Token-weighted temperature mix: each language's mass is its total
     // token count (Σ per-doc whitespace tokens — the published
     // token-budget form) instead of its document count; the sqrt
@@ -914,6 +925,72 @@ object TextOps {
            WHERE NOT tgt GROUP BY 1, 2)
          SELECT doc_id, sum(n * coalesce(lq, 0))::BIGINT AS dsir_score
          FROM db LEFT JOIN lam USING (b) GROUP BY 1"""
+    },
+
+    // Mirrors TextAnalysis.bpeEncode — a genuinely independent second
+    // implementation of the published batch-BPE loop as a recursive
+    // CTE over DISTINCT words. Batch semantics ("merge ALL occurrences
+    // of the best pair, then re-rank") is realized one-occurrence-per-
+    // iteration with the CURRENT pair held until exhausted: merging an
+    // occurrence of (l, r) can never create a new (l, r) occurrence
+    // (the merged token l||r differs from both l and r), so leftmost-
+    // until-absent reproduces the single left-to-right pass exactly,
+    // and re-ranking only after exhaustion matches the batch re-rank
+    // point. BpeSpec pins the Spark kernel against a brute-force
+    // reference on the adversarial shapes (overlaps, created pairs).
+    "d37_bpe_encode" -> {
+      val ms = graft.operators.TextAnalysis.defaultBpeMerges
+      def lits(xs: Seq[String]) =
+        xs.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
+      val rkKeys = lits(ms.map { case (l, r) => s"$l $r" })
+      val rkVals = ms.indices.mkString(", ")
+      val idKeys = lits(ms.map { case (l, r) => l + r })
+      val idVals = ms.indices.map(_ + 0x110000).mkString(", ")
+      s"""WITH RECURSIVE
+         mp AS (SELECT map([$rkKeys], [$rkVals]) AS rk,
+                       map([$idKeys], [$idVals]) AS im),
+         t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         wd AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+         st AS (
+           SELECT w,
+               list_transform(generate_series(1, length(w)), i -> w[i]) AS toks,
+               CAST(NULL AS INT) AS cur, false AS done
+             FROM wd
+           UNION ALL
+           SELECT w,
+               CASE WHEN eff IS NULL THEN toks
+                 ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+               END AS toks,
+               eff AS cur, eff IS NULL AS done
+             FROM (
+               SELECT w, toks,
+                   CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                     THEN cur ELSE list_aggregate(pr, 'min') END AS eff,
+                   list_position(pr,
+                     CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                       THEN cur ELSE list_aggregate(pr, 'min') END) AS pos
+                 FROM (
+                   SELECT w, toks, cur,
+                       list_transform(generate_series(1, len(toks) - 1),
+                         i -> map_extract(rk, toks[i] || ' ' || toks[i+1])[1])
+                         AS pr
+                     FROM st, mp WHERE NOT done))),
+         enc AS (SELECT w,
+             list_transform(toks, s -> CASE WHEN length(s) = 1
+               THEN unicode(s) ELSE map_extract(im, s)[1] END) AS ids
+           FROM st, mp WHERE done),
+         dw AS (SELECT doc_id, x.wi AS wi, x.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(ws)),
+               i -> struct_pack(wi := i, w := ws[i]))) AS x FROM t)),
+         agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS a
+           FROM dw JOIN enc USING (w) GROUP BY 1)
+         SELECT t.doc_id, coalesce(len(a), 0)::INT AS n_bpe,
+           md5(coalesce(array_to_string(
+             list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
     },
 
     // d29's machinery with group mass = Σ per-doc token count

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** BPE-apply (graft_bpe): the kernel against an independent brute-force
+  * reference of the published batch loop, id assignment, and edge
+  * handling. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference: the textbook batch loop, re-ranking after
+    * merging ALL occurrences of the best pair in one left-to-right
+    * non-overlapping pass. Deliberately structured differently from
+    * the kernel (immutable lists, recursion). */
+  private def refEncodeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    def mergeAll(toks: List[String], l: String, r: String): List[String] =
+      toks match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: mergeAll(rest, l, r)
+        case a :: rest => a :: mergeAll(rest, l, r)
+        case Nil => Nil
+      }
+    @annotation.tailrec
+    def loop(toks: List[String]): List[String] = {
+      val present = toks.zip(toks.drop(1)).filter(rank.contains)
+      if (present.isEmpty) toks
+      else {
+        val (l, r) = present.minBy(rank)
+        loop(mergeAll(toks, l, r))
+      }
+    }
+    loop(word.map(_.toString).toList)
+  }
+
+  private def refIds(text: String, merges: Seq[(String, String)]): Seq[Int] = {
+    val surfaceId = merges.zipWithIndex.map { case ((l, r), i) =>
+      (l + r) -> (0x110000 + i) }.toMap
+    text.split(" ", -1).filter(_.nonEmpty).toSeq
+      .flatMap(w => refEncodeWord(w, merges))
+      .map(t => if (t.length == 1) t.codePointAt(0) else surfaceId(t))
+  }
+
+  private def sparkIds(texts: Seq[String],
+      merges: Seq[(String, String)]): Map[String, Seq[Int]] =
+    TextAnalysis.bpeEncode(texts.toDF("text"), "text", merges)
+      .select(col("text"), col("bpe_ids"))
+      .as[(String, Seq[Int])].collect().toMap
+
+  test("kernel matches the brute-force batch loop on adversarial shapes") {
+    val merges = Seq("a" -> "a", "aa" -> "a", "a" -> "b", "b" -> "a",
+      "ab" -> "ab", "c" -> "d", "b" -> "cd")
+    // overlapping runs, created pairs (ab+ab), pair created during
+    // exhaustion (b+cd appears only after c+d merges), ties of absence
+    val words = Seq("aaa", "aaaa", "aaaaa", "abab", "ababab", "bcd",
+      "bcdbcd", "abcd", "aabb", "baab", "abba", "cdcd", "aacdaa", "x",
+      "", "a", "cda")
+    val texts = words.filter(_.nonEmpty) :+ words.mkString(" ")
+    val got = sparkIds(texts, merges)
+    texts.foreach { t =>
+      assert(got(t) == refIds(t, merges), s"text '$t'")
+    }
+  }
+
+  test("kernel matches the reference on random words over a rich merge list") {
+    val merges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "ab" -> "c",
+      "bc" -> "a", "bc" -> "b", "ab" -> "ab", "b" -> "b", "bb" -> "bb",
+      "c" -> "c")
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 300).map(_ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val texts = words.distinct
+    val got = sparkIds(texts, merges)
+    texts.foreach { t =>
+      assert(got(t) == refIds(t, merges), s"word '$t'")
+    }
+  }
+
+  test("ids: codepoints for singles, 0x110000 + rank for merges") {
+    val got = sparkIds(Seq("the quick"), TextAnalysis.defaultBpeMerges)
+    // t+h (rank 0) then th+e (rank 1) -> "the" = 0x110001
+    // "quick": q-u-i-c-k; (o,u) absent... present pairs: (i,c)? no.
+    // (u,i)? no. (c,k)? no. (q,u)? no. -> all singles
+    assert(got("the quick") ==
+      Seq(0x110001, 'q'.toInt, 'u'.toInt, 'i'.toInt, 'c'.toInt, 'k'.toInt))
+  }
+
+  test("empty text, runs of spaces, and nulls") {
+    val df = Seq(Some(""), Some("  "), Some(" a  b "), None)
+      .toDF("text")
+    val got = TextAnalysis.bpeEncode(df, "text", TextAnalysis.defaultBpeMerges)
+      .select("bpe_ids").collect().map(r =>
+        Option(r.get(0)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq))
+    assert(got(0) == Some(Seq.empty))
+    assert(got(1) == Some(Seq.empty))
+    assert(got(2) == Some(Seq('a'.toInt, 'b'.toInt)))
+    assert(got(3) == None)
+  }
+
+  test("merge lists with colliding surfaces or spaces fail loudly") {
+    val df = Seq("x").toDF("text")
+    val e1 = intercept[Exception] {
+      TextAnalysis.bpeEncode(df, "text",
+        Seq("a" -> "bc", "ab" -> "c")).collect()
+    }
+    assert(e1.getMessage.contains("same surface"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      TextAnalysis.bpeEncode(df, "text", Seq("a b" -> "c")).collect()
+    }
+    assert(e2.getMessage.contains("space"), e2.getMessage)
+  }
+
+  test("the d37 plan is narrow: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.queries.TextOps.queries("d37_bpe_encode")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val ex = graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(ex.isEmpty, s"expected a narrow plan, got ${ex.size} exchanges")
+  }
+}
