@@ -225,6 +225,32 @@ object Pipeline {
     })
   }
 
+  /** The CCNet pipeline's scoring half: train a hashed-bigram LM on
+    * the in-domain slice ([[TextAnalysis.lmStats]]), score every
+    * document's quantized mean log2 perplexity
+    * ([[TextAnalysis.lmPerplexity]]), and split the corpus into exact
+    * head/middle/tail perplexity thirds
+    * ([[Sampling.scoreBandSplit]] — low perplexity = head = keeps).
+    * Published CCNet trains on Wikipedia and keeps head(+middle);
+    * `targetFilter` is that in-domain selector.
+    *
+    * The stats artifact is MATERIALIZED through its config-sized
+    * driver hop ([[TextAnalysis.localizeStats]]) before scoring: the
+    * scorer joins it twice (context and pair sides), and a lazy
+    * artifact would re-run the training scan once per join — the
+    * localized frame is ≤ ctxBuckets + pairBuckets rows by
+    * construction, the trained-codebook shape PQ already uses.
+    * Output: (idCol, ppl_q, band). */
+  def ccnetSplit(docs: DataFrame, textCol: String, idCol: String,
+      targetFilter: Column, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384): DataFrame = {
+    val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+      docs.filter(targetFilter), textCol, ctxBuckets, pairBuckets))
+    val scores = TextAnalysis.lmPerplexity(docs, textCol, idCol, stats,
+      ctxBuckets, pairBuckets)
+    Sampling.scoreBandSplit(scores, "ppl_q", idCol)
+  }
+
   /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup
     * -> token-window chunking ([[TextAnalysis.chunkTokenWindows]]
     * semantics: `window`-token chunks advancing by `stride`) -> sequence

@@ -534,6 +534,145 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Adjacent-token transition structs `(a, b)` of a token-array
+    * column, explode-ready; the empty TYPED array for sub-2-token docs
+    * (the bpePairStats sequence(0,-1) hazard, solved with an explicit
+    * CASE + cast instead of a filter so explode_outer callers keep
+    * every doc). */
+  private def transitionArr(tokenArrayCol: String): Column = expr(
+    s"CASE WHEN size($tokenArrayCol) >= 2 THEN " +
+      s"transform(sequence(0, size($tokenArrayCol) - 2), i -> " +
+      s"struct($tokenArrayCol[i] AS a, $tokenArrayCol[i+1] AS b)) " +
+      "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END")
+
+  /** The d35 engine-neutral hash bucket: top 48 bits of md5, mod B. */
+  private def hashBucket48(c: Column, buckets: Int): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long") % buckets
+
+  /** Hashed-bigram LM statistics (the CCNet recipe's KenLM stand-in,
+    * trained on the in-domain slice): context (previous-token) bucket
+    * counts and (prev, cur) pair bucket counts over every adjacent
+    * transition in `df`. One corpus pass — each transition explodes to
+    * its two (kind, bucket) feature rows and ONE map-side-combined
+    * aggregate collapses them to at most ctxBuckets + pairBuckets rows
+    * per task, so the artifact is config-sized at any corpus size,
+    * exactly like [[dsirStats]]' codebook device. */
+  def lmStats(df: DataFrame, textCol: String, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384): DataFrame = {
+    require(ctxBuckets > 0, s"ctxBuckets must be positive, got $ctxBuckets")
+    require(pairBuckets > 0, s"pairBuckets must be positive, got $pairBuckets")
+    df.select(tokens(col(textCol)).as("__tk"))
+      .select(explode(transitionArr("__tk")).as("__tr"))
+      .select(explode(array(
+        struct(lit("ctx").as("kind"),
+          hashBucket48(col("__tr.a"), ctxBuckets).as("bucket")),
+        struct(lit("pair").as("kind"),
+          hashBucket48(concat_ws(" ", col("__tr.a"), col("__tr.b")),
+            pairBuckets).as("bucket")))).as("__f"))
+      .groupBy(col("__f.kind").as("kind"), col("__f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Materialize a [[lmStats]] artifact through the driver — the
+    * trained-codebook device (PQ codebooks, IVF centroids): the frame
+    * is PROVABLY config-bounded (its grain is the bucket ids), so the
+    * hop is safe at any corpus size, and consumers that join it more
+    * than once (lmPerplexity joins context and pair sides) stop
+    * re-running the training scan per join. */
+  def localizeStats(stats: DataFrame): DataFrame = {
+    val rows = stats.collect()
+    stats.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), stats.schema)
+  }
+
+  /** floor-quantized log2(d / n) in 1/1024ths for integral d >= n >= 1,
+    * computed with INTEGER arithmetic only — shift-and-square on a
+    * 30-bit normalized rational. ln/log2 are not correctly rounded and
+    * differ across libms (the dsirStats lesson), so a float log can
+    * diverge in the last ulp between engines; these are shifts,
+    * multiplies, and comparisons on longs, bit-identical anywhere.
+    * Integer part: floor(log2(d div n)) = bitlength - 1 (exact: d/n
+    * and d div n never straddle a power of two). Fraction: normalize
+    * p/q to q in [2^29, 2^30) (left shifts exact, right shifts floor
+    * deterministically), then 10x { square, renormalize, emit a bit if
+    * the ratio crossed 2 } — p stays < 2^31, p^2 < 2^62, no overflow.
+    * Appends `outCol` and drops the scratch columns. */
+  private[operators] def withQuantizedLog2(df: DataFrame, dCol: String,
+      nCol: String, outCol: String): DataFrame = {
+    var out = df
+      .withColumn("__k", (length(bin(expr(s"$dCol div $nCol"))) - 1).cast("int"))
+      .withColumn("__q0", expr(s"shiftleft($nCol, __k)"))
+      .withColumn("__s0", (length(bin(col("__q0"))) - 30).cast("int"))
+      .withColumn("__p", expr(
+        s"CASE WHEN __s0 >= 0 THEN shiftright($dCol, __s0) " +
+          s"ELSE shiftleft($dCol, -__s0) END"))
+      .withColumn("__q", expr(
+        "CASE WHEN __s0 >= 0 THEN shiftright(__q0, __s0) " +
+          "ELSE shiftleft(__q0, -__s0) END"))
+      .withColumn("__acc", lit(0L))
+    for (_ <- 1 to 10) {
+      out = out
+        .withColumn("__p", col("__p") * col("__p"))
+        .withColumn("__q", col("__q") * col("__q"))
+        .withColumn("__s", (length(bin(col("__q"))) - 30).cast("int"))
+        .withColumn("__p", expr("shiftright(__p, __s)"))
+        .withColumn("__q", expr("shiftright(__q, __s)"))
+        .withColumn("__b", (col("__p") >= col("__q") * 2).cast("long"))
+        .withColumn("__p", expr("CASE WHEN __b = 1 THEN shiftright(__p, 1) ELSE __p END"))
+        .withColumn("__acc", col("__acc") * 2 + col("__b"))
+    }
+    out.withColumn(outCol, col("__k").cast("long") * 1024 + col("__acc"))
+      .drop("__k", "__q0", "__s0", "__p", "__q", "__s", "__b", "__acc")
+  }
+
+  /** Per-document LM perplexity against a [[lmStats]] artifact — the
+    * CCNet quality signal (LOW = in-domain-like). Each transition's
+    * add-one-smoothed probability is the counts ratio
+    * (c_pair + 1) / (c_ctx + pairBuckets), clamped to <= 1 (bucket
+    * collisions can inflate c_pair past its context's mass); its
+    * negative log2 is [[withQuantizedLog2]]'s integer quantization, so
+    * the document score — `ppl_q` = (sum of transition nlls in
+    * 1/1024ths) div transitions, an integer mean log2 perplexity — is
+    * summation-order-free and engine-exact.
+    *
+    * One corpus pass, text in no exchange: a narrow transition
+    * explode_outer (docs with < 2 tokens keep a null row and score 0
+    * — CCNet's head band must not silently lose them), two broadcast
+    * joins of the config-sized stats, integer nll columns, then the
+    * per-doc rollup whose map-side partials are one row per doc per
+    * task. */
+  def lmPerplexity(df: DataFrame, textCol: String, idCol: String,
+      stats: DataFrame, ctxBuckets: Int = 1024, pairBuckets: Int = 16384,
+      scoreCol: String = "ppl_q"): DataFrame = {
+    require(ctxBuckets > 0 && pairBuckets > 0,
+      s"bucket counts must be positive, got $ctxBuckets/$pairBuckets")
+    val tr = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode_outer(transitionArr("__tk")).as("__tr"))
+      .withColumn("__cb", hashBucket48(col("__tr.a"), ctxBuckets))
+      .withColumn("__pb", hashBucket48(
+        concat_ws(" ", col("__tr.a"), col("__tr.b")), pairBuckets))
+    val scored = tr
+      .join(broadcast(stats.filter(col("kind") === "ctx")
+        .select(col("bucket").as("__cb"), col("cnt").as("__cc"))),
+        Seq("__cb"), "left")
+      .join(broadcast(stats.filter(col("kind") === "pair")
+        .select(col("bucket").as("__pb"), col("cnt").as("__pc"))),
+        Seq("__pb"), "left")
+      // null transition (sub-2-token doc) keeps __d/__n null -> null nll
+      .withColumn("__d",
+        when(col("__tr").isNotNull,
+          coalesce(col("__cc"), lit(0L)) + pairBuckets))
+      .withColumn("__n",
+        when(col("__tr").isNotNull,
+          least(coalesce(col("__pc"), lit(0L)) + 1, col("__d"))))
+    withQuantizedLog2(scored, "__d", "__n", "__nll")
+      .groupBy(col(idCol))
+      .agg(count(col("__tr")).as("n_trans"),
+        coalesce(sum(col("__nll")), lit(0L)).as("nll_q"))
+      .withColumn(scoreCol,
+        expr("nll_q div greatest(n_trans, 1L)"))
+  }
+
   /** A small character-BPE merge list over common English fragments —
     * a stand-in for a trained artifact ([[bpePairStats]] computes the
     * statistics a real training loop iterates on). Rank = position;

@@ -333,6 +333,27 @@ object TextOps {
         "text", "doc_id", stats, buckets = 256)
     }),
 
+    // Hashed-bigram LM perplexity (the CCNet KenLM stand-in): stats
+    // trained on the doc_id % 97 == 0 in-domain slice (localized
+    // through the config-sized driver hop so the two scorer joins
+    // don't re-run the training scan), every doc scored with the
+    // integer quantized-log2 mean — engine-exact, no libm anywhere.
+    "d38_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        ctxBuckets = 1024, pairBuckets = 16384))
+      TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats,
+        ctxBuckets = 1024, pairBuckets = 16384)
+    }),
+
+    // The composed CCNet recipe: d38's perplexity scores feeding d36's
+    // exact-thirds band split — train on the in-domain slice, score
+    // the corpus, label head/middle/tail (head = lowest perplexity).
+    "p06_ccnet_pipeline" -> ((s, d) =>
+      graft.operators.Pipeline.ccnetSplit(Tables.documents(s, d),
+        "text", "doc_id", col("doc_id") % 97 === 0)),
+
     // BPE-apply over the default merge list: every doc encoded to
     // engine-neutral token ids (codepoint / 0x110000+rank) through the
     // graft_bpe native expression — one narrow per-row call, zero
@@ -382,7 +403,78 @@ object TextOps {
        t -> ('0x' || substr(md5(t), 1, 12))::BIGINT
             + $j * ('0x' || substr(md5(t), 13, 12))::BIGINT), 'min')"""
 
+  /** The d38/p06 shared nll CTE chain, mirroring TextAnalysis.lmStats +
+    * lmPerplexity + withQuantizedLog2: hashed-bigram counts on the
+    * doc_id % 97 == 0 slice, add-one-smoothed clamped ratio, then the
+    * integer shift-and-square quantized log2 unrolled 10 steps (each
+    * iteration a generated CTE — the SAME integer ops as the Spark
+    * column chain, so scores are bit-identical by construction).
+    * Yields CTE text ending in `ppl(doc_id, n_trans, nll_q, ppl_q)`. */
+  private def lmNllSql(ctxB: Int, pairB: Int): String = {
+    val iters = (1 to 10).map { i =>
+      val prev = if (i == 1) "l3" else s"i${i - 1}"
+      s"""i$i AS (SELECT doc_id, k,
+         CASE WHEN pp >= 2*qq THEN pp >> 1 ELSE pp END AS p, qq AS q,
+         acc*2 + (CASE WHEN pp >= 2*qq THEN 1 ELSE 0 END) AS acc
+       FROM (SELECT doc_id, k, acc, (p*p) >> s AS pp, (q*q) >> s AS qq
+         FROM (SELECT doc_id, k, acc, p, q,
+             length(bin(q*q)) - 30 AS s FROM $prev)))"""
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       trn AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+         FROM (SELECT doc_id, tk,
+           unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+       cstat AS (SELECT ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
+           AS bucket, count(*)::BIGINT AS cc
+         FROM trn WHERE doc_id % 97 = 0 GROUP BY 1),
+       pstat AS (SELECT
+           ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % $pairB
+           AS bucket, count(*)::BIGINT AS pc
+         FROM trn WHERE doc_id % 97 = 0 GROUP BY 1),
+       sc AS (SELECT trn.doc_id,
+           coalesce(cc, 0) + $pairB AS d,
+           least(coalesce(pc, 0) + 1, coalesce(cc, 0) + $pairB) AS n
+         FROM trn
+         LEFT JOIN cstat ON ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
+           = cstat.bucket
+         LEFT JOIN pstat ON
+           ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % $pairB
+           = pstat.bucket),
+       l0 AS (SELECT doc_id, d, n, length(bin(d // n)) - 1 AS k FROM sc),
+       l1 AS (SELECT doc_id, d, k, (n << k) AS q0 FROM l0),
+       l2 AS (SELECT doc_id, d, k, q0, length(bin(q0)) - 30 AS s0 FROM l1),
+       l3 AS (SELECT doc_id, k,
+           CASE WHEN s0 >= 0 THEN d >> s0 ELSE d << (-s0) END AS p,
+           CASE WHEN s0 >= 0 THEN q0 >> s0 ELSE q0 << (-s0) END AS q,
+           0::BIGINT AS acc FROM l2),
+       $iters,
+       nll AS (SELECT doc_id, k::BIGINT * 1024 + acc AS v FROM i10),
+       agg AS (SELECT doc_id, count(*)::BIGINT AS nt, sum(v)::BIGINT AS sv
+         FROM nll GROUP BY 1),
+       ppl AS (SELECT t.doc_id, coalesce(nt, 0)::BIGINT AS n_trans,
+           coalesce(sv, 0)::BIGINT AS nll_q,
+           coalesce(sv // greatest(nt, 1), 0)::BIGINT AS ppl_q
+         FROM t LEFT JOIN agg USING (doc_id))"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // d38: the shared nll chain's final frame, as-is
+    "d38_lm_perplexity" ->
+      s"WITH ${lmNllSql(1024, 16384)} SELECT * FROM ppl",
+
+    // p06: d38's scores through d36's exact-thirds band arithmetic
+    "p06_ccnet_pipeline" ->
+      s"""WITH ${lmNllSql(1024, 16384)},
+         r AS (SELECT doc_id, ppl_q,
+             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
+               doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn FROM ppl)
+         SELECT doc_id, ppl_q,
+           CASE WHEN (rk - 1) * 3 < cn THEN 'head'
+             WHEN (rk - 1) * 3 < cn * 2 THEN 'middle'
+             ELSE 'tail' END AS band
+         FROM r""",
+
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS copies FROM documents GROUP BY 1""",
