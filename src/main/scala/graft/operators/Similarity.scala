@@ -478,10 +478,12 @@ object Similarity {
     * Plan shape: one corpus × broadcast-query join, one per-query
     * shortlist window, and the rerank window REUSES the shortlist's
     * qid partitioning — no second corpus exchange. At production
-    * scale the truncated vectors live as their own narrow column (or
-    * table) so the stage-1 scan reads prefixDims floats per row, not
-    * the full vector; here the slice rides the same frame, which
-    * keeps the fixture plan one scan without changing the shape. */
+    * scale the truncated vectors live as their own narrow column so
+    * the stage-1 scan reads prefixDims floats per row, not the full
+    * vector — that is [[knnMatryoshkaIndexed]] over a
+    * [[buildVectorStore]] layout with persisted prefix columns; here
+    * the slice rides the same frame, which keeps the ad-hoc plan one
+    * scan without changing the shape. */
   def knnMatryoshka(base: DataFrame, queryIds: Column, idCol: String,
       k: Int, prefixDims: Int, shortlist: Int): DataFrame = {
     require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
@@ -653,16 +655,91 @@ object Similarity {
     * shuffles or fully scans the store. Counterpart of
     * [[buildIvfIndex]] for the full-vector side. */
   def buildVectorStore(base: DataFrame, idCol: String, table: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32, prefixDims: Int = 0): Unit = {
     dropTableAndLocation(base.sparkSession, table)
+    // Matryoshka serving layout: the first prefixDims dims and their
+    // norm persist as their OWN narrow columns, so a prefix-shortlist
+    // scan reads prefixDims floats per row off parquet (column
+    // pruning) instead of the full vector — the at-scale shape the
+    // knnMatryoshka scaladoc describes, now on disk
+    val projected = if (prefixDims > 0) {
+      graft.functions.GraftFunctions.register(base.sparkSession)
+      base.withColumn("vt", slice(col("v"), 1, prefixDims))
+        .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+    } else base
     // task-aligned to buckets: one sorted file per bucket, so the
     // In(id) point lookups prune to single files — see RawVault.writeTable
-    base.repartition(buckets, col(idCol)).write
+    projected.repartition(buckets, col(idCol)).write
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .mode("overwrite")
       .saveAsTable(table)
     base.sparkSession.catalog.refreshTable(table)
+  }
+
+  /** [[knnMatryoshkaIndexed]]'s stage 1 as a frame, factored so the
+    * plan pin can assert the store scan reads (id, vt, nt) ONLY —
+    * the persisted-prefix layout's whole point. */
+  private[operators] def matryoshkaShortlistFrame(store: DataFrame,
+      q: DataFrame, idCol: String, shortlist: Int): DataFrame = {
+    val narrow = store.select(col(idCol), col("vt"), col("nt"))
+    val wS = Window.partitionBy("qid").orderBy(col("tsim").desc, col(idCol).asc)
+    narrow.join(broadcast(q.select("qid", "qvt", "qnt")),
+        col(idCol) =!= col("qid"))
+      .withColumn("tsim", dot(col("vt"), col("qvt")) / (col("nt") * col("qnt")))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("qid"), col(idCol).as("neighbor_id"))
+  }
+
+  /** Two-stage Matryoshka retrieval against a [[buildVectorStore]]
+    * table built with `prefixDims`: the shortlist stage scans ONLY the
+    * persisted (id, vt, nt) columns — prefixDims floats per row, the
+    * column pruning [[knnMatryoshka]]'s same-frame slice cannot give —
+    * and the exact full-dimension rerank re-fetches the shortlist's
+    * full vectors as In(id) point lookups that bucket-prune at
+    * planning time (the [[knnPqRefineIndexed]] serving shape, with
+    * dimension truncation instead of PQ as the cheap stage). Results
+    * are row-identical to [[knnMatryoshka]] on the same frame: same
+    * prefix-cosine shortlist, same tiebreaks, same exact rerank.
+    *
+    * The Q×shortlist driver hop is the serving contract (candidate
+    * ids must become planning-time literals) and is BOUNDED by
+    * `maxCandidates`, failing fast past it. */
+  def knnMatryoshkaIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queryIds: Column, idCol: String, k: Int,
+      shortlist: Int, maxCandidates: Int = 1 << 20): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank truncates")
+    graft.functions.GraftFunctions.register(spark)
+    val store = spark.table(table)
+    require(store.columns.contains("vt") && store.columns.contains("nt"),
+      s"knnMatryoshkaIndexed: $table has no persisted prefix columns — " +
+        "build the store with buildVectorStore(..., prefixDims = d)")
+    val maxQueries = maxCandidates / shortlist
+    val q = store.filter(queryIds).select(col(idCol).as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"),
+      col("vt").as("qvt"), col("nt").as("qnt"))
+    require(!DriverBounded.exceeds(q, maxQueries),
+      s"knnMatryoshkaIndexed: more than $maxQueries queries x $shortlist " +
+        s"shortlist exceeds maxCandidates $maxCandidates (a driver-side " +
+        "collect + In-literal predicate); raise maxCandidates deliberately " +
+        "or use the lazy knnMatryoshka for large batches")
+    val cands = matryoshkaShortlistFrame(store, q, idCol, shortlist)
+    val candRows = DriverBounded.collectCapped(cands, maxCandidates,
+      s"knnMatryoshkaIndexed: candidate pairs exceed maxCandidates $maxCandidates")
+    val ids = candRows.map(_.get(1)).distinct.toSeq
+    val candsDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cands.schema)
+    val fetched = store.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val wK = Window.partitionBy("qid").orderBy(col("xsim").desc, col("neighbor_id").asc)
+    fetched.join(broadcast(candsDf), "neighbor_id")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .withColumn("xsim", dot(col("bv"), col("qv")) / (col("bn") * col("qn")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
   }
 
   /** Two-stage retrieval against a persisted [[buildVectorStore]]

@@ -203,6 +203,43 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", cb64, shortlist = 200, k = k5)) >= 0.95)
   }
 
+  test("Matryoshka store: persisted prefix columns, pruned stage-1 scan, lazy-equal results") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.mrl_store"
+    Similarity.buildVectorStore(base, "vec_id", tbl, buckets = 4,
+      prefixDims = 16)
+    // the layout: prefix slice + its norm persist as their own columns
+    val store = spark.table(tbl)
+    assert(store.columns.toSet == Set("vec_id", "v", "nrm", "vt", "nt"))
+    // stage-1 plan pin: the store scan reads (vec_id, vt, nt) ONLY —
+    // prefixDims floats per row, never the full vector column
+    val q = store.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"),
+      col("vt").as("qvt"), col("nt").as("qnt"))
+    val stage1 = Similarity.matryoshkaShortlistFrame(store, q, "vec_id", 50)
+    stage1.collect()
+    val scans = graft.plans.PlanWalk.flatten(stage1.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet }
+    val corpusScan = scans.find(_.contains("vt")).get
+    assert(!corpusScan.contains("v"),
+      s"stage-1 scan reads the full vector column: $corpusScan")
+    // results are row-identical to the lazy same-frame form
+    val lazyRes = Similarity.knnMatryoshka(base, col("vec_id") < 10,
+        "vec_id", 5, prefixDims = 16, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idxRes = Similarity.knnMatryoshkaIndexed(spark, tbl,
+        col("vec_id") < 10, "vec_id", 5, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(idxRes === lazyRes)
+    assert(idxRes.nonEmpty)
+    // the rerank fetch is bucket-pruned point lookups, the e07 shape
+    val rerank = Similarity.knnMatryoshkaIndexed(spark, tbl,
+      col("vec_id") < 10, "vec_id", 5, shortlist = 50)
+    assert(rerank.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"), "rerank fetch not bucket-pruned")
+  }
+
   test("ANN recall floors on a CLUSTERED corpus: blocking must beat the scanned fraction") {
     // The isotropic-noise floors above guard mechanism, but on noise
     // recall ≈ scanned fraction REGARDLESS of blocking quality — a
