@@ -558,8 +558,145 @@ object VaultQueries {
         .unionByName(effNew.select(lit("eff").as("tbl"), col(c.hkey).as("hkey"),
           md5(concat_ws(",", col(c.hdiff), unix_millis(col(c.loadDate)),
             col(c.deleted))).as("fp")))
+    }),
+
+    // Streaming link reconciliation — the hardest CDC kernel under
+    // micro-batching: the v09 purchase/error feed sliced into four
+    // TIME-ORDERED batches (boundaries on ld VALUES, so every
+    // (user, ms) group stays whole and per-batch staging equals the
+    // batch query's global staging) plus a REPLAYED middle batch,
+    // streamed through readStream -> foreachBatch ->
+    // reconcileLinkStates against the accumulating link/eff tables.
+    // Batch file order is pinned by explicit modification times (the
+    // file source schedules oldest-first). The final effectivity
+    // HISTORY hash-matches the one-shot v09 oracle row for row:
+    // incremental time-ordered reconciliation appends exactly the
+    // one-shot transitions (each batch's seed stands in for the
+    // previous batch's last event), and the replayed batch re-derives
+    // only transitions that already exist, which effStateDedup's
+    // (HKEY, LOAD_DATE) anti-join absorbs — the convergence contract,
+    // driver-verified under streaming replay.
+    "w05_cdc_link_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w05", d)
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .withColumn("ld", unix_millis(date_trunc("MILLISECOND", col("ts"))))
+      val w1 = Window.partitionBy("user_id", "ld").orderBy("event_id")
+      val one = ev.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "ld", "event_id")
+
+      // slice boundaries on distinct ld values (driver-side test
+      // scaffolding over the gate fixture, like w04's slice writer)
+      val lds = one.select("ld").distinct().orderBy("ld")
+        .collect().map(_.getLong(0))
+      val n = lds.length
+      val bounds = Seq(lds(n / 4), lds(n / 2), lds(3 * n / 4))
+      val slices = Seq(
+        one.filter(col("ld") < bounds(0)),
+        one.filter(col("ld") >= bounds(0) && col("ld") < bounds(1)),
+        one.filter(col("ld") >= bounds(1) && col("ld") < bounds(2)),
+        one.filter(col("ld") >= bounds(2)))
+
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val base = System.currentTimeMillis() - 3600000L
+      def writeSlice(df: DataFrame, name: String, mt: Long): Unit = {
+        val tmp = s"$loc/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$feed/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mt)
+        ()
+      }
+      slices.zipWithIndex.foreach { case (df, i) =>
+        writeSlice(df, s"slice-$i", base + i * 60000L) }
+      // the at-least-once redelivery: the SECOND batch replayed last —
+      // its events predate state already recorded by batches 2 and 3
+      writeSlice(slices(1), "slice-4-replay", base + 4 * 60000L)
+
+      // empty schema-carrying seeds for the accumulating tables
+      val linkPath = s"$loc/link"
+      val effPath = s"$loc/eff"
+      val emptyLink = one.limit(0).select(lit("").as(c.hkey),
+        lit(0L).as(c.loadDate), lit("").as(c.recordSource),
+        lit("").as("FROM_HKEY"), lit("").as("TO_HKEY"))
+      val emptyEff = one.limit(0).select(lit("").as(c.hkey),
+        lit("").as(c.hdiff), lit(0L).as(c.loadDate), lit(false).as(c.deleted))
+      emptyLink.write.mode("overwrite").parquet(linkPath)
+      emptyEff.write.mode("overwrite").parquet(effPath)
+
+      val stream = s.readStream.schema(one.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        // per-batch staging: the same hkey derivation as the v09 query
+        val fk = batch.select(
+          Dv.hash(Seq(col("user_id"))).as("FROM_HKEY"),
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(Dv.hash(Seq(col("event_type")))).as("TO_HKEY"),
+          col("ld").as(c.loadDate), col("event_id"))
+        val (nl, ne) = RawVaultOps.reconcileLinkStates(
+          fk, s.read.parquet(linkPath), s.read.parquet(effPath),
+          "FROM_HKEY", "TO_HKEY", "events",
+          clock = lit(0L), tieBreak = col("event_id"))
+        // materialize BOTH results before appending: the plans read the
+        // very paths the appends extend
+        val nlC = nl.persist(); val neC = ne.persist()
+        nlC.count(); neC.count()
+        nlC.write.mode("append").parquet(linkPath)
+        neC.write.mode("append").parquet(effPath)
+        nlC.unpersist(); neC.unpersist()
+        ()
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // non-vacuity: 4 slices + the replay each processed as their own
+      // micro-batch — a silently-skipped replay file would leave the
+      // absorption claim untested while the hash still matched
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 5,
+        s"w05 expected 5 non-empty micro-batches (4 slices + replay), saw $batches")
+
+      s.read.parquet(effPath).select(col(c.hkey).as("hkey"),
+        col(c.loadDate).as("ld"), col(c.deleted).as("deleted"))
     })
   )
+
+  /** The window-based link-reconcile mirror, shared by v09 (one-shot)
+    * and w05 (streamed in time-ordered micro-batches — the accumulated
+    * history must equal the one-shot result). */
+  private val linkReconcileSql =
+    """WITH ev AS (
+         SELECT md5(user_id::VARCHAR) AS f,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE md5(event_type) END AS t,
+           epoch_ms(date_trunc('milliseconds', ts)) AS ld, event_id
+         FROM events WHERE event_type IN ('purchase', 'error')),
+       one AS (
+         SELECT * FROM (SELECT ev.*, row_number()
+           OVER (PARTITION BY f, ld ORDER BY event_id) AS rn FROM ev)
+         WHERE rn = 1),
+       m AS (
+         SELECT f, t, ld,
+           lag(t) OVER w AS prev_to, lag(1) OVER w AS has_prev
+         FROM one
+         WINDOW w AS (PARTITION BY f ORDER BY ld, event_id, t NULLS FIRST)),
+       del AS (
+         SELECT md5(f || ',' || prev_to) AS hkey, ld, TRUE AS deleted
+         FROM m WHERE has_prev = 1 AND prev_to IS NOT NULL
+           AND (t IS NULL OR t <> prev_to)),
+       liv AS (
+         SELECT md5(f || ',' || t) AS hkey, ld, FALSE AS deleted
+         FROM m WHERE t IS NOT NULL),
+       uni AS (SELECT DISTINCT hkey, ld, deleted
+         FROM (SELECT * FROM del UNION ALL SELECT * FROM liv)),
+       ded AS (SELECT hkey, ld, deleted,
+         lag(deleted) OVER (PARTITION BY hkey ORDER BY ld) AS prev FROM uni)
+       SELECT hkey, ld, deleted FROM ded WHERE prev IS NULL OR prev <> deleted"""
 
   def oracleSql: Map[String, String] = Map(
     "v01_hub_rows" ->
@@ -665,34 +802,11 @@ object VaultQueries {
          coalesce(lead(epoch_ms(date_trunc('milliseconds', ts)))
            OVER (PARTITION BY user_id ORDER BY event_id), 253402300799999) AS end_ms
          FROM events WHERE event_type IN ('signup', 'purchase', 'click')""",
-    "v09_link_reconcile" ->
-      """WITH ev AS (
-           SELECT md5(user_id::VARCHAR) AS f,
-             CASE WHEN event_type = 'error' THEN NULL
-                  ELSE md5(event_type) END AS t,
-             epoch_ms(date_trunc('milliseconds', ts)) AS ld, event_id
-           FROM events WHERE event_type IN ('purchase', 'error')),
-         one AS (
-           SELECT * FROM (SELECT ev.*, row_number()
-             OVER (PARTITION BY f, ld ORDER BY event_id) AS rn FROM ev)
-           WHERE rn = 1),
-         m AS (
-           SELECT f, t, ld,
-             lag(t) OVER w AS prev_to, lag(1) OVER w AS has_prev
-           FROM one
-           WINDOW w AS (PARTITION BY f ORDER BY ld, event_id, t NULLS FIRST)),
-         del AS (
-           SELECT md5(f || ',' || prev_to) AS hkey, ld, TRUE AS deleted
-           FROM m WHERE has_prev = 1 AND prev_to IS NOT NULL
-             AND (t IS NULL OR t <> prev_to)),
-         liv AS (
-           SELECT md5(f || ',' || t) AS hkey, ld, FALSE AS deleted
-           FROM m WHERE t IS NOT NULL),
-         uni AS (SELECT DISTINCT hkey, ld, deleted
-           FROM (SELECT * FROM del UNION ALL SELECT * FROM liv)),
-         ded AS (SELECT hkey, ld, deleted,
-           lag(deleted) OVER (PARTITION BY hkey ORDER BY ld) AS prev FROM uni)
-         SELECT hkey, ld, deleted FROM ded WHERE prev IS NULL OR prev <> deleted""",
+    "v09_link_reconcile" -> linkReconcileSql,
+    // w05 streams the SAME feed through the same kernel in time-ordered
+    // micro-batches (+ a replayed batch); the accumulated effectivity
+    // history must equal the one-shot computation exactly
+    "w05_cdc_link_stream" -> linkReconcileSql,
     "v10_catalog_roundtrip" ->
       s"""WITH $stagedSql,
          sat AS (SELECT DISTINCT hkey, md5(concat_ws(',', event_type, props)) AS hdiff,
