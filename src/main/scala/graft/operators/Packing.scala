@@ -74,15 +74,26 @@ object Packing {
     * index it lands in (`first_seq < last_seq` means the document is
     * split across a chunk boundary). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, bucketSize: Long = 1 << 20): DataFrame =
+    packSequencesBy(df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqLen, bucketSize)
+
+  /** [[packSequences]] over an ARBITRARY integral length column — the
+    * real-tokenizer form: published pipelines pack by the trained
+    * tokenizer's token counts (e.g. `size(bpe_ids)` from
+    * [[TextAnalysis.bpeEncode]]), not whitespace counts. Same
+    * two-level prefix sum, same output shape with `lengthCol` in place
+    * of n_tokens. */
+  def packSequencesBy(df: DataFrame, idCol: String, lengthCol: String,
       seqLen: Int, bucketSize: Long = 1 << 20): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
-    val counted = df.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-    prefixSum(counted, idCol, "n_tokens", "__cum", bucketSize)
-      .select(col(idCol), col("n_tokens"),
-        (col("__cum") - col("n_tokens")).as("start_offset"),
-        expr(s"(__cum - n_tokens) div $seqLen").as("first_seq"),
+    val counted = df.select(col(idCol), col(lengthCol).cast("long").as(lengthCol))
+    prefixSum(counted, idCol, lengthCol, "__cum", bucketSize)
+      .select(col(idCol), col(lengthCol),
+        (col("__cum") - col(lengthCol)).as("start_offset"),
+        expr(s"(__cum - $lengthCol) div $seqLen").as("first_seq"),
         expr(s"(__cum - 1) div $seqLen").as("last_seq"))
   }
 }

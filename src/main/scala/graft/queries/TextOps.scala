@@ -365,6 +365,17 @@ object TextOps {
           md5(concat_ws(" ",
             transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
 
+    // BPE-count sequence packing: the d37 encode's real token counts
+    // feeding the d16 two-level prefix-sum packing — pack boundaries
+    // from the trained tokenizer, not whitespace counts (what published
+    // pipelines actually pack). One narrow encode + the same two
+    // exchanges as d16; text never enters either.
+    "p07_bpe_pack" -> ((s, d) =>
+      graft.operators.Packing.packSequencesBy(
+        TextAnalysis.bpeEncode(Tables.documents(s, d), "text")
+          .select(col("doc_id"), size(col("bpe_ids")).as("n_bpe")),
+        "doc_id", "n_bpe", seqLen = 512)),
+
     // Token-weighted temperature mix: each language's mass is its total
     // token count (Σ per-doc whitespace tokens — the published
     // token-budget form) instead of its document count; the sqrt
@@ -455,6 +466,62 @@ object TextOps {
            coalesce(sv, 0)::BIGINT AS nll_q,
            coalesce(sv // greatest(nt, 1), 0)::BIGINT AS ppl_q
          FROM t LEFT JOIN agg USING (doc_id))"""
+  }
+
+  /** The d37/p07 shared BPE-encode CTE chain — an independent
+    * recursive-CTE implementation of the published batch-BPE loop over
+    * DISTINCT words (see the d37 scaladoc note on batch-semantics
+    * equivalence of holding the current pair until exhausted). Ends in
+    * `t(doc_id, ws)` and `agg(doc_id, a)` where `a` is the doc's full
+    * id stream; docs whose every word is empty are only in `t`. */
+  private def bpeCtes: String = {
+    val ms = graft.operators.TextAnalysis.defaultBpeMerges
+    def lits(xs: Seq[String]) =
+      xs.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
+    val rkKeys = lits(ms.map { case (l, r) => s"$l $r" })
+    val rkVals = ms.indices.mkString(", ")
+    val idKeys = lits(ms.map { case (l, r) => l + r })
+    val idVals = ms.indices.map(_ + 0x110000).mkString(", ")
+    s"""mp AS (SELECT map([$rkKeys], [$rkVals]) AS rk,
+               map([$idKeys], [$idVals]) AS im),
+       t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM documents),
+       wd AS (SELECT DISTINCT unnest(ws) AS w FROM t),
+       st AS (
+         SELECT w,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS toks,
+             CAST(NULL AS INT) AS cur, false AS done
+           FROM wd
+         UNION ALL
+         SELECT w,
+             CASE WHEN eff IS NULL THEN toks
+               ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+             END AS toks,
+             eff AS cur, eff IS NULL AS done
+           FROM (
+             SELECT w, toks,
+                 CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                   THEN cur ELSE list_aggregate(pr, 'min') END AS eff,
+                 list_position(pr,
+                   CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                     THEN cur ELSE list_aggregate(pr, 'min') END) AS pos
+               FROM (
+                 SELECT w, toks, cur,
+                     list_transform(generate_series(1, len(toks) - 1),
+                       i -> map_extract(rk, toks[i] || ' ' || toks[i+1])[1])
+                       AS pr
+                   FROM st, mp WHERE NOT done))),
+       enc AS (SELECT w,
+           list_transform(toks, s -> CASE WHEN length(s) = 1
+             THEN unicode(s) ELSE map_extract(im, s)[1] END) AS ids
+         FROM st, mp WHERE done),
+       dw AS (SELECT doc_id, x.wi AS wi, x.w AS w FROM (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(ws)),
+             i -> struct_pack(wi := i, w := ws[i]))) AS x FROM t)),
+       agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS a
+         FROM dw JOIN enc USING (w) GROUP BY 1)"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1030,60 +1097,25 @@ object TextOps {
     // and re-ranking only after exhaustion matches the batch re-rank
     // point. BpeSpec pins the Spark kernel against a brute-force
     // reference on the adversarial shapes (overlaps, created pairs).
-    "d37_bpe_encode" -> {
-      val ms = graft.operators.TextAnalysis.defaultBpeMerges
-      def lits(xs: Seq[String]) =
-        xs.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
-      val rkKeys = lits(ms.map { case (l, r) => s"$l $r" })
-      val rkVals = ms.indices.mkString(", ")
-      val idKeys = lits(ms.map { case (l, r) => l + r })
-      val idVals = ms.indices.map(_ + 0x110000).mkString(", ")
-      s"""WITH RECURSIVE
-         mp AS (SELECT map([$rkKeys], [$rkVals]) AS rk,
-                       map([$idKeys], [$idVals]) AS im),
-         t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS ws
-           FROM documents),
-         wd AS (SELECT DISTINCT unnest(ws) AS w FROM t),
-         st AS (
-           SELECT w,
-               list_transform(generate_series(1, length(w)), i -> w[i]) AS toks,
-               CAST(NULL AS INT) AS cur, false AS done
-             FROM wd
-           UNION ALL
-           SELECT w,
-               CASE WHEN eff IS NULL THEN toks
-                 ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
-               END AS toks,
-               eff AS cur, eff IS NULL AS done
-             FROM (
-               SELECT w, toks,
-                   CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
-                     THEN cur ELSE list_aggregate(pr, 'min') END AS eff,
-                   list_position(pr,
-                     CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
-                       THEN cur ELSE list_aggregate(pr, 'min') END) AS pos
-                 FROM (
-                   SELECT w, toks, cur,
-                       list_transform(generate_series(1, len(toks) - 1),
-                         i -> map_extract(rk, toks[i] || ' ' || toks[i+1])[1])
-                         AS pr
-                     FROM st, mp WHERE NOT done))),
-         enc AS (SELECT w,
-             list_transform(toks, s -> CASE WHEN length(s) = 1
-               THEN unicode(s) ELSE map_extract(im, s)[1] END) AS ids
-           FROM st, mp WHERE done),
-         dw AS (SELECT doc_id, x.wi AS wi, x.w AS w FROM (
-             SELECT doc_id, unnest(list_transform(
-               generate_series(1, len(ws)),
-               i -> struct_pack(wi := i, w := ws[i]))) AS x FROM t)),
-         agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS a
-           FROM dw JOIN enc USING (w) GROUP BY 1)
+    "d37_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeCtes
          SELECT t.doc_id, coalesce(len(a), 0)::INT AS n_bpe,
            md5(coalesce(array_to_string(
              list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
-         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
-    },
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // p07: the d37 encode feeding the d16 prefix-sum packing — pack
+    // boundaries from REAL tokenizer counts, mirrored end to end
+    "p07_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         nb AS (SELECT t.doc_id, coalesce(len(a), 0)::BIGINT AS n_bpe
+           FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id),
+         cum AS (SELECT doc_id, n_bpe,
+           sum(n_bpe) OVER (ORDER BY doc_id) AS c FROM nb)
+         SELECT doc_id, n_bpe, (c - n_bpe)::BIGINT AS start_offset,
+           ((c - n_bpe) // 512)::BIGINT AS first_seq,
+           ((c - 1) // 512)::BIGINT AS last_seq
+         FROM cum""",
 
     // d29's machinery with group mass = Σ per-doc token count
     "d33_weighted_mix" ->
