@@ -587,6 +587,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MatVecScaledFloat].getName, "graft_matvec")
   val bpeInfo =
     new ExpressionInfo(classOf[BpeEncodeText].getName, "graft_bpe")
+  val bpePairsInfo =
+    new ExpressionInfo(classOf[BpePairsText].getName, "graft_bpe_pairs")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -624,6 +626,12 @@ object GraftFunctions {
     BpeEncodeText(children(0), children(1))
   }
 
+  private[functions] val bpePairsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe_pairs expects exactly 2 arguments, got ${children.size}")
+    BpePairsText(children(0), children(1))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -639,6 +647,8 @@ object GraftFunctions {
         FunctionIdentifier("graft_matvec"), matVecInfo, matVecBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_bpe"), bpeInfo, bpeBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe_pairs"), bpePairsInfo, bpePairsBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -659,5 +669,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.matVecInfo, GraftFunctions.matVecBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe"),
       GraftFunctions.bpeInfo, GraftFunctions.bpeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_pairs"),
+      GraftFunctions.bpePairsInfo, GraftFunctions.bpePairsBuilder))
   }
 }

@@ -686,6 +686,51 @@ object TextAnalysis {
     "i" -> "t", "i" -> "s", "o" -> "f", "a" -> "l", "e" -> "d",
     "a" -> "r", "s" -> "t", "c" -> "o", "l" -> "e")
 
+  /** BPE merge-list TRAINING (the published iterative loop): count
+    * every adjacent sub-token pair under the current segmentation
+    * (graft_bpe_pairs — per word occurrence, boundaries respected),
+    * append the most frequent pair as the next merge, re-segment,
+    * repeat `numMerges` times. Each iteration is one scan of `df` with
+    * a map-side-combined (pair, count) aggregate and a
+    * TakeOrderedAndProject cut — shuffles carry pair strings and
+    * counts only; published pipelines run this on a corpus SAMPLE,
+    * which is the caller's knob (pass `df.sample(...)`).
+    *
+    * Ties break on the pair string ascending (a total order, so the
+    * trained list is engine-reproducible). One deliberate deviation
+    * from tokenizers that track token IDENTITY: a candidate whose
+    * surface form collides with an existing merge's surface is
+    * SKIPPED (the engine-neutral id scheme — and any external replay
+    * of the merge list — needs surfaces to be unambiguous). Training
+    * stops early when no pair occurs twice. */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      base: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    var merges = base.toVector
+    var stop = false
+    while (merges.size < base.size + numMerges && !stop) {
+      // an empty array() literal types as array<void>; pin the type
+      val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+        .cast("array<array<string>>")
+      val surfaces = merges.map { case (l, r) => l + r }
+      val best = df
+        .select(explode(call_function("graft_bpe_pairs", col(textCol), m)).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2 &&
+          !regexp_replace(col("p"), " ", "").isin(surfaces: _*))
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) stop = true
+      else {
+        val parts = best(0).getString(0).split(" ", 2)
+        merges = merges :+ (parts(0) -> parts(1))
+      }
+    }
+    merges
+  }
+
   /** BPE-apply (the published GPT-2 encode loop): whitespace words ->
     * per-word batch merges in rank order -> engine-neutral token ids
     * (single codepoint = the code point; merge rank r = 0x110000 + r).

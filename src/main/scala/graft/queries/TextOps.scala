@@ -365,6 +365,19 @@ object TextOps {
           md5(concat_ws(" ",
             transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
 
+    // BPE merge-list training: 8 iterations of count-pairs -> take the
+    // most frequent -> re-segment, over the documents corpus — the
+    // trained artifact d37/p07 apply. A driver loop of corpus scans
+    // (the e08 k-means shape); output is the merge list itself.
+    "d39_bpe_train" -> ((s, d) => {
+      val ms = TextAnalysis.trainBpeMerges(
+        Tables.documents(s, d), "text", numMerges = 8)
+      import s.implicits._
+      ms.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
+
     // BPE-count sequence packing: the d37 encode's real token counts
     // feeding the d16 two-level prefix-sum packing — pack boundaries
     // from the trained tokenizer, not whitespace counts (what published
@@ -524,7 +537,76 @@ object TextOps {
          FROM dw JOIN enc USING (w) GROUP BY 1)"""
   }
 
+  /** The d39 training mirror: `numMerges` UNROLLED stages, each a full
+    * re-segmentation of the distinct-word vocabulary under the merges
+    * trained so far (a recursive CTE per stage, rank map built FROM
+    * the previous stage's result — the mirror is dynamic, nothing is
+    * hardcoded), then the weighted pair count and the (count desc,
+    * pair asc) argmax with the same surface-collision skip and the
+    * same count >= 2 floor as the Spark loop. */
+  private def bpeTrainSql(numMerges: Int): String = {
+    val stages = (0 until numMerges).map { s =>
+      s"""mp$s AS MATERIALIZED (SELECT coalesce(
+           map(list(a || ' ' || b ORDER BY r), list(r ORDER BY r)),
+           map([]::VARCHAR[], []::INT[])) AS rk FROM m$s),
+         st$s AS (
+           -- the rank map rides the SEED rows: a data-dependent CTE
+           -- referenced from the recursive term would re-evaluate its
+           -- whole upstream training chain once per iteration
+           SELECT w,
+               list_transform(generate_series(1, length(w)), i -> w[i]) AS toks,
+               CAST(NULL AS INT) AS cur, false AS done, rk
+             FROM wd, mp$s
+           UNION ALL
+           SELECT w,
+               CASE WHEN eff IS NULL THEN toks
+                 ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+               END AS toks,
+               eff AS cur, eff IS NULL AS done, rk
+             FROM (
+               SELECT w, toks, rk,
+                   CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                     THEN cur ELSE list_aggregate(pr, 'min') END AS eff,
+                   list_position(pr,
+                     CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                       THEN cur ELSE list_aggregate(pr, 'min') END) AS pos
+                 FROM (
+                   SELECT w, toks, cur, rk,
+                       list_transform(generate_series(1, len(toks) - 1),
+                         i -> map_extract(rk, toks[i] || ' ' || toks[i+1])[1])
+                         AS pr
+                     FROM st$s WHERE NOT done))),
+         pp$s AS MATERIALIZED (SELECT toks[i] || ' ' || toks[i+1] AS p,
+             sum(cnt)::BIGINT AS c
+           FROM (SELECT e.toks AS toks, f.cnt AS cnt,
+               unnest(generate_series(1, len(e.toks) - 1)) AS i
+             FROM (SELECT w, toks FROM st$s WHERE done) e
+             JOIN wf f USING (w))
+           GROUP BY 1 HAVING sum(cnt) >= 2),
+         best$s AS MATERIALIZED (SELECT $s::INT AS r, string_split(p, ' ')[1] AS a,
+             string_split(p, ' ')[2] AS b
+           FROM pp$s
+           WHERE replace(p, ' ', '') NOT IN (SELECT a || b FROM m$s)
+           ORDER BY c DESC, p ASC LIMIT 1),
+         m${s + 1} AS MATERIALIZED (SELECT r, a, b FROM m$s
+           UNION ALL SELECT r, a, b FROM best$s)"""
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM documents),
+       wu AS MATERIALIZED (SELECT unnest(ws) AS w FROM t),
+       wd AS MATERIALIZED (SELECT DISTINCT w FROM wu),
+       wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM wu GROUP BY 1),
+       m0 AS MATERIALIZED (SELECT 0::INT AS r, '' AS a, '' AS b WHERE 1 = 0),
+       $stages
+       SELECT r AS merge_rank, a AS lhs, b AS rhs FROM m$numMerges"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // d39: the unrolled dynamic training replay
+    "d39_bpe_train" -> bpeTrainSql(8),
+
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->
       s"WITH ${lmNllSql(1024, 16384)} SELECT * FROM ppl",

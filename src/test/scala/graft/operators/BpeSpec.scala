@@ -114,6 +114,26 @@ class BpeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("space"), e2.getMessage)
   }
 
+  test("trainBpeMerges learns the frequency-ordered merges of a known corpus") {
+    // "aa" dominates, then the learned token pairs with b
+    val docs = Seq.fill(20)("aab").map(Tuple1(_)).toDF("text")
+      .union(Seq.fill(5)("ab").map(Tuple1(_)).toDF("text"))
+    val got = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 3)
+    // iter 1: pairs a-a (20), a-b (25)?? a-b appears in "aab" (after a-a?
+    // raw chars: "aab" has pairs (a,a),(a,b); "ab" has (a,b) -> (a,b)=25
+    // beats (a,a)=20 -> merge 1 = (a,b). re-segment: "aab" = a,ab;
+    // "ab" = ab -> pairs: (a,ab)=20 -> merge 2 = (a,ab). then nothing
+    // repeats twice -> early stop.
+    assert(got == Seq("a" -> "b", "a" -> "ab"), s"got $got")
+    // training on top of an existing base extends, never rewrites
+    val ext = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 1,
+      base = Seq("a" -> "b"))
+    assert(ext == Seq("a" -> "b", "a" -> "ab"), s"got $ext")
+    // the trained list round-trips through the encoder: "aab" is one token
+    val ids = sparkIds(Seq("aab"), got)
+    assert(ids("aab") == Seq(0x110000 + 1), s"got ${ids("aab")}")
+  }
+
   test("the d37 plan is narrow: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d37_bpe_encode")(
