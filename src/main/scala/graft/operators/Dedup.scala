@@ -358,6 +358,58 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
+  /** C4/RefinedWeb-style corpus-wide LINE deduplication: keep one copy
+    * of every line occurring at least `minCount` times across the
+    * corpus (the canonical copy = minimum zero-padded "id:line-index"
+    * site, [[stripDuplicatedSpans]]' engine-neutral device), strip the
+    * rest, and reassemble each affected document's text. Web boilerplate
+    * — nav menus, cookie banners, footers — repeats verbatim at line
+    * grain, which is why the published web-corpus recipes run this pass
+    * before any fuzzy dedup.
+    *
+    * Output: affected documents only — (id, n_removed_lines,
+    * clean_text); a document whose every line is redundant comes back
+    * with empty clean_text (the caller's drop-or-keep policy, as with
+    * span strip). Scale shape: line hashes, never line text, in the
+    * two corpus-keyed exchanges (line-hash aggregate + per-doc drop
+    * list); text is joined back ONCE, for affected docs only. */
+  def stripDuplicatedLines(df: DataFrame, textCol: String, idCol: String,
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = df.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)(idType),
+        s"stripDuplicatedLines requires an integral id column (the " +
+          s"canonical-site key zero-pads its decimal rendering; a string " +
+          s"id would be silently truncated at 20 chars) — got $idType for $idCol")
+    }
+    val guardedId = when(col(idCol) < 0,
+      raise_error(concat(lit(s"stripDuplicatedLines: negative $idCol "),
+        col(idCol).cast("string"),
+        lit(" breaks canonical-site ordering")))).otherwise(col(idCol))
+    val occ = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").as("__pos"), md5(col("col")).as("__lh"))
+      .withColumn("__k", concat(
+        lpad(guardedId.cast("string"), 20, "0"), lit(":"),
+        lpad(col("__pos").cast("string"), 10, "0")))
+    val lineAgg = occ.groupBy("__lh")
+      .agg(count(lit(1)).as("__c"), min("__k").as("__canon"))
+      .filter(col("__c") >= minCount)
+    val dropList = occ.join(lineAgg, "__lh")
+      .filter(col("__k") =!= col("__canon"))
+      .groupBy(idCol).agg(collect_list(col("__pos")).as("__drop"))
+    df.join(dropList, idCol)
+      .withColumn("__lns", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lns"), (_, i) =>
+        !array_contains(col("__drop"), i)))
+      .select(col(idCol),
+        (size(col("__lns")) - size(col("__kept"))).as("n_removed_lines"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+  }
+
   /** Per-document duplicated-span statistics over [[duplicatedSpans]]:
     * span count, total duplicated tokens, and the longest duplicated
     * span — the numbers a curation run thresholds on ("drop documents

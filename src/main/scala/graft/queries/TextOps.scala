@@ -365,6 +365,25 @@ object TextOps {
           md5(concat_ws(" ",
             transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
 
+    // Corpus-wide line dedup (the C4/RefinedWeb boilerplate pass):
+    // every line repeated anywhere in the corpus keeps its canonical
+    // (min id:index) copy, all other occurrences stripped; affected
+    // docs come back reassembled. Line hashes only in the corpus
+    // exchanges; text joins back once. The fixture's synthetic lines
+    // are corpus-unique, so the gate PLANTS the boilerplate the pass
+    // exists for — a deterministic two-line banner prefixed onto every
+    // 50th document (mirrored in the oracle) — and would go vacuous
+    // (0 rows) without it.
+    "d40_line_dedup" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 50 === 0,
+          concat(lit("subscribe to our newsletter\ncookie policy\n"),
+            col("text"))).otherwise(col("text")))
+      Dedup.stripDuplicatedLines(planted, "text", "doc_id")
+        .select(col("doc_id"), col("n_removed_lines"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // BPE merge-list training: 8 iterations of count-pairs -> take the
     // most frequent -> re-segment, over the documents corpus — the
     // trained artifact d37/p07 apply. A driver loop of corpus scans
@@ -606,6 +625,34 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     // d39: the unrolled dynamic training replay
     "d39_bpe_train" -> bpeTrainSql(8),
+
+    // Mirrors Dedup.stripDuplicatedLines: positioned line-md5 index ->
+    // corpus count >= 2 -> canonical = min zero-padded id:index ->
+    // non-canonical line indices dropped, text reassembled.
+    "d40_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(
+             CASE WHEN doc_id % 50 = 0 THEN
+               'subscribe to our newsletter' || chr(10) ||
+               'cookie policy' || chr(10) || text
+             ELSE text END, chr(10)) AS ln
+           FROM documents),
+         o AS (SELECT doc_id, i - 1 AS pos, md5(ln[i]) AS lh,
+             lpad(doc_id::VARCHAR, 20, '0') || ':' ||
+               lpad((i - 1)::VARCHAR, 10, '0') AS k
+           FROM (SELECT doc_id, ln,
+             unnest(generate_series(1, len(ln))) AS i FROM t)),
+         g AS (SELECT lh, min(k) AS canon FROM o GROUP BY 1
+           HAVING count(*) >= 2),
+         r AS (SELECT doc_id, pos FROM o JOIN g USING (lh) WHERE k <> canon),
+         rd AS (SELECT doc_id, list(pos) AS dp FROM r GROUP BY 1),
+         cl AS (SELECT t.doc_id,
+             list_transform(list_filter(generate_series(1, len(ln)),
+               i -> NOT list_contains(dp, i - 1)), i -> ln[i]) AS kept,
+             len(ln) AS n0
+           FROM t JOIN rd USING (doc_id))
+         SELECT doc_id, (n0 - len(kept))::INT AS n_removed_lines,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         FROM cl""",
 
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->

@@ -84,6 +84,26 @@ class DedupSpec extends AnyFunSuite {
       (3L, 4, "y1 T1 T2 T3 T4 z1 z2 z3 q1")))
   }
 
+  test("stripDuplicatedLines keeps the canonical copy, strips the rest") {
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED BANNER\nunique beta"),
+      (2L, "SHARED BANNER\nunique gamma"),
+      (3L, "unique delta\nSHARED BANNER"),
+      (4L, "all unique here")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedLines(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // canonical site = doc 1 pos 1 (min id:index) keeps its banner;
+    // docs 2 and 3 lose theirs; doc 4 untouched (absent)
+    assert(got === Set(
+      (2L, 1, "unique gamma"),
+      (3L, 1, "unique delta")))
+    // a doc that is ENTIRELY redundant lines comes back as an empty husk
+    val husk = docs.union(Seq((5L, "SHARED BANNER")).toDF("doc_id", "text"))
+    val got2 = Dedup.stripDuplicatedLines(husk, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got2(5L) === "")
+  }
+
   test("lshContamination catches a planted near-copy of a bench doc") {
     // positive control (the d23 ProbePassage device): a corpus doc that
     // is a bench doc with ONE trailing token changed must collide in at
