@@ -189,6 +189,72 @@ object Relational {
           unix_millis(col("window_end")).as("we"),
           col("event_type"), col("n_events"))),
 
+    // Watermarked STREAM-STREAM interval join: each user's purchases
+    // joined to their errors within the following 5 minutes, both
+    // sides real file streams (the events fixture in four
+    // time-ordered slices, one micro-batch each, so no row is ever
+    // late and state eviction — driven by the watermark plus the
+    // join's time bound — only ever drops purchases that cannot match
+    // a future error). Inner joins emit on match, so the AvailableNow
+    // run's accumulated sink equals the batch interval join exactly —
+    // which is what the oracle computes.
+    "w06_stream_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w06", d)
+      val raw = Tables.eventsRaw(s, d)
+      val ordered = Tables.normalizeTs(raw)
+        .filter(col("event_type").isin("purchase", "error"))
+      val lds = ordered.select(unix_millis(col("ts")).as("ms"))
+        .distinct().orderBy("ms").collect().map(_.getLong(0))
+      val n = lds.length
+      val bounds = Seq(lds(n / 4), lds(n / 2), lds(3 * n / 4))
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val base = System.currentTimeMillis() - 3600000L
+      val ms = unix_millis(col("ts"))
+      Seq(
+        ordered.filter(ms < bounds(0)),
+        ordered.filter(ms >= bounds(0) && ms < bounds(1)),
+        ordered.filter(ms >= bounds(1) && ms < bounds(2)),
+        ordered.filter(ms >= bounds(2))).zipWithIndex.foreach { case (df, i) =>
+        val tmp = s"$loc/tmp_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$feed/slice-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 60000L)
+      }
+      val sliceSchema = ordered.schema
+      def side(tpe: String, tsName: String, idName: String) =
+        s.readStream.schema(sliceSchema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${tpe}_user"),
+            col("ts").as(tsName), col("event_id").as(idName))
+          .withWatermark(tsName, "1 minute")
+      val joined = side("purchase", "p_ts", "p_event_id")
+        .join(side("error", "e_ts", "e_event_id"),
+          col("purchase_user") === col("error_user") &&
+            col("e_ts") >= col("p_ts") &&
+            col("e_ts") <= col("p_ts") + expr("INTERVAL 240 MINUTES"))
+        .select(col("purchase_user").as("user_id"),
+          col("p_event_id"), col("e_event_id"),
+          unix_millis(date_trunc("MILLISECOND", col("p_ts"))).as("p_ms"),
+          unix_millis(date_trunc("MILLISECOND", col("e_ts"))).as("e_ms"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$loc/out")
+        .option("checkpointLocation", s"$loc/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, p_event_id BIGINT, e_event_id BIGINT, " +
+            "p_ms BIGINT, e_ms BIGINT"))
+        .parquet(s"$loc/out")
+    }),
+
     // Streaming sessionization gate: the events fixture replayed
     // through a REAL readStream file source (one file per micro-batch)
     // into a foreachBatch append sink — the CdcStream loader pattern —
@@ -493,6 +559,16 @@ object Relational {
          lead(epoch_ms(date_trunc('milliseconds', ts)), 1)
            OVER (PARTITION BY user_id ORDER BY event_id) AS end_ms
          FROM events""",
+    // w06 = the plain batch interval join: the streamed run must
+    // accumulate exactly these matches, no more (replay dupes) and no
+    // fewer (wrongly-evicted state)
+    "w06_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, e.event_id AS e_event_id,
+         epoch_ms(date_trunc('milliseconds', p.ts)) AS p_ms,
+         epoch_ms(date_trunc('milliseconds', e.ts)) AS e_ms
+         FROM events p JOIN events e ON p.user_id = e.user_id
+         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+           AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 240 MINUTE""",
     "w01_windowed_counts" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) AS ws,
          epoch_ms(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP)) + 600000 AS we,
