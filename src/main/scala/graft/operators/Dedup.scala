@@ -358,6 +358,46 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("clean_text"))
   }
 
+  /** Decontamination SURGERY: strip every token covered by a
+    * `spanTokens`-token window that appears verbatim in the BENCHMARK
+    * set, and reassemble the cleaned text — the removal counterpart of
+    * [[TextAnalysis.decontaminate]] (which only flags documents).
+    * Published pipelines use both policies; surgery keeps the rest of
+    * an otherwise-good document instead of dropping it for one quoted
+    * eval passage. No canonical-copy retention here: benchmark text
+    * has no business surviving anywhere in training data.
+    *
+    * Scale shape: the benchmark gram index is eval-set-sized and
+    * BROADCAST (the [[TextAnalysis.decontaminate]] contract); corpus
+    * windows carry (id, pos, 32-hex) only; text joins back once, for
+    * affected documents only. Output: affected docs only —
+    * (id, n_removed, clean_text). */
+  def stripContaminatedSpans(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val benchGrams = bench
+      .select(col(textCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= spanTokens)
+      .select(explode(array_distinct(
+        TextAnalysis.shingles("__tk", textCol, spanTokens))).as("__g"))
+      .select(md5(col("__g")).as("__gh")).distinct()
+    val hits = spanWindowOccurrences(corpus, textCol, idCol, spanTokens)
+      .join(broadcast(benchGrams), "__gh")
+      .select(col(idCol), col("__pos"))
+    val spansPerDoc = mergeSpanPositions(hits, idCol, spanTokens)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    corpus.join(spansPerDoc, idCol)
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__tk"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i >= s.getField("span_start") && i <= s.getField("span_end"))))
+      .select(col(idCol),
+        (size(col("__tk")) - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** C4/RefinedWeb-style corpus-wide LINE deduplication: keep one copy
     * of every line occurring at least `minCount` times across the
     * corpus (the canonical copy = minimum zero-padded "id:line-index"

@@ -365,6 +365,27 @@ object TextOps {
           md5(concat_ws(" ",
             transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
 
+    // Decontamination surgery: the d23 plant (ProbePassage appended to
+    // every 13th corpus doc, bench = the %97 slice + the probe), but
+    // the contaminated spans are STRIPPED and the text reassembled
+    // instead of the document being flagged — the keep-the-document
+    // removal policy. Affected docs must come back with exactly the
+    // probe tokens gone.
+    "d41_strip_contaminated" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" " + ProbePassage))).otherwise(col("text")))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+        .union(Seq((-1L, ProbePassage)).toDF("doc_id", "text"))
+      Dedup.stripContaminatedSpans(corpus, bench, "text", "doc_id",
+          spanTokens = 8)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // Corpus-wide line dedup (the C4/RefinedWeb boilerplate pass):
     // every line repeated anywhere in the corpus keeps its canonical
     // (min id:index) copy, all other occurrences stripped; affected
@@ -625,6 +646,52 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     // d39: the unrolled dynamic training replay
     "d39_bpe_train" -> bpeTrainSql(8),
+
+    // Mirrors Dedup.stripContaminatedSpans over the d23 plant: bench
+    // 8-gram md5 set -> corpus window hits -> per-doc span merge ->
+    // token filter + reassembly (the d34 machinery, no canonical
+    // retention — every contaminated window strips).
+    "d41_strip_contaminated" -> {
+      val g = 8
+      val parts = (0 until g).map(k => s"tk[i+$k]").mkString(", ")
+      s"""WITH c AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' $ProbePassage'
+                ELSE text END AS text
+           FROM documents WHERE doc_id % 97 <> 0),
+         bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0
+           UNION ALL SELECT '$ProbePassage'),
+         bt AS (SELECT string_split(text, ' ') AS tk FROM bench),
+         bg AS (SELECT DISTINCT
+             md5(concat_ws(' ', $parts)) AS gh
+           FROM (SELECT tk, unnest(generate_series(1, len(tk) - ${g - 1})) AS i
+             FROM bt WHERE len(tk) >= $g)),
+         t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM c),
+         occ AS (SELECT doc_id, i - 1 AS pos,
+             md5(concat_ws(' ', $parts)) AS gh
+           FROM (SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - ${g - 1})) AS i
+             FROM t WHERE len(tk) >= $g)),
+         d AS (SELECT doc_id, pos FROM occ JOIN bg USING (gh)),
+         f AS (SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               + $g THEN 1 ELSE 0 END AS nw
+           FROM d),
+         s AS (SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM f),
+         sp AS (SELECT doc_id, span, min(pos) AS st,
+             max(pos) + ${g - 1} AS en FROM s GROUP BY 1, 2),
+         spd AS (SELECT doc_id, list(struct_pack(st := st, en := en))
+             AS spans FROM sp GROUP BY 1),
+         cl AS (SELECT t.doc_id,
+             list_transform(list_filter(generate_series(0, len(tk) - 1),
+               p -> len(list_filter(spans,
+                 sx -> sx.st <= p AND p <= sx.en)) = 0),
+               p -> tk[p + 1]) AS kept, len(tk) AS n0
+           FROM t JOIN spd ON t.doc_id = spd.doc_id)
+         SELECT doc_id, (n0 - len(kept))::INT AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+         FROM cl"""
+    },
 
     // Mirrors Dedup.stripDuplicatedLines: positioned line-md5 index ->
     // corpus count >= 2 -> canonical = min zero-padded id:index ->

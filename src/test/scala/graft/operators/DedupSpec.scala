@@ -104,6 +104,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got2(5L) === "")
   }
 
+  test("stripContaminatedSpans removes exactly the quoted bench passage") {
+    val probe = (1 to 12).map(i => s"bench$i").mkString(" ")
+    val original = (1 to 20).map(i => s"own$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$original $probe"),          // probe appended
+      (2L, s"$probe $original"),          // probe leading
+      (3L, original)).toDF("doc_id", "text")
+    val bench = Seq((100L, probe)).toDF("doc_id", "text")
+    val byId = Dedup.stripContaminatedSpans(corpus, bench, "text", "doc_id",
+        spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(byId.keySet === Set(1L, 2L), "only contaminated docs emitted")
+    assert(byId(1L) === ((12, original)), s"got ${byId(1L)}")
+    assert(byId(2L) === ((12, original)), s"got ${byId(2L)}")
+  }
+
   test("lshContamination catches a planted near-copy of a bench doc") {
     // positive control (the d23 ProbePassage device): a corpus doc that
     // is a bench doc with ONE trailing token changed must collide in at
