@@ -251,6 +251,62 @@ object Pipeline {
     Sampling.scoreBandSplit(scores, "ppl_q", idCol)
   }
 
+  /** The modern-web curation recipe end to end: Gopher composite gate
+    * -> corpus-wide LINE dedup with all-boilerplate husks dropped
+    * ([[Dedup.stripDuplicatedLines]]) -> hashed-bigram LM perplexity
+    * against the in-domain `targetFilter` slice -> CCNet band split
+    * keeping head + middle -> whitespace sequence packing. The stages
+    * published web pipelines chain (C4's line pass, Gopher's gate,
+    * CCNet's perplexity selection), composed over the cleaned text at
+    * every step.
+    *
+    * Three persisted frames with release handles (the p05 pattern):
+    * the gate output (three consumers — line-occurrence index, strip
+    * text join, untouched anti-join), the strip output (two — the
+    * anti-join probe and the clean union), and the cleaned corpus
+    * (scoring scan, selection join; plus the stats artifact built
+    * eagerly through its config-sized driver hop before scoring, which
+    * is why the caches pay for themselves immediately). */
+  def webCurationPipelineWithRelease(docs: DataFrame, textCol: String,
+      idCol: String, targetFilter: Column, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): (DataFrame, () => Unit) = {
+    val kept = TextAnalysis.gopherQualityKept(docs, textCol).persist()
+    val stripped = Dedup.stripDuplicatedLines(kept, textCol, idCol).persist()
+    val untouched = kept
+      .join(stripped.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol).as("clean_text"))
+    val clean = untouched.unionByName(
+        stripped.filter(col("clean_text") =!= "")
+          .select(col(idCol), col("clean_text")))
+      .persist()
+    val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+      clean.filter(targetFilter), "clean_text", ctxBuckets, pairBuckets))
+    val scores = TextAnalysis.lmPerplexity(clean, "clean_text", idCol,
+      stats, ctxBuckets, pairBuckets)
+    val bands = Sampling.scoreBandSplit(scores, "ppl_q", idCol)
+    val sel = clean.join(
+      bands.filter(col("band") =!= "tail").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val packed = Packing.packSequences(sel, idCol, "clean_text",
+      seqLen, bucketSize)
+    (packed, () => {
+      kept.unpersist(blocking = false)
+      stripped.unpersist(blocking = false)
+      clean.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  /** [[webCurationPipelineWithRelease]] discarding the handle — one-shot
+    * runs only. */
+  def webCurationPipeline(docs: DataFrame, textCol: String, idCol: String,
+      targetFilter: Column, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): DataFrame =
+    webCurationPipelineWithRelease(docs, textCol, idCol, targetFilter,
+      ctxBuckets, pairBuckets, seqLen, bucketSize)._1
+
   /** Chunk-then-pack pretraining pipeline: quality gate -> exact dedup
     * -> token-window chunking ([[TextAnalysis.chunkTokenWindows]]
     * semantics: `window`-token chunks advancing by `stride`) -> sequence

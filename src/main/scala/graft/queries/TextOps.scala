@@ -365,6 +365,20 @@ object TextOps {
           md5(concat_ws(" ",
             transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))),
 
+    // The modern-web recipe composed end to end: Gopher gate -> line
+    // dedup (the d40 banner plant keeps the stage non-vacuous) ->
+    // perplexity scoring against the %97 in-domain slice -> CCNet
+    // head+middle selection -> sequence packing. Every stage's output
+    // feeds the next over CLEANED text.
+    "p08_web_pipeline" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 50 === 0,
+          concat(lit("subscribe to our newsletter\ncookie policy\n"),
+            col("text"))).otherwise(col("text")))
+      graft.operators.Pipeline.webCurationPipeline(planted, "text",
+        "doc_id", col("doc_id") % 97 === 0)
+    }),
+
     // Decontamination surgery: the d23 plant (ProbePassage appended to
     // every 13th corpus doc, bench = the %97 slice + the probe), but
     // the contaminated spans are STRIPPED and the text reassembled
@@ -474,7 +488,10 @@ object TextOps {
     * iteration a generated CTE — the SAME integer ops as the Spark
     * column chain, so scores are bit-identical by construction).
     * Yields CTE text ending in `ppl(doc_id, n_trans, nll_q, ppl_q)`. */
-  private def lmNllSql(ctxB: Int, pairB: Int): String = {
+  private def lmNllSql(ctxB: Int, pairB: Int,
+      src: String = "documents",
+      trainPred: String = "doc_id % 97 = 0",
+      textExpr: String = "text"): String = {
     val iters = (1 to 10).map { i =>
       val prev = if (i == 1) "l3" else s"i${i - 1}"
       s"""i$i AS (SELECT doc_id, k,
@@ -484,17 +501,17 @@ object TextOps {
          FROM (SELECT doc_id, k, acc, p, q,
              length(bin(q*q)) - 30 AS s FROM $prev)))"""
     }.mkString(",\n")
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $src),
        trn AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
          FROM (SELECT doc_id, tk,
            unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
        cstat AS (SELECT ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
            AS bucket, count(*)::BIGINT AS cc
-         FROM trn WHERE doc_id % 97 = 0 GROUP BY 1),
+         FROM trn WHERE $trainPred GROUP BY 1),
        pstat AS (SELECT
            ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % $pairB
            AS bucket, count(*)::BIGINT AS pc
-         FROM trn WHERE doc_id % 97 = 0 GROUP BY 1),
+         FROM trn WHERE $trainPred GROUP BY 1),
        sc AS (SELECT trn.doc_id,
            coalesce(cc, 0) + $pairB AS d,
            least(coalesce(pc, 0) + 1, coalesce(cc, 0) + $pairB) AS n
@@ -646,6 +663,78 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     // d39: the unrolled dynamic training replay
     "d39_bpe_train" -> bpeTrainSql(8),
+
+    // p08: the full web recipe replayed stage by stage — planted
+    // banner, Gopher gate (the p04 mirror), d40 line dedup with husks
+    // dropped, the d38 nll chain sourced FROM the cleaned corpus,
+    // CCNet head+middle selection, d16 prefix-sum packing.
+    "p08_web_pipeline" ->
+      s"""WITH RECURSIVE pd AS (SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0 THEN
+             'subscribe to our newsletter' || chr(10) ||
+             'cookie policy' || chr(10) || text
+           ELSE text END AS text FROM documents),
+         gt AS (SELECT doc_id, string_split(text, ' ') AS tk,
+           string_split(text, chr(10)) AS lnn, text FROM pd),
+         sig AS (SELECT doc_id,
+           len(tk) AS n_tokens,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+             / len(tk) AS awl,
+           len(list_filter(tk,
+               x -> x IN ('the','a','or','and','of','to','in','is')))::DOUBLE
+             / len(tk) AS swr,
+           (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) AS dtr,
+           (len(lnn) - len(list_distinct(lnn)))::DOUBLE / len(lnn) AS dlr
+         FROM gt),
+         gr AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [text]
+           ELSE list_transform(generate_series(1, len(tk) - 1),
+             i -> concat_ws(' ', tk[i], tk[i+1])) END) AS gram FROM gt),
+         gc AS (SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY 1, 2),
+         mass AS (SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS tnm
+           FROM gc GROUP BY 1),
+         g AS (SELECT p.doc_id, p.text FROM pd p
+           JOIN sig s USING (doc_id) JOIN mass m USING (doc_id)
+           WHERE s.n_tokens >= 20 AND s.n_tokens <= 100000
+             AND s.awl >= 2.0 AND s.awl <= 12.0 AND s.swr >= 0.05
+             AND s.dtr <= 0.60 AND s.dlr <= 0.30 AND m.tnm <= 0.20),
+         tl AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM g),
+         lo AS (SELECT doc_id, i - 1 AS pos, md5(ln[i]) AS lh,
+             lpad(doc_id::VARCHAR, 20, '0') || ':' ||
+               lpad((i - 1)::VARCHAR, 10, '0') AS k
+           FROM (SELECT doc_id, ln,
+             unnest(generate_series(1, len(ln))) AS i FROM tl)),
+         lg AS (SELECT lh, min(k) AS canon FROM lo GROUP BY 1
+           HAVING count(*) >= 2),
+         lr AS (SELECT doc_id, pos FROM lo JOIN lg USING (lh)
+           WHERE k <> canon),
+         lrd AS (SELECT doc_id, list(pos) AS dp FROM lr GROUP BY 1),
+         lcl AS (SELECT tl.doc_id,
+             list_transform(list_filter(generate_series(1, len(ln)),
+               i -> NOT list_contains(dp, i - 1)), i -> ln[i]) AS keptl
+           FROM tl JOIN lrd USING (doc_id)),
+         clean AS (SELECT g.doc_id,
+             CASE WHEN lcl.doc_id IS NOT NULL
+               THEN coalesce(array_to_string(keptl, chr(10)), '')
+               ELSE g.text END AS text
+           FROM g LEFT JOIN lcl ON g.doc_id = lcl.doc_id
+           WHERE CASE WHEN lcl.doc_id IS NOT NULL
+               THEN coalesce(array_to_string(keptl, chr(10)), '')
+               ELSE g.text END <> ''),
+         ${lmNllSql(1024, 16384, src = "clean")},
+         r2 AS (SELECT doc_id, ppl_q,
+             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
+               doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn FROM ppl),
+         sel AS (SELECT c.doc_id,
+             len(string_split(c.text, ' '))::BIGINT AS n_tokens
+           FROM clean c JOIN r2 USING (doc_id)
+           WHERE (r2.rk - 1) * 3 < r2.cn * 2),
+         cum AS (SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id) AS c FROM sel)
+         SELECT doc_id, n_tokens, (c - n_tokens)::BIGINT AS start_offset,
+           ((c - n_tokens) // 512)::BIGINT AS first_seq,
+           ((c - 1) // 512)::BIGINT AS last_seq
+         FROM cum""",
 
     // Mirrors Dedup.stripContaminatedSpans over the d23 plant: bench
     // 8-gram md5 set -> corpus window hits -> per-doc span merge ->

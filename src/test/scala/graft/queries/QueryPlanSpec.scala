@@ -306,6 +306,31 @@ class QueryPlanSpec extends AnyFunSuite {
     } finally release()
   }
 
+  test("p08: gate, strip, and clean corpus are cached; the final plan never rescans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.sources.Tables
+    // three persisted frames (gate / strip / clean) and an eagerly-
+    // localized stats artifact: by the time the packed output runs,
+    // every consumer must read a cache — the documents scan appears
+    // zero times in the final executed plan
+    val (df, release) = graft.operators.Pipeline.webCurationPipelineWithRelease(
+      Tables.documents(spark, sf), "text", "doc_id",
+      org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+    try {
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+      assert(cacheScans >= 2, s"expected cache reads in the pack plan, got $cacheScans")
+      val docScans = nodes.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => f
+      }
+      assert(docScans.isEmpty,
+        s"documents scanned ${docScans.size}x outside the cached stages")
+    } finally release()
+  }
+
   test("p04: the gate+LSH+redact upstream executes once, cached before the mix") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
