@@ -210,6 +210,31 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
   }
 
+  /** Quality-aware near-duplicate resolution: within each
+    * [[nearDupGroups]] component, KEEP the member with the best
+    * `scoreCol` (ties to the lowest id — a total order) and mark the
+    * rest for dropping — the published "keep the longest / highest
+    * quality copy" policy, where min-id retention ([[cleanCorpus]])
+    * throws away whichever quality signal the pipeline already
+    * computed. Output: every clustered document as
+    * (id, group_id, scoreCol, keep).
+    *
+    * Shape: the groups frame is duplicated-docs-only; one id-keyed
+    * join pulls the score (narrow two-column corpus projection), one
+    * group-keyed window ranks members — group sizes are near-dup
+    * cluster sizes, so the window never sees a corpus-sized
+    * partition. */
+  def resolveNearDupsByQuality(docs: DataFrame, groups: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("group_id")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    groups.select(col("doc_id").as(idCol), col("group_id"))
+      .join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("group_id"), col(scoreCol),
+        (col("__rn") === 1).as("keep"))
+  }
+
   /** Exact duplicated-SPAN measurement — the substring-level dedup
     * family (the published "Deduplicating Training Data Makes Language
     * Models Better" ExactSubstr line): find, per document, the maximal

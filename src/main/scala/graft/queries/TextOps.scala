@@ -88,6 +88,18 @@ object TextOps {
       Dedup.nearDupGroups(Dedup.lshCandidatePairs(
         Tables.documents(s, d), "text", "doc_id", k = 6, bandWidth = 2))),
 
+    // Quality-aware near-dup resolution: within each d11 component,
+    // keep the LONGEST member (n_chars, ties to min id) instead of the
+    // min id — the published keep-best-copy policy over the same
+    // connected components.
+    "d42_quality_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.resolveNearDupsByQuality(docs,
+        Dedup.nearDupGroups(Dedup.lshCandidatePairs(
+          docs, "text", "doc_id", k = 6, bandWidth = 2)),
+        "doc_id", "n_chars")
+    }),
+
     // Repetition quality signals: repeated-token/line fractions and
     // top-bigram occurrence mass.
     "d12_repetition" -> ((s, d) =>
@@ -1007,6 +1019,35 @@ object TextOps {
          SELECT g.id AS doc_id, g.group_id, s.group_size
          FROM grp g JOIN (SELECT group_id, count(*) AS group_size
            FROM grp GROUP BY 1) s USING (group_id)""",
+
+    // d42: the d11 components with the keep-longest policy on top
+    "d42_quality_resolve" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+             ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                 string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+           END AS sh FROM documents),
+         banded AS (SELECT doc_id,
+           unnest([${(0 until 3).map(b =>
+             s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, ${shingleMinhashSql(2 * b + 1)}))")
+             .mkString(", ")}]) AS band
+         FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         edges AS (SELECT a_id AS x, b_id AS y FROM cand
+           UNION SELECT b_id, a_id FROM cand),
+         reach(id, lbl) AS (
+           SELECT DISTINCT x, x FROM edges
+           UNION
+           SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.id),
+         grp AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY id),
+         sc AS (SELECT g.id AS doc_id, g.group_id, d.n_chars
+           FROM grp g JOIN documents d ON g.id = d.doc_id),
+         r AS (SELECT doc_id, group_id, n_chars,
+             row_number() OVER (PARTITION BY group_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn FROM sc)
+         SELECT doc_id, group_id, n_chars, rn = 1 AS keep FROM r""",
     "d12_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
            string_split(text, chr(10)) AS ln, text FROM documents),
