@@ -131,6 +131,60 @@ object VectorOps {
         shortlist = Shortlist, k = K)
     }),
 
+    // Streaming IVF index maintenance, driver-verified end to end: the
+    // index is built on HALF the corpus, the remainder streams through
+    // readStream -> foreachBatch -> appendToIvfIndex in three
+    // micro-batch slices PLUS a replayed slice (at-least-once), and
+    // the PERSISTED table is probed — results must hash-match the
+    // one-shot e02 oracle exactly: the streamed index equals the
+    // one-shot index, and the replay added nothing (the (cid, id)
+    // bucket-pruned idempotence check).
+    "w07_ivf_stream_append" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w07", d)
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val n = base.count()
+      val cut = n / 2
+      val tbl = "graft_vecstore.w07_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildIvfIndex(
+        Similarity.assignToCentroids(base.filter(col("vec_id") < cut),
+          cents, "vec_id"), tbl, buckets = 4)
+      // the rest as three id-sliced files + slice 0 redelivered
+      val rest = Tables.embeddings(s, d).filter(col("vec_id") >= cut)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0, 1, 2).map(i => (rest.filter(col("vec_id") % 3 === i), s"slice-$i"))
+        :+ (rest.filter(col("vec_id") % 3 === 0), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        Similarity.appendToIvfIndex(
+          Similarity.withNorm(batch, "vec_id", "embedding"),
+          tbl, cents, "vec_id", buckets = 4)
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w07 expected 4 non-empty micro-batches (3 slices + replay), saw $batches")
+      Similarity.probeIvfIndex(s, tbl, col("vec_id") < NQ, "vec_id", K)
+    }),
+
     // Embedding-cosine near-dup: same-centroid blocking, cosine > 0.4.
     "d09_embed_neardup" -> ((s, d) => {
       val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -300,6 +354,18 @@ object VectorOps {
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked
          WHERE rank <= $K""",
     "e02_knn_ivf" ->
+      s"""WITH $ivfAssignCtes,
+         q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
+           FROM assigned WHERE vec_id < $NQ),
+         sims AS (SELECT q.qid, a.vec_id,
+           list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
+           FROM assigned a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    // w07 probes the STREAMED index; it must equal the one-shot e02
+    // assignment probe exactly — same oracle
+    "w07_ivf_stream_append" ->
       s"""WITH $ivfAssignCtes,
          q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
            FROM assigned WHERE vec_id < $NQ),
