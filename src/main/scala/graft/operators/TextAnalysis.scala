@@ -534,35 +534,40 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Adjacent-token transition structs `(a, b)` of a token-array
-    * column, explode-ready; the empty TYPED array for sub-2-token docs
-    * (the bpePairStats sequence(0,-1) hazard, solved with an explicit
-    * CASE + cast instead of a filter so explode_outer callers keep
-    * every doc). */
-  private def transitionArr(tokenArrayCol: String): Column = expr(
-    s"CASE WHEN size($tokenArrayCol) >= 2 THEN " +
-      s"transform(sequence(0, size($tokenArrayCol) - 2), i -> " +
-      s"struct($tokenArrayCol[i] AS a, $tokenArrayCol[i+1] AS b)) " +
+  /** N-gram transition structs `(a = the (order-1)-token context
+    * joined by spaces, b = the following token)` of a token-array
+    * column, explode-ready; the empty TYPED array for docs shorter
+    * than `order` (the bpePairStats sequence(0,-1) hazard, solved
+    * with an explicit CASE + cast instead of a filter so
+    * explode_outer callers keep every doc). order = 2 is the adjacent
+    * pair (a = previous token). */
+  private def transitionArr(tokenArrayCol: String, order: Int): Column = expr(
+    s"CASE WHEN size($tokenArrayCol) >= $order THEN " +
+      s"transform(sequence(0, size($tokenArrayCol) - $order), i -> " +
+      s"struct(concat_ws(' ', slice($tokenArrayCol, i + 1, ${order - 1})) AS a, " +
+      s"$tokenArrayCol[i + ${order - 1}] AS b)) " +
       "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END")
 
   /** The d35 engine-neutral hash bucket: top 48 bits of md5, mod B. */
   private def hashBucket48(c: Column, buckets: Int): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long") % buckets
 
-  /** Hashed-bigram LM statistics (the CCNet recipe's KenLM stand-in,
-    * trained on the in-domain slice): context (previous-token) bucket
-    * counts and (prev, cur) pair bucket counts over every adjacent
-    * transition in `df`. One corpus pass — each transition explodes to
+  /** Hashed n-gram LM statistics (the CCNet recipe's KenLM stand-in,
+    * trained on the in-domain slice): context ((order-1) previous
+    * tokens) bucket counts and full-n-gram bucket counts over every
+    * transition in `df`; `order` = 2 is the bigram default, CCNet's
+    * published recipe uses 5. One corpus pass — each transition explodes to
     * its two (kind, bucket) feature rows and ONE map-side-combined
     * aggregate collapses them to at most ctxBuckets + pairBuckets rows
     * per task, so the artifact is config-sized at any corpus size,
     * exactly like [[dsirStats]]' codebook device. */
   def lmStats(df: DataFrame, textCol: String, ctxBuckets: Int = 1024,
-      pairBuckets: Int = 16384): DataFrame = {
+      pairBuckets: Int = 16384, order: Int = 2): DataFrame = {
     require(ctxBuckets > 0, s"ctxBuckets must be positive, got $ctxBuckets")
     require(pairBuckets > 0, s"pairBuckets must be positive, got $pairBuckets")
+    require(order >= 2, s"order must be >= 2, got $order")
     df.select(tokens(col(textCol)).as("__tk"))
-      .select(explode(transitionArr("__tk")).as("__tr"))
+      .select(explode(transitionArr("__tk", order)).as("__tr"))
       .select(explode(array(
         struct(lit("ctx").as("kind"),
           hashBucket48(col("__tr.a"), ctxBuckets).as("bucket")),
@@ -643,11 +648,12 @@ object TextAnalysis {
     * task. */
   def lmPerplexity(df: DataFrame, textCol: String, idCol: String,
       stats: DataFrame, ctxBuckets: Int = 1024, pairBuckets: Int = 16384,
-      scoreCol: String = "ppl_q"): DataFrame = {
+      scoreCol: String = "ppl_q", order: Int = 2): DataFrame = {
     require(ctxBuckets > 0 && pairBuckets > 0,
       s"bucket counts must be positive, got $ctxBuckets/$pairBuckets")
+    require(order >= 2, s"order must be >= 2, got $order")
     val tr = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .select(col(idCol), explode_outer(transitionArr("__tk")).as("__tr"))
+      .select(col(idCol), explode_outer(transitionArr("__tk", order)).as("__tr"))
       .withColumn("__cb", hashBucket48(col("__tr.a"), ctxBuckets))
       .withColumn("__pb", hashBucket48(
         concat_ws(" ", col("__tr.a"), col("__tr.b")), pairBuckets))

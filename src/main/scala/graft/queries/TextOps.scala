@@ -359,6 +359,18 @@ object TextOps {
         ctxBuckets = 1024, pairBuckets = 16384)
     }),
 
+    // The same LM at order 3 (two-token contexts) — the knob CCNet's
+    // published 5-gram KenLM turns; same integer quantized-log2 chain,
+    // bigger context space.
+    "d43_lm_trigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        ctxBuckets = 4096, pairBuckets = 16384, order = 3))
+      TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats,
+        ctxBuckets = 4096, pairBuckets = 16384, order = 3)
+    }),
+
     // The composed CCNet recipe: d38's perplexity scores feeding d36's
     // exact-thirds band split — train on the in-domain slice, score
     // the corpus, label head/middle/tail (head = lowest perplexity).
@@ -503,7 +515,8 @@ object TextOps {
   private def lmNllSql(ctxB: Int, pairB: Int,
       src: String = "documents",
       trainPred: String = "doc_id % 97 = 0",
-      textExpr: String = "text"): String = {
+      textExpr: String = "text",
+      order: Int = 2): String = {
     val iters = (1 to 10).map { i =>
       val prev = if (i == 1) "l3" else s"i${i - 1}"
       s"""i$i AS (SELECT doc_id, k,
@@ -514,9 +527,11 @@ object TextOps {
              length(bin(q*q)) - 30 AS s FROM $prev)))"""
     }.mkString(",\n")
     s"""t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $src),
-       trn AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+       trn AS (SELECT doc_id,
+           array_to_string(tk[i:i+${order - 2}], ' ') AS a,
+           tk[i+${order - 1}] AS b
          FROM (SELECT doc_id, tk,
-           unnest(generate_series(1, len(tk) - 1)) AS i FROM t)),
+           unnest(generate_series(1, len(tk) - ${order - 1})) AS i FROM t)),
        cstat AS (SELECT ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
            AS bucket, count(*)::BIGINT AS cc
          FROM trn WHERE $trainPred GROUP BY 1),
@@ -825,6 +840,10 @@ object TextOps {
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->
       s"WITH ${lmNllSql(1024, 16384)} SELECT * FROM ppl",
+
+    // d43: the same chain at order 3
+    "d43_lm_trigram" ->
+      s"WITH ${lmNllSql(4096, 16384, order = 3)} SELECT * FROM ppl",
 
     // p06: d38's scores through d36's exact-thirds band arithmetic
     "p06_ccnet_pipeline" ->
