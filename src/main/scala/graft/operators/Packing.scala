@@ -89,11 +89,28 @@ object Packing {
       seqLen: Int, bucketSize: Long = 1 << 20): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
-    val counted = df.select(col(idCol), col(lengthCol).cast("long").as(lengthCol))
+    // Real-tokenizer counts can legally be 0 (a doc that encodes to no
+    // tokens), but a NEGATIVE length would silently corrupt the global
+    // prefix sum for every later row — fail the job loudly instead
+    // (the tokenBudgetPerGroup pattern: a codegen'd guard on the scan,
+    // not an extra pass).
+    val counted = df.select(col(idCol),
+      when(col(lengthCol) >= 0, col(lengthCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"packSequencesBy: negative $lengthCol ("),
+          col(lengthCol).cast("string"),
+          lit(") would corrupt the global prefix sum")))).as(lengthCol))
+    // last_seq for a ZERO-length doc is defined as first_seq (the doc
+    // occupies no sequence; it "lands at" its start position). The
+    // greatest() keeps length >= 1 rows on the plain (__cum - 1)
+    // arithmetic AND pins the engine-divergent corner: for a leading
+    // zero-length doc __cum = 0, where Spark's div truncates
+    // (-1 div 512 = 0) but SQL floor division gives -1.
     prefixSum(counted, idCol, lengthCol, "__cum", bucketSize)
       .select(col(idCol), col(lengthCol),
         (col("__cum") - col(lengthCol)).as("start_offset"),
         expr(s"(__cum - $lengthCol) div $seqLen").as("first_seq"),
-        expr(s"(__cum - 1) div $seqLen").as("last_seq"))
+        expr(s"greatest(__cum - 1, __cum - $lengthCol) div $seqLen")
+          .as("last_seq"))
   }
 }

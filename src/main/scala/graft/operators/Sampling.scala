@@ -415,14 +415,21 @@ object Sampling {
     // local indexes would come from INDEPENDENTLY-SAMPLED partitionings
     // and ranks silently corrupt. Assert the precondition (identical
     // canonicalized repartition subtrees) at plan-build time for every
-    // caller, not just the d36 plan test.
-    val repVariants = rk.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
-        r.canonicalized
-    }.distinct
-    require(repVariants.size == 1,
-      s"rankByValue: the ${repVariants.size} range-exchange subtrees no " +
-        "longer canonicalize identically — offsets and ranks would derive " +
+    // caller, not just the d36 plan test. The check is scoped to the
+    // TOPMOST repartition under each side of the offsets join — the
+    // two copies of the range exchange ranked() itself built — so a
+    // caller whose input df legally carries its own upstream
+    // repartition (deeper in both subtrees) cannot trip it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression}
+    val sides = rk.queryExecution.optimizedPlan.collectFirst {
+      case j: Join => Seq(j.left, j.right)
+    }.getOrElse(Seq.empty)
+    val repVariants = sides.flatMap(_.collectFirst {
+      case r: RepartitionByExpression => r.canonicalized
+    }).distinct
+    require(sides.size == 2 && repVariants.size == 1,
+      s"rankByValue: the two range-exchange subtrees no longer " +
+        "canonicalize identically — offsets and ranks would derive " +
         "from independently-sampled partitionings and silently corrupt")
     (rk, counts)
   }

@@ -717,6 +717,11 @@ object Similarity {
       s"knnMatryoshkaIndexed: $table has no persisted prefix columns — " +
         "build the store with buildVectorStore(..., prefixDims = d)")
     val maxQueries = maxCandidates / shortlist
+    require(maxQueries > 0,
+      s"knnMatryoshkaIndexed: shortlist $shortlist exceeds maxCandidates " +
+        s"$maxCandidates — even one query would overflow the candidate " +
+        "bound (a driver-side collect + In-literal predicate); raise " +
+        "maxCandidates deliberately or use knnMatryoshka for large shortlists")
     val q = store.filter(queryIds).select(col(idCol).as("qid"),
       col("v").as("qv"), col("nrm").as("qn"),
       col("vt").as("qvt"), col("nt").as("qnt"))

@@ -566,6 +566,16 @@ object TextAnalysis {
     require(ctxBuckets > 0, s"ctxBuckets must be positive, got $ctxBuckets")
     require(pairBuckets > 0, s"pairBuckets must be positive, got $pairBuckets")
     require(order >= 2, s"order must be >= 2, got $order")
+    // The bucket/order config rides the artifact itself (column
+    // metadata on cnt — survives localizeStats and a parquet
+    // round-trip): pairBuckets enters lmPerplexity's smoothing
+    // denominator and bucket ids are only meaningful in the space they
+    // were hashed into, so scoring against a mismatched config must
+    // fail loudly, not silently produce wrong perplexities.
+    val cfg = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("ctxBuckets", ctxBuckets.toLong)
+      .putLong("pairBuckets", pairBuckets.toLong)
+      .putLong("order", order.toLong).build()
     df.select(tokens(col(textCol)).as("__tk"))
       .select(explode(transitionArr("__tk", order)).as("__tr"))
       .select(explode(array(
@@ -575,7 +585,7 @@ object TextAnalysis {
           hashBucket48(concat_ws(" ", col("__tr.a"), col("__tr.b")),
             pairBuckets).as("bucket")))).as("__f"))
       .groupBy(col("__f.kind").as("kind"), col("__f.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt", cfg))
   }
 
   /** Materialize a [[lmStats]] artifact through the driver — the
@@ -652,6 +662,22 @@ object TextAnalysis {
     require(ctxBuckets > 0 && pairBuckets > 0,
       s"bucket counts must be positive, got $ctxBuckets/$pairBuckets")
     require(order >= 2, s"order must be >= 2, got $order")
+    // Validate the scoring config against the one the artifact was
+    // trained with, when the artifact carries it ([[lmStats]] stamps
+    // cnt's column metadata; hand-built stats frames without it skip
+    // the check). A mismatch re-hashes bucket ids into the wrong space
+    // and shifts the smoothing denominator — wrong scores, no error.
+    stats.schema.fields.find(_.name == "cnt").map(_.metadata)
+      .filter(_.contains("ctxBuckets")).foreach { m =>
+        require(m.getLong("ctxBuckets") == ctxBuckets &&
+            m.getLong("pairBuckets") == pairBuckets &&
+            m.getLong("order") == order,
+          s"lmPerplexity: stats artifact was trained with ctxBuckets=" +
+            s"${m.getLong("ctxBuckets")}, pairBuckets=" +
+            s"${m.getLong("pairBuckets")}, order=${m.getLong("order")} " +
+            s"but scoring was invoked with $ctxBuckets/$pairBuckets/" +
+            s"$order — bucket ids would re-hash into the wrong space")
+      }
     val tr = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), explode_outer(transitionArr("__tk", order)).as("__tr"))
       .withColumn("__cb", hashBucket48(col("__tr.a"), ctxBuckets))

@@ -190,7 +190,8 @@ object Relational {
           col("event_type"), col("n_events"))),
 
     // Watermarked STREAM-STREAM interval join: each user's purchases
-    // joined to their errors within the following 5 minutes, both
+    // joined to their errors within the following 4 hours (240
+    // minutes), both
     // sides real file streams (the events fixture in four
     // time-ordered slices, one micro-batch each, so no row is ever
     // late and state eviction — driven by the watermark plus the

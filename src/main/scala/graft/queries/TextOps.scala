@@ -1459,7 +1459,7 @@ object TextOps {
            sum(n_bpe) OVER (ORDER BY doc_id) AS c FROM nb)
          SELECT doc_id, n_bpe, (c - n_bpe)::BIGINT AS start_offset,
            ((c - n_bpe) // 512)::BIGINT AS first_seq,
-           ((c - 1) // 512)::BIGINT AS last_seq
+           (greatest(c - 1, c - n_bpe) // 512)::BIGINT AS last_seq
          FROM cum""",
 
     // d29's machinery with group mass = Σ per-doc token count

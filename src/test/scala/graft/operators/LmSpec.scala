@@ -43,6 +43,25 @@ class LmSpec extends AnyFunSuite {
     assert(got(1L)._1 == 3L && got(1L)._2 > 0L)
   }
 
+  test("scoring against a mismatched bucket/order config fails loudly") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // the config rides the artifact through localizeStats
+    val stats = TextAnalysis.localizeStats(
+      TextAnalysis.lmStats(docs, "text", 64, 256))
+    for ((cb, pb, ord) <- Seq((128, 256, 2), (64, 512, 2), (64, 256, 3))) {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats, cb, pb,
+          order = ord)
+      }
+      assert(e.getMessage.contains("trained with"), e.getMessage)
+    }
+    // matched config passes; a bare metadata-free artifact skips the check
+    TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats, 64, 256).collect()
+    val bare = stats.select(col("kind"), col("bucket"),
+      col("cnt").cast("long").as("cnt"))
+    TextAnalysis.lmPerplexity(docs, "text", "doc_id", bare, 999, 999).collect()
+  }
+
   test("in-domain text scores lower perplexity than unseen text") {
     val train = Seq.tabulate(50)(i => (i.toLong, "the cat sat on the mat"))
       .toDF("doc_id", "text")

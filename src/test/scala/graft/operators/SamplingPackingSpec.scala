@@ -308,6 +308,46 @@ class SamplingPackingSpec extends AnyFunSuite {
     }
   }
 
+  test("rankByValue accepts inputs that already carry an upstream repartition") {
+    // the plan-build-time canonicalization assert is scoped to the two
+    // range-exchange subtrees ranked() itself creates — a caller's own
+    // repartition/repartitionByRange (a legal public-API input) sits
+    // deeper in both subtrees and must not trip it
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = (0L until 40L).map(i => (i, (i * 37) % 11)).toDF("doc_id", "v")
+    val ref = df.withColumn("r",
+        row_number().over(W.orderBy($"v", $"doc_id")).cast("long"))
+      .select($"doc_id", $"r").as[(Long, Long)].collect().toMap
+    for (pre <- Seq(
+        df.repartition(5, $"doc_id"),
+        df.repartitionByRange(3, $"v"),
+        df.repartitionByRange(7, $"v", $"doc_id").filter($"doc_id" >= 0))) {
+      val got = Sampling.rankByValue(pre, "v", "doc_id")
+        .select($"doc_id", $"global_rank").as[(Long, Long)].collect().toMap
+      assert(got == ref, "rank diverged on pre-repartitioned input")
+    }
+  }
+
+  test("packSequencesBy: zero-length docs pin last_seq = first_seq; negative lengths fail") {
+    // leading zero-length doc: cum = 0, where truncating and flooring
+    // division disagree on (cum - 1) div seqLen — the defined answer is
+    // first_seq (the doc occupies no sequence)
+    val df = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 3L))
+      .toDF("doc_id", "n")
+    val out = Packing.packSequencesBy(df, "doc_id", "n", seqLen = 4)
+      .select($"doc_id", $"start_offset", $"first_seq", $"last_seq")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L)))   // leading zero doc
+    assert(out(2L) == ((2L, 0L, 0L, 1L)))   // spans the first boundary
+    assert(out(3L) == ((3L, 5L, 1L, 1L)))   // mid-corpus zero doc
+    assert(out(4L) == ((4L, 5L, 1L, 1L)))
+    val neg = Seq((1L, 2L), (2L, -1L)).toDF("doc_id", "n")
+    val e = intercept[Exception] {
+      Packing.packSequencesBy(neg, "doc_id", "n", seqLen = 4).collect()
+    }
+    assert(e.getMessage.contains("negative n"), e.getMessage)
+  }
+
   test("scoreBandSplit cuts exact thirds, remainder rows landing in head") {
     val df = (0L until 10L).map(i => (i, 100L - i)).toDF("doc_id", "score")
     // ascending score = descending doc_id; n=10 → head 4, middle 3, tail 3

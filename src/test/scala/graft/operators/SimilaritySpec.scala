@@ -238,6 +238,14 @@ class SimilaritySpec extends AnyFunSuite {
       col("vec_id") < 10, "vec_id", 5, shortlist = 50)
     assert(rerank.queryExecution.executedPlan.toString
       .contains("SelectedBucketsCount"), "rerank fetch not bucket-pruned")
+    // shortlist > maxCandidates must fail with the actionable message,
+    // not DriverBounded's internal cap error (the knnPqRefineIndexed
+    // guard, mirrored)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnMatryoshkaIndexed(spark, tbl, col("vec_id") < 10,
+        "vec_id", 5, shortlist = 50, maxCandidates = 10)
+    }
+    assert(e.getMessage.contains("even one query"), e.getMessage)
   }
 
   test("ANN recall floors on a CLUSTERED corpus: blocking must beat the scanned fraction") {
