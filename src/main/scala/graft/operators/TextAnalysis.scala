@@ -718,15 +718,53 @@ object TextAnalysis {
     "i" -> "t", "i" -> "s", "o" -> "f", "a" -> "l", "e" -> "d",
     "a" -> "r", "s" -> "t", "c" -> "o", "l" -> "e")
 
+  /** The one-pass (word, count) corpus histogram BPE training
+    * iterates on: whitespace words (empty words — runs of spaces,
+    * leading/trailing — contribute nothing, matching graft_bpe_pairs'
+    * own splitting), counted corpus-wide. Vocab-sized, not
+    * corpus-sized: natural-language vocabularies plateau in the
+    * millions of distinct words while corpora grow without bound,
+    * which is why published BPE trainers (the GPT-2 reference) all
+    * pre-aggregate to this frame before the merge loop. */
+  def bpeWordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** One training iteration's weighted pair-count frame over a
+    * [[bpeWordHistogram]]: each DISTINCT word is segmented once under
+    * the current merges (graft_bpe_pairs) and its adjacent sub-token
+    * pairs weighted by the word's corpus count — identical totals to
+    * counting pairs per word OCCURRENCE over the raw corpus, at
+    * vocab-scan cost. Exposed for the plan spec that pins the
+    * per-merge job to the histogram. */
+  private[graft] def bpePairCounts(hist: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    // an empty array() literal types as array<void>; pin the type
+    val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+      .cast("array<array<string>>")
+    hist
+      .select(col("cnt"),
+        explode(call_function("graft_bpe_pairs", col("w"), m)).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("c"))
+  }
+
   /** BPE merge-list TRAINING (the published iterative loop): count
     * every adjacent sub-token pair under the current segmentation
     * (graft_bpe_pairs — per word occurrence, boundaries respected),
     * append the most frequent pair as the next merge, re-segment,
-    * repeat `numMerges` times. Each iteration is one scan of `df` with
-    * a map-side-combined (pair, count) aggregate and a
-    * TakeOrderedAndProject cut — shuffles carry pair strings and
-    * counts only; published pipelines run this on a corpus SAMPLE,
-    * which is the caller's knob (pass `df.sample(...)`).
+    * repeat `numMerges` times.
+    *
+    * The corpus is scanned ONCE — into the persisted
+    * [[bpeWordHistogram]] — and every merge iteration is a scan of
+    * that vocab-sized frame with a map-side-combined weighted
+    * (pair, count) aggregate and a TakeOrderedAndProject cut: per-word
+    * pair multiplicity times word count sums to exactly the
+    * per-occurrence count, so the trained list is unchanged, but a
+    * 32k-merge train costs merges × vocab, not merges × corpus.
+    * Shuffles carry pair strings and counts only; published pipelines
+    * additionally train on a corpus SAMPLE, which is the caller's
+    * knob (pass `df.sample(...)`).
     *
     * Ties break on the pair string ascending (a total order, so the
     * trained list is engine-reproducible). One deliberate deviation
@@ -739,28 +777,26 @@ object TextAnalysis {
       base: Seq[(String, String)] = Nil): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    var merges = base.toVector
-    var stop = false
-    while (merges.size < base.size + numMerges && !stop) {
-      // an empty array() literal types as array<void>; pin the type
-      val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
-        .cast("array<array<string>>")
-      val surfaces = merges.map { case (l, r) => l + r }
-      val best = df
-        .select(explode(call_function("graft_bpe_pairs", col(textCol), m)).as("p"))
-        .groupBy("p").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2 &&
-          !regexp_replace(col("p"), " ", "").isin(surfaces: _*))
-        .orderBy(col("c").desc, col("p").asc)
-        .limit(1)
-        .collect()
-      if (best.isEmpty) stop = true
-      else {
-        val parts = best(0).getString(0).split(" ", 2)
-        merges = merges :+ (parts(0) -> parts(1))
+    val hist = bpeWordHistogram(df, textCol).persist()
+    try {
+      var merges = base.toVector
+      var stop = false
+      while (merges.size < base.size + numMerges && !stop) {
+        val surfaces = merges.map { case (l, r) => l + r }
+        val best = bpePairCounts(hist, merges)
+          .filter(col("c") >= 2 &&
+            !regexp_replace(col("p"), " ", "").isin(surfaces: _*))
+          .orderBy(col("c").desc, col("p").asc)
+          .limit(1)
+          .collect()
+        if (best.isEmpty) stop = true
+        else {
+          val parts = best(0).getString(0).split(" ", 2)
+          merges = merges :+ (parts(0) -> parts(1))
+        }
       }
-    }
-    merges
+      merges
+    } finally hist.unpersist()
   }
 
   /** BPE-apply (the published GPT-2 encode loop): whitespace words ->

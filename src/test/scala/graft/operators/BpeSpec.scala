@@ -134,6 +134,45 @@ class BpeSpec extends AnyFunSuite {
     assert(ids("aab") == Seq(0x110000 + 1), s"got ${ids("aab")}")
   }
 
+  test("per-merge training jobs scan the vocab histogram, not the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the exact frame trainBpeMerges collects each iteration, over a
+    // PARQUET-backed corpus: after the histogram is persisted, the
+    // per-merge plan's only leaf is the InMemoryTableScan — a file
+    // scan here would mean every one of a 32k-merge train's
+    // iterations re-reads the corpus
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = TextAnalysis.bpeWordHistogram(docs, "text").persist()
+    try {
+      hist.count()
+      val frame = TextAnalysis.bpePairCounts(hist, Seq("t" -> "h"))
+      frame.collect()
+      val flat = graft.plans.PlanWalk.flatten(frame.queryExecution.executedPlan)
+      assert(flat.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        "per-merge job does not read the cached histogram")
+      assert(!flat.exists(_.isInstanceOf[FileSourceScanExec]),
+        "per-merge job re-scans the corpus parquet")
+    } finally hist.unpersist()
+  }
+
+  test("histogram-weighted pair counts equal the per-occurrence corpus counts") {
+    // independent check of the re-shape's algebra: Σ_word count(word) ×
+    // pairs-in-word == per-occurrence pair count over the raw corpus
+    val docs = Seq("aab aab ab", "aab  x", "", "ab").map(Tuple1(_)).toDF("text")
+    val m = Seq("a" -> "a")
+    val viaHist = TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWordHistogram(docs, "text"), m)
+      .as[(String, Long)].collect().toMap
+    val arr = array(m.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+      .cast("array<array<string>>")
+    val viaCorpus = docs
+      .select(explode(call_function("graft_bpe_pairs", col("text"), arr)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(viaHist == viaCorpus, s"$viaHist vs $viaCorpus")
+  }
+
   test("the d37 plan is narrow: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d37_bpe_encode")(
