@@ -504,6 +504,144 @@ object Dedup {
       .select(col(idCol), bits.reduce(_ + _).as("simhash"))
   }
 
+  // ---- Persisted MinHash band index: incremental new-batch-vs-corpus
+  // dedup, the production ingest shape. No published pipeline re-mines
+  // 100 TB per daily batch: the corpus's LSH bands persist ONCE as a
+  // band-bucketed catalog table, and each new batch is banded, probed
+  // against the EXISTING index for near-dup/contamination verdicts,
+  // and appended idempotently (the buildIvfIndex/appendToIvfIndex
+  // device, with the band hash as the bucket key).
+
+  /** Persist `df`'s MinHash-LSH band frame (id, band) as a catalog
+    * table bucketed by band — probes become scans of the batch's band
+    * buckets with no shuffle on the index side, at any corpus size. */
+  def buildBandIndex(df: DataFrame, textCol: String, idCol: String,
+      table: String, k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3,
+      buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    Similarity.dropTableAndLocation(spark, table)
+    // task-aligned to buckets (same hash family): one file per bucket
+    // instead of one per (task x bucket) — see RawVault.writeTable
+    lshBands(minHashSignatures(df, textCol, idCol, k, shingleSize),
+        idCol, k, bandWidth)
+      .repartition(buckets, col("band")).write
+      .bucketBy(buckets, "band")
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Near-dup verdicts for a NEW batch against a persisted
+    * [[buildBandIndex]] table: distinct (`idCol`, index_id) pairs
+    * sharing at least one band, self-pairs excluded (a replayed doc
+    * already in the index is not its own near-dup).
+    *
+    * Scale shape: the batch's bands become planning-time literals
+    * (bounded by `maxBatchBands`, loud fail past it — micro-batches
+    * are small by contract), so the index scan BUCKET-PRUNES to the
+    * batch's band buckets with the band filter pushed to parquet; the
+    * batch side broadcasts into the join. The index is never shuffled
+    * and never scanned beyond the probed buckets. The bucketed scan
+    * must survive planning (DisableUnnecessaryBucketedScan would
+    * discard the pruning — nothing above a broadcast join needs the
+    * distribution), so the plan is compiled inside the conf window
+    * here: act on the RETURNED frame; deriving a new frame from it
+    * re-plans outside the window (still correct, full index scan). */
+  def probeBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, textCol: String, idCol: String, k: Int = 6,
+      bandWidth: Int = 2, shingleSize: Int = 3,
+      maxBatchBands: Int = 1 << 20): DataFrame = {
+    val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
+      bandWidth, shingleSize, maxBatchBands, "probeBandIndex")
+    try {
+      val bands = banded._2
+      val pruned = spark.table(table)
+        .filter(col("band").isin(bands: _*))
+        .select(col(idCol).as("index_id"), col("band"))
+      val out = pruned
+        .join(broadcast(banded._1.select(col(idCol), col("band"))),
+          Seq("band"))
+        .filter(col("index_id") =!= col(idCol))
+        .select(col(idCol), col("index_id"))
+        .distinct()
+      compileWithBucketedScan(spark, out)
+      out
+    } finally release()
+  }
+
+  /** Idempotently append a new batch's bands to a [[buildBandIndex]]
+    * table: at-least-once delivery, exactly-once table effect (the
+    * vault loaders' contract). The idempotence check is bucket-pruned
+    * point lookups, not a corpus join — the batch's bands and ids
+    * re-enter the plan as literals, so a replayed batch finds its own
+    * (deterministically identical) bands in the probed buckets and
+    * appends nothing. */
+  def appendToBandIndex(batch: DataFrame, table: String, textCol: String,
+      idCol: String, k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3,
+      buckets: Int = 32, maxBatchBands: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
+      bandWidth, shingleSize, maxBatchBands, "appendToBandIndex")
+    try {
+      val (bandedDf, bands, ids) = (banded._1, banded._2, banded._3)
+      val existing = spark.table(table)
+        .filter(col("band").isin(bands: _*) && col(idCol).isin(ids: _*))
+        .select(col(idCol))
+      val fresh = bandedDf.join(existing, Seq(idCol), "left_anti")
+        .select(col(idCol), col("band"))
+      bandConfLock.synchronized {
+        val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try {
+          fresh.repartition(buckets, col("band")).write
+            .bucketBy(buckets, "band")
+            .mode("append")
+            .saveAsTable(table)
+        } finally spark.conf.set(key, old)
+      }
+    } finally release()
+    spark.catalog.refreshTable(table)
+  }
+
+  private val bandConfLock = new Object
+
+  /** Shared probe/append scaffolding: the batch banded once (persisted
+    * — the collected literals must be the exact rows the joins later
+    * see, cf. Similarity.freshIndexRows' non-determinism note), its
+    * band and id literal sets collected under the `maxBatchBands`
+    * bound. Returns ((banded, bands, ids), release). */
+  private def freshBatchBands(batch: DataFrame, textCol: String,
+      idCol: String, k: Int, bandWidth: Int, shingleSize: Int,
+      maxBatchBands: Int, context: String)
+      : ((DataFrame, Seq[Any], Seq[Any]), () => Unit) = {
+    val banded = lshBands(
+      minHashSignatures(batch.dropDuplicates(Seq(idCol)), textCol, idCol,
+        k, shingleSize),
+      idCol, k, bandWidth).persist()
+    val rows = DriverBounded.collectCapped(banded, maxBatchBands,
+      s"$context: micro-batch exceeds maxBatchBands $maxBatchBands (the " +
+        "batch's bands become planning-time point-lookup literals); " +
+        "split the batch or raise the bound deliberately")
+    val ids = rows.map(_.get(0)).distinct.toSeq
+    val bands = rows.map(_.get(1)).distinct.toSeq
+    ((banded, bands, ids), () => { banded.unpersist(blocking = false); () })
+  }
+
+  /** Compile `df`'s physical plan with the auto-bucketed-scan
+    * heuristic OFF, so the In(band) bucket pruning survives into the
+    * executed plan (see [[probeBandIndex]]). The conf flip is
+    * session-global; the compile window holds the append lock. */
+  private def compileWithBucketedScan(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame): Unit =
+    bandConfLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try { df.queryExecution.executedPlan; () }
+      finally spark.conf.set(key, old)
+    }
+
   /** Jaccard similarity of the distinct-token sets of candidate pairs.
     * `blockCol` is the blocking key (equal values are compared). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,

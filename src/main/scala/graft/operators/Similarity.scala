@@ -323,7 +323,7 @@ object Similarity {
     * for EXTERNAL tables — that data is not ours); only when the table
     * is absent from the metastore is the DEFAULT managed path cleared,
     * which is exactly the orphaned-directory case. */
-  private def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

@@ -138,6 +138,52 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(2L), "unrelated doc must not match any bench band")
   }
 
+  test("band index: probe equals the one-shot band join; append is idempotent and bucket-pruned") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (2L, s"one two three four five $filler extra"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"alpha beta gamma delta $filler tail"),   // near-copy of 1
+      (11L, (0 until 30).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_idx"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    // probe verdicts = one-shot cross band join of the two frames
+    val probe = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+      k = 6, bandWidth = 2)
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minHashSignatures(df, "text", "doc_id", 6), "doc_id", 6, 2)
+    val want = bandsOf(batch).select(col("doc_id"), col("band"))
+      .join(bandsOf(idxDocs).select(col("doc_id").as("index_id"), col("band")), Seq("band"))
+      .select("doc_id", "index_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"$got vs $want")
+    assert(got.exists(_._1 == 10L), "planted near-copy found no index candidate")
+    // probe plan: index scan bucket-pruned to the batch's band buckets
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"), "probe scan not bucket-pruned")
+    // append, then REPLAY the same batch: second append adds nothing
+    Dedup.appendToBandIndex(batch, tbl, "text", "doc_id", k = 6,
+      bandWidth = 2, buckets = 4)
+    val afterFirst = spark.table(tbl).count()
+    assert(afterFirst == 5L * 3, s"expected 15 band rows, got $afterFirst")
+    Dedup.appendToBandIndex(batch, tbl, "text", "doc_id", k = 6,
+      bandWidth = 2, buckets = 4)
+    assert(spark.table(tbl).count() == afterFirst, "replayed batch was re-appended")
+    // a replayed doc is not its own near-dup, but IS a candidate of
+    // docs it collides with (10 now in the index; probing 10 again
+    // must not pair it with itself)
+    val reprobe = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!reprobe.exists(p => p._1 == p._2), "self-pair leaked")
+    assert(reprobe.exists(_ == (10L, 1L)), "near-copy pair lost after append")
+  }
+
   test("pipeline near-dup stage drops non-representatives") {
     val filler = (0 until 30).map(i => s"tok$i").mkString(" ")
     // two near-identical docs (share almost all trigrams) + one distinct
