@@ -443,10 +443,49 @@ object TextOps {
           md5(col("clean_text")).as("clean_md5"))
     }),
 
+    // Incremental new-batch-vs-corpus near-dup (the production ingest
+    // shape): the corpus's MinHash-LSH bands persist once as a
+    // band-bucketed index table (75% of docs), then the remaining 25%
+    // arrives as a "new batch" — probed against the EXISTING index for
+    // verdicts (bucket-pruned scan, batch side broadcast), appended
+    // idempotently, and the append REPLAYED to prove absorption.
+    // Near-copies planted across the index/batch boundary: every
+    // doc_id % 20 == 0 doc (batch side) becomes its index-side
+    // successor's text plus a tail. Verdicts materialize BEFORE the
+    // appends (the w05 discipline — the probe plan reads the table the
+    // appends extend).
+    "d44_incremental_neardup" -> ((s, d) => {
+      val planted = plantBoundaryCopies(Tables.documents(s, d))
+      val idxSet = planted.filter(col("doc_id") % 4 =!= 0)
+      val batch = planted.filter(col("doc_id") % 4 === 0)
+      val tbl = "graft_bandidx.d44_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      val out = graft.sources.Scratch.dir("d44", d) + "/verdicts"
+      Dedup.probeBandIndex(s, tbl, batch, "text", "doc_id",
+          k = 6, bandWidth = 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_index_candidates"))
+        .write.mode("overwrite").parquet(out)
+      Dedup.appendToBandIndex(batch, tbl, "text", "doc_id",
+        k = 6, bandWidth = 2, buckets = 8)
+      val afterFirst = s.table(tbl).count()
+      require(afterFirst == planted.count() * 3,
+        s"d44: index must hold 3 bands per doc after the append, " +
+          s"saw $afterFirst")
+      Dedup.appendToBandIndex(batch, tbl, "text", "doc_id",
+        k = 6, bandWidth = 2, buckets = 8)
+      require(s.table(tbl).count() == afterFirst,
+        "d44: replayed batch was re-appended")
+      s.read.parquet(out)
+    }),
+
     // BPE merge-list training: 8 iterations of count-pairs -> take the
     // most frequent -> re-segment, over the documents corpus — the
-    // trained artifact d37/p07 apply. A driver loop of corpus scans
-    // (the e08 k-means shape); output is the merge list itself.
+    // trained artifact d37/p07 apply. A driver loop over the persisted
+    // word histogram (one corpus scan + merges x vocab-sized jobs);
+    // output is the merge list itself.
     "d39_bpe_train" -> ((s, d) => {
       val ms = TextAnalysis.trainBpeMerges(
         Tables.documents(s, d), "text", numMerges = 8)
@@ -454,6 +493,86 @@ object TextOps {
       ms.zipWithIndex
         .map { case ((l, r), i) => (i, l, r) }
         .toDF("merge_rank", "lhs", "rhs")
+    }),
+
+    // d44's ingest flow STREAMED (the w07 pattern): the batch quarter
+    // of the corpus arrives as three doc_id % 3 file slices plus a
+    // REPLAY of slice 0, each micro-batch probed against the index as
+    // it stood when the batch arrived (prior slices included — the
+    // true incremental semantic), verdicts accumulated idempotently
+    // (anti-join on doc_id against the sink), bands appended
+    // idempotently. The replayed slice must contribute nothing to
+    // either table.
+    "w08_band_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w08", d)
+      val planted = plantBoundaryCopies(Tables.documents(s, d))
+      val idxSet = planted.filter(col("doc_id") % 4 =!= 0)
+      val batchAll = planted.filter(col("doc_id") % 4 === 0)
+      val tbl = "graft_bandidx.w08_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      // seed the accumulating verdict sink (overwrite: same-session
+      // re-runs must not inherit the previous run's rows)
+      val sink = s"$loc/verdicts"
+      batchAll.limit(0)
+        .select(col("doc_id"), lit(0L).as("n_prior_candidates"))
+        .write.mode("overwrite").parquet(sink)
+      // three slices in doc_id % 3 order + slice 0 redelivered last
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0L, 1L, 2L).map(i =>
+          (batchAll.filter(col("doc_id") % 3 === i), s"slice-$i"))
+        :+ (batchAll.filter(col("doc_id") % 3 === 0L), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        // every read/refresh inside the batch goes through the BATCH's
+        // session: foreachBatch runs under a cloned session, and a
+        // refreshTable there does not invalidate the OUTER session's
+        // cached file listing — planning the probe against the outer
+        // session would read a stale index snapshot from slice 1 on
+        val bs = b.sparkSession
+        val verdicts = Dedup.probeBandIndex(bs, tbl, b, "text", "doc_id",
+            k = 6, bandWidth = 2)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_prior_candidates"))
+          .join(bs.read.parquet(sink).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        // materialize before appending: the plan reads both paths the
+        // appends extend (the w05 discipline)
+        val vC = verdicts.persist()
+        vC.count()
+        vC.write.mode("append").parquet(sink)
+        vC.unpersist()
+        Dedup.appendToBandIndex(b, tbl, "text", "doc_id",
+          k = 6, bandWidth = 2, buckets = 8)
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w08 expected 4 non-empty micro-batches (3 slices + replay), " +
+          s"saw $batches")
+      // the appends refreshed the CLONED session's caches; invalidate
+      // the outer session's listing before it reads the grown table
+      s.catalog.refreshTable(tbl)
+      require(s.table(tbl).count() == planted.count() * 3,
+        "w08: replayed slice was re-appended or a slice was dropped")
+      s.read.parquet(sink)
     }),
 
     // BPE-count sequence packing: the d37 encode's real token counts
@@ -504,6 +623,43 @@ object TextOps {
     s"""list_aggregate(list_transform(list_distinct(sh),
        t -> ('0x' || substr(md5(t), 1, 12))::BIGINT
             + $j * ('0x' || substr(md5(t), 13, 12))::BIGINT), 'min')"""
+
+  /** The d44/w08 planted fixture: every doc_id % 20 == 0 doc (always
+    * batch side of the % 4 split) becomes a near-copy of its
+    * doc_id + 1 successor (always index side: (id+1) % 4 == 1) — the
+    * successor's text plus a tail, so the copy is NEAR, not exact,
+    * and spans the index/batch boundary by construction. The final
+    * doc (no successor) keeps its own text. */
+  private def plantBoundaryCopies(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id").as("__sid"),
+      col("text").as("__stext"))
+    docs.join(src, col("doc_id") + 1 === col("__sid"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 20 === 0 && col("__stext").isNotNull,
+          concat(col("__stext"), lit(" planted boundary copy")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** The d44/w08 shared oracle CTEs: planted corpus -> word-trigram
+    * shingles (+ batch flag) -> the d07 salted 3-band MinHash frame. */
+  private val bandIdxCtes: String = {
+    val bandExprs = (0 until 3).map(b =>
+      s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, " +
+        s"${shingleMinhashSql(2 * b + 1)}))").mkString(", ")
+    s"""pl AS (SELECT d.doc_id,
+         CASE WHEN d.doc_id % 20 = 0 AND s.text IS NOT NULL
+           THEN s.text || ' planted boundary copy' ELSE d.text END AS text
+       FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id + 1),
+       shp AS (SELECT doc_id, doc_id % 4 = 0 AS is_batch,
+         CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+           ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> concat_ws(' ', string_split(text, ' ')[i],
+               string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+         END AS sh FROM pl),
+       banded AS (SELECT doc_id, is_batch, unnest([$bandExprs]) AS band
+         FROM shp)"""
+  }
 
   /** The d38/p06 shared nll CTE chain, mirroring TextAnalysis.lmStats +
     * lmPerplexity + withQuantizedLog2: hashed-bigram counts on the
@@ -836,6 +992,29 @@ object TextOps {
          SELECT doc_id, (n0 - len(kept))::INT AS n_removed_lines,
            md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
          FROM cl""",
+
+    // d44: batch docs' distinct-index-candidate counts — the probe of
+    // the pre-append index, replayed one-shot over the planted corpus
+    "d44_incremental_neardup" ->
+      s"""WITH $bandIdxCtes,
+         cand AS (SELECT DISTINCT b.doc_id, i.doc_id AS o
+           FROM banded b JOIN banded i ON b.band = i.band
+           WHERE b.is_batch AND NOT i.is_batch)
+         SELECT doc_id, count(*) AS n_index_candidates
+         FROM cand GROUP BY 1""",
+
+    // w08: the incremental semantic — each batch doc's candidates are
+    // the index docs PLUS batch docs from strictly earlier doc_id % 3
+    // slices (appended before its slice arrived); same-slice docs and
+    // the replay contribute nothing
+    "w08_band_stream_dedup" ->
+      s"""WITH $bandIdxCtes,
+         cand AS (SELECT DISTINCT b.doc_id, x.doc_id AS o
+           FROM banded b JOIN banded x ON b.band = x.band
+           WHERE b.is_batch
+             AND (NOT x.is_batch OR x.doc_id % 3 < b.doc_id % 3))
+         SELECT doc_id, count(*) AS n_prior_candidates
+         FROM cand GROUP BY 1""",
 
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->
