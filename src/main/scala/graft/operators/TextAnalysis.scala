@@ -47,7 +47,7 @@ object TextAnalysis {
   /** Fail loudly when appending signal columns would silently REPLACE
     * (and a later drop would then DESTROY) columns the caller already
     * has — `withColumn` gives no warning on a name collision. */
-  private def requireNoCollision(df: DataFrame, names: Seq[String],
+  private[operators] def requireNoCollision(df: DataFrame, names: Seq[String],
       op: String): Unit = {
     val collisions = df.columns.toSet.intersect(names.toSet)
     require(collisions.isEmpty,

@@ -481,6 +481,32 @@ object TextOps {
       s.read.parquet(out)
     }),
 
+    // URL/domain-grain curation: canonicalize (scheme/host lowercase,
+    // query+fragment strip) -> exact URL dedup keeping the min-id copy
+    // -> 3-doc quota per domain through the d17 two-level machinery
+    // (documents is 500 rows at the sf0.01 gate, so 5 survivors per
+    // domain — the cap must sit BELOW that to be non-vacuous).
+    // The url column is synthesized deterministically from doc_id (the
+    // d40 banner device): 20 domains, paths shared by doc_id div 100
+    // within a domain (5-way URL dup groups), with case noise on
+    // scheme/host and tracking-param/fragment noise to strip.
+    "d45_url_curation" -> ((s, d) => {
+      val host = concat(lit("site"), (col("doc_id") % 20).cast("string"))
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+          .otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+        lit(".example.com/page/"), expr("doc_id div 100").cast("string"),
+        when(col("doc_id") % 4 === 1,
+            concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2, lit("#top"))
+          .otherwise(lit("")))
+      graft.operators.UrlOps.curateUrls(
+          Tables.documents(s, d).withColumn("url", url),
+          "url", "doc_id", cap = 3)
+        .select("doc_id", "curl", "domain")
+    }),
+
     // BPE merge-list training: 8 iterations of count-pairs -> take the
     // most frequent -> re-segment, over the documents corpus — the
     // trained artifact d37/p07 apply. A driver loop over the persisted
@@ -1002,6 +1028,38 @@ object TextOps {
            WHERE b.is_batch AND NOT i.is_batch)
          SELECT doc_id, count(*) AS n_index_candidates
          FROM cand GROUP BY 1""",
+
+    // d45: the URL pipeline mirrored end to end — synthesize, strip,
+    // case-fold, keep min id per canonical url, 3-per-domain quota in
+    // md5-shuffled order (the d17 mirror over the survivor set)
+    "d45_url_curation" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           (CASE WHEN doc_id % 2 = 0
+              THEN upper('site' || (doc_id % 20)::VARCHAR)
+              ELSE 'site' || (doc_id % 20)::VARCHAR END) ||
+           '.example.com/page/' || (doc_id // 100)::VARCHAR ||
+           (CASE WHEN doc_id % 4 = 1
+              THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
+            WHEN doc_id % 4 = 2 THEN '#top' ELSE '' END) AS url
+         FROM documents),
+         c AS (SELECT doc_id,
+           CASE WHEN regexp_extract(b, '^([^/]*://[^/]*)', 1) <> ''
+             THEN lower(regexp_extract(b, '^([^/]*://[^/]*)', 1))
+               || regexp_extract(b, '^[^/]*://[^/]*(.*)$', 1)
+             ELSE b END AS curl
+           FROM (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS b
+             FROM u)),
+         dm AS (SELECT doc_id, curl,
+             lower(regexp_extract(curl, '^[^/]*://([^/]*)', 1)) AS domain
+           FROM c),
+         k AS (SELECT min(doc_id) AS keep_id FROM dm GROUP BY curl),
+         s AS (SELECT dm.* FROM dm JOIN k ON dm.doc_id = k.keep_id),
+         r AS (SELECT doc_id, curl, domain, row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM s)
+         SELECT doc_id, curl, domain FROM r WHERE rn <= 3""",
 
     // w08: the incremental semantic — each batch doc's candidates are
     // the index docs PLUS batch docs from strictly earlier doc_id % 3
