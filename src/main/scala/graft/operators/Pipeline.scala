@@ -243,11 +243,11 @@ object Pipeline {
     * Output: (idCol, ppl_q, band). */
   def ccnetSplit(docs: DataFrame, textCol: String, idCol: String,
       targetFilter: Column, ctxBuckets: Int = 1024,
-      pairBuckets: Int = 16384): DataFrame = {
+      pairBuckets: Int = 16384, order: Int = 2): DataFrame = {
     val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
-      docs.filter(targetFilter), textCol, ctxBuckets, pairBuckets))
+      docs.filter(targetFilter), textCol, ctxBuckets, pairBuckets, order))
     val scores = TextAnalysis.lmPerplexity(docs, textCol, idCol, stats,
-      ctxBuckets, pairBuckets)
+      ctxBuckets, pairBuckets, order = order)
     Sampling.scoreBandSplit(scores, "ppl_q", idCol)
   }
 

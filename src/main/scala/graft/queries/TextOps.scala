@@ -371,12 +371,34 @@ object TextOps {
         ctxBuckets = 4096, pairBuckets = 16384, order = 3)
     }),
 
+    // The published CCNet recipe's ACTUAL model order: a 5-gram LM
+    // (d43 proved the order knob at 3). Contexts are 4-grams — far
+    // more distinct — so ctxBuckets widens 16x. The transition explode
+    // is order-invariant (one row per position either way); only the
+    // per-row context slice and the artifact's bucket occupancy grow.
+    "d46_lm_order5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        ctxBuckets = 16384, pairBuckets = 16384, order = 5))
+      TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats,
+        ctxBuckets = 16384, pairBuckets = 16384, order = 5)
+    }),
+
     // The composed CCNet recipe: d38's perplexity scores feeding d36's
     // exact-thirds band split — train on the in-domain slice, score
     // the corpus, label head/middle/tail (head = lowest perplexity).
     "p06_ccnet_pipeline" -> ((s, d) =>
       graft.operators.Pipeline.ccnetSplit(Tables.documents(s, d),
         "text", "doc_id", col("doc_id") % 97 === 0)),
+
+    // p06 at the published order: the same composed recipe scored by
+    // the 5-gram model (bands shift — a 5-gram scorer separates
+    // in-domain text far more sharply than the bigram stand-in).
+    "p09_ccnet_order5" -> ((s, d) =>
+      graft.operators.Pipeline.ccnetSplit(Tables.documents(s, d),
+        "text", "doc_id", col("doc_id") % 97 === 0,
+        ctxBuckets = 16384, pairBuckets = 16384, order = 5)),
 
     // BPE-apply over the default merge list: every doc encoded to
     // engine-neutral token ids (codepoint / 0x110000+rank) through the
@@ -1081,6 +1103,23 @@ object TextOps {
     // d43: the same chain at order 3
     "d43_lm_trigram" ->
       s"WITH ${lmNllSql(4096, 16384, order = 3)} SELECT * FROM ppl",
+
+    // d46: the same chain at CCNet's published order 5
+    "d46_lm_order5" ->
+      s"WITH ${lmNllSql(16384, 16384, order = 5)} SELECT * FROM ppl",
+
+    // p09: the p06 band split over the order-5 scores
+    "p09_ccnet_order5" ->
+      s"""WITH ${lmNllSql(16384, 16384, order = 5)},
+         r AS (SELECT doc_id, ppl_q,
+             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
+               doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn FROM ppl)
+         SELECT doc_id, ppl_q,
+           CASE WHEN (rk - 1) * 3 < cn THEN 'head'
+             WHEN (rk - 1) * 3 < cn * 2 THEN 'middle'
+             ELSE 'tail' END AS band
+         FROM r""",
 
     // p06: d38's scores through d36's exact-thirds band arithmetic
     "p06_ccnet_pipeline" ->

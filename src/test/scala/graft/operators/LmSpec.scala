@@ -76,6 +76,28 @@ class LmSpec extends AnyFunSuite {
       s"in-domain ${got(1L)} should beat OOV ${got(2L)}")
   }
 
+  test("order-5 model (the published CCNet order) separates in-domain text") {
+    val train = Seq.tabulate(50)(i =>
+      (i.toLong, "the cat sat on the mat and then slept"))
+      .toDF("doc_id", "text")
+    val stats = TextAnalysis.localizeStats(
+      TextAnalysis.lmStats(train, "text", 16384, 16384, order = 5))
+    val probe = Seq((1L, "the cat sat on the mat and then slept"),
+      (2L, "zxq wvu ponm lkj ihg fed cba zyx wvu")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .lmPerplexity(probe, "text", "doc_id", stats, 16384, 16384, order = 5)
+      .select("doc_id", "ppl_q").as[(Long, Long)].collect().toMap
+    assert(got(1L) < got(2L),
+      s"in-domain ${got(1L)} should beat OOV ${got(2L)} at order 5")
+    // a 4-token doc has no 5-gram transition: scores 0, stays present
+    val short = Seq((9L, "one two three four")).toDF("doc_id", "text")
+    val g9 = TextAnalysis
+      .lmPerplexity(short, "text", "doc_id", stats, 16384, 16384, order = 5)
+      .select("doc_id", "n_trans", "ppl_q")
+      .as[(Long, Long, Long)].collect()
+    assert(g9.toSeq == Seq((9L, 0L, 0L)))
+  }
+
   test("scoring plan: one exchange (the per-doc rollup), no train scan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d38_lm_perplexity")(
