@@ -475,6 +475,77 @@ object Dedup {
         concat_ws("\n", col("__kept")).as("clean_text"))
   }
 
+  /** Distinct md5 line hashes of a corpus slice — the accumulating
+    * index [[stripDuplicatedLinesVsIndex]] dedups against. One narrow
+    * explode + a 32-byte-key distinct; nothing else shuffles. */
+  def lineHashes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("__ln"))
+      .select(md5(col("__ln")).as("line_hash")).distinct()
+
+  /** INCREMENTAL [[stripDuplicatedLines]]: strip a NEW batch's
+    * duplicated lines against the lines already seen (`index`, a
+    * `line_hash` frame from [[lineHashes]] accumulated over prior
+    * batches) plus the batch itself. For batches arriving in
+    * ascending-id order this equals the one-shot pass over the union
+    * corpus EXACTLY: a kept occurrence is precisely the globally-first
+    * occurrence of its line (never stripped by the one-shot) or a
+    * line seen exactly once globally (under the one-shot's threshold
+    * of 2 there is nothing to strip). minCount is FIXED at 2 — the
+    * C4 convention, and the only prefix-decidable threshold: at 3+,
+    * whether the first occurrence survives depends on batches that
+    * have not arrived yet.
+    *
+    * Scale shape: the index join is an equi-join on 32-byte line
+    * hashes — at production scale persist the index bucketed on
+    * line_hash (the [[buildBandIndex]] device) so the probe side
+    * co-locates; text rides only the final reassembly join, exactly
+    * like the one-shot. Output: the AFFECTED batch docs
+    * (n_removed_lines, clean_text), same contract as
+    * [[stripDuplicatedLines]]. */
+  def stripDuplicatedLinesVsIndex(df: DataFrame, textCol: String,
+      idCol: String, index: DataFrame): DataFrame = {
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = df.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)(idType),
+        s"stripDuplicatedLinesVsIndex requires an integral id column — " +
+          s"got $idType for $idCol")
+      require(index.columns.contains("line_hash"),
+        "index must be a lineHashes frame (line_hash column)")
+    }
+    val guardedId = when(col(idCol) < 0,
+      raise_error(concat(lit(s"stripDuplicatedLinesVsIndex: negative $idCol "),
+        col(idCol).cast("string"),
+        lit(" breaks canonical-site ordering")))).otherwise(col(idCol))
+    val occ = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").as("__pos"), md5(col("col")).as("__lh"))
+      .withColumn("__k", concat(
+        lpad(guardedId.cast("string"), 20, "0"), lit(":"),
+        lpad(col("__pos").cast("string"), 10, "0")))
+    val seen = index.select(col("line_hash").as("__lh")).distinct()
+      .withColumn("__seen", lit(1))
+    val batchAgg = occ.groupBy("__lh")
+      .agg(count(lit(1)).as("__c"), min("__k").as("__canon"))
+    // drop an occurrence when its line was seen in ANY prior batch
+    // (the index holds the kept canonical), or when it repeats within
+    // this batch and is not the batch-canonical site
+    val dropList = occ
+      .join(seen, Seq("__lh"), "left")
+      .join(batchAgg, "__lh")
+      .filter(col("__seen").isNotNull ||
+        (col("__c") >= 2 && col("__k") =!= col("__canon")))
+      .groupBy(idCol).agg(collect_list(col("__pos")).as("__drop"))
+    df.join(dropList, idCol)
+      .withColumn("__lns", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lns"), (_, i) =>
+        !array_contains(col("__drop"), i)))
+      .select(col(idCol),
+        (size(col("__lns")) - size(col("__kept"))).as("n_removed_lines"),
+        concat_ws("\n", col("__kept")).as("clean_text"))
+  }
+
   /** Per-document duplicated-span statistics over [[duplicatedSpans]]:
     * span count, total duplicated tokens, and the longest duplicated
     * span — the numbers a curation run thresholds on ("drop documents

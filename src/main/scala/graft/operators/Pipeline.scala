@@ -280,6 +280,29 @@ object Pipeline {
         stripped.filter(col("clean_text") =!= "")
           .select(col(idCol), col("clean_text")))
       .persist()
+    val packed = webCurationFinish(clean, idCol, targetFilter,
+      ctxBuckets, pairBuckets, seqLen, bucketSize)
+    (packed, () => {
+      kept.unpersist(blocking = false)
+      stripped.unpersist(blocking = false)
+      clean.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  /** The CORPUS-GLOBAL downstream of the web recipe — LM scoring
+    * against the in-domain slice, CCNet head+middle selection, and
+    * sequence packing — over an already-cleaned corpus frame
+    * (`idCol`, clean_text). Shared by the one-shot pipeline and the
+    * streamed w09 flow: the ingest half (gate + line dedup) streams
+    * incrementally, but exact perplexity thirds and global pack
+    * offsets are corpus-wide BY DEFINITION, so a streaming deployment
+    * runs this half periodically over the accumulated clean table —
+    * the nightly-scoring shape. */
+  def webCurationFinish(clean: DataFrame, idCol: String,
+      targetFilter: Column, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): DataFrame = {
     val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
       clean.filter(targetFilter), "clean_text", ctxBuckets, pairBuckets))
     val scores = TextAnalysis.lmPerplexity(clean, "clean_text", idCol,
@@ -288,14 +311,7 @@ object Pipeline {
     val sel = clean.join(
       bands.filter(col("band") =!= "tail").select(col(idCol)),
       Seq(idCol), "left_semi")
-    val packed = Packing.packSequences(sel, idCol, "clean_text",
-      seqLen, bucketSize)
-    (packed, () => {
-      kept.unpersist(blocking = false)
-      stripped.unpersist(blocking = false)
-      clean.unpersist(blocking = false)
-      ()
-    })
+    Packing.packSequences(sel, idCol, "clean_text", seqLen, bucketSize)
   }
 
   /** [[webCurationPipelineWithRelease]] discarding the handle — one-shot

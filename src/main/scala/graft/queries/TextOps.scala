@@ -623,6 +623,93 @@ object TextOps {
       s.read.parquet(sink)
     }),
 
+    // Streaming curation end to end (the capstone): the p08 corpus
+    // arrives as four ASCENDING-doc_id slices plus a REPLAY of slice 1
+    // (the w05 convention); each micro-batch runs the Gopher gate and
+    // the incremental line dedup against the accumulated line-hash
+    // index (ascending slices make the one-shot canonical-site
+    // semantics prefix-decidable), appending its clean rows and new
+    // hashes idempotently; the corpus-global finish (LM score -> CCNet
+    // selection -> pack) runs once the stream drains. Equal to the
+    // one-shot p08 by construction — the oracle IS the p08 mirror.
+    "w09_stream_curation" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w09", d)
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 50 === 0,
+          concat(lit("subscribe to our newsletter\ncookie policy\n"),
+            col("text"))).otherwise(col("text")))
+        .select("doc_id", "text")
+      val n = planted.count()
+      val bounds = Seq(n / 4, n / 2, 3 * n / 4)
+      val slices = Seq(
+        planted.filter(col("doc_id") < bounds(0)),
+        planted.filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1)),
+        planted.filter(col("doc_id") >= bounds(1) && col("doc_id") < bounds(2)),
+        planted.filter(col("doc_id") >= bounds(2)))
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      def writeSlice(df: DataFrame, name: String, mt: Long): Unit = {
+        val tmp = s"$loc/tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$feed/$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mt)
+        ()
+      }
+      slices.zipWithIndex.foreach { case (df, i) =>
+        writeSlice(df, s"slice-$i", mt0 + i * 60000L) }
+      writeSlice(slices(1), "slice-4-replay", mt0 + 4 * 60000L)
+      // seed the accumulating clean table and line-hash index
+      // (overwrite: same-session re-runs start fresh)
+      val cleanPath = s"$loc/clean"
+      val idxPath = s"$loc/lineidx"
+      planted.limit(0)
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .write.mode("overwrite").parquet(cleanPath)
+      planted.limit(0).select(md5(col("text")).as("line_hash"))
+        .write.mode("overwrite").parquet(idxPath)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        val bs = b.sparkSession
+        val kept = TextAnalysis.gopherQualityKept(b, "text")
+        val curIdx = bs.read.parquet(idxPath)
+        val stripped = Dedup.stripDuplicatedLinesVsIndex(
+          kept, "text", "doc_id", curIdx)
+        val untouched = kept
+          .join(stripped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text").as("clean_text"))
+        val clean = untouched.unionByName(
+            stripped.filter(col("clean_text") =!= "")
+              .select(col("doc_id"), col("clean_text")))
+          .join(bs.read.parquet(cleanPath).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        val newHashes = Dedup.lineHashes(kept, "text")
+          .join(curIdx, Seq("line_hash"), "left_anti")
+        // materialize BOTH before appending (the w05 discipline: the
+        // plans read the very paths the appends extend)
+        val cC = clean.persist(); val hC = newHashes.persist()
+        cC.count(); hC.count()
+        cC.write.mode("append").parquet(cleanPath)
+        hC.write.mode("append").parquet(idxPath)
+        cC.unpersist(); hC.unpersist()
+        ()
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 5,
+        s"w09 expected 5 non-empty micro-batches (4 slices + replay), " +
+          s"saw $batches")
+      graft.operators.Pipeline.webCurationFinish(
+        s.read.parquet(cleanPath), "doc_id", col("doc_id") % 97 === 0)
+    }),
+
     // BPE-count sequence packing: the d37 encode's real token counts
     // feeding the d16 two-level prefix-sum packing — pack boundaries
     // from the trained tokenizer, not whitespace counts (what published
@@ -899,7 +986,17 @@ object TextOps {
     // banner, Gopher gate (the p04 mirror), d40 line dedup with husks
     // dropped, the d38 nll chain sourced FROM the cleaned corpus,
     // CCNet head+middle selection, d16 prefix-sum packing.
-    "p08_web_pipeline" ->
+    "p08_web_pipeline" -> webRecipeSql,
+
+    // w09: the STREAMED ingest accumulates exactly the clean table the
+    // one-shot builds (ascending-id slices make incremental line dedup
+    // prefix-decidable), and the corpus-global finish runs after the
+    // stream drains — so the one-shot mirror is the oracle verbatim.
+    "w09_stream_curation" -> webRecipeSql,
+  ) ++ oracleSqlRest
+
+  /** The p08/w09 shared one-shot mirror. */
+  private def webRecipeSql: String =
       s"""WITH RECURSIVE pd AS (SELECT doc_id,
            CASE WHEN doc_id % 50 = 0 THEN
              'subscribe to our newsletter' || chr(10) ||
@@ -965,8 +1062,9 @@ object TextOps {
          SELECT doc_id, n_tokens, (c - n_tokens)::BIGINT AS start_offset,
            ((c - n_tokens) // 512)::BIGINT AS first_seq,
            ((c - 1) // 512)::BIGINT AS last_seq
-         FROM cum""",
+         FROM cum"""
 
+  private def oracleSqlRest: Map[String, String] = Map(
     // Mirrors Dedup.stripContaminatedSpans over the d23 plant: bench
     // 8-gram md5 set -> corpus window hits -> per-doc span merge ->
     // token filter + reassembly (the d34 machinery, no canonical

@@ -184,6 +184,38 @@ class DedupSpec extends AnyFunSuite {
     assert(reprobe.exists(_ == (10L, 1L)), "near-copy pair lost after append")
   }
 
+  test("incremental line dedup over ascending slices equals the one-shot pass") {
+    // every dup shape: within-doc (doc 1), cross-doc within-slice
+    // (B: docs 1/2; Z within doc 4; Y: docs 3/5), and CROSS-SLICE
+    // (L1: slice-0 doc 1 canonical, slice-1 doc 3 stripped)
+    val sliceA = Seq(
+      (1L, "L1\nB\nL1"),
+      (2L, "B\nX")).toDF("doc_id", "text")
+    val sliceB = Seq(
+      (3L, "L1\nY"),
+      (4L, "Z\nZ"),
+      (5L, "Y\nW")).toDF("doc_id", "text")
+    val oneShot = Dedup.stripDuplicatedLines(sliceA.union(sliceB), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(0 + 1), r.getString(2)))).toMap
+    // streamed: slice A against an empty index, then B against A's hashes
+    val empty = sliceA.limit(0).select(md5(col("text")).as("line_hash"))
+    val sA = Dedup.stripDuplicatedLinesVsIndex(sliceA, "text", "doc_id", empty)
+    val idxAfterA = empty.union(Dedup.lineHashes(sliceA, "text"))
+    val sB = Dedup.stripDuplicatedLinesVsIndex(sliceB, "text", "doc_id", idxAfterA)
+    val streamed = sA.union(sB)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(streamed == oneShot, s"$streamed vs $oneShot")
+    assert(oneShot.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(oneShot(3L) == ((1, "Y")), "cross-slice strip missed")
+    // a REPLAY of slice B against the grown index strips everything —
+    // the gate's doc_id anti-join is what absorbs it; here just pin
+    // that replayed docs never resurrect content
+    val idxAfterB = idxAfterA.union(Dedup.lineHashes(sliceB, "text"))
+    val replay = Dedup.stripDuplicatedLinesVsIndex(sliceB, "text", "doc_id", idxAfterB)
+      .collect().map(r => r.getString(2))
+    assert(replay.forall(_ == ""), "replayed slice kept lines")
+  }
+
   test("pipeline near-dup stage drops non-representatives") {
     val filler = (0 until 30).map(i => s"tok$i").mkString(" ")
     // two near-identical docs (share almost all trigrams) + one distinct
