@@ -817,6 +817,126 @@ object TextAnalysis {
     df.withColumn(outCol, call_function("graft_bpe", col(textCol), m))
   }
 
+  /** Model-based quality-classifier TRAINING (the GPT-3/CCNet recipe's
+    * "quality classifier trained on a curated seed" — published as a
+    * logistic/fastText model over bag-of-words; this is the
+    * multinomial Naive Bayes formulation, whose one-pass closed-form
+    * training fits a distributed engine: no SGD epochs, one aggregate).
+    * Hashed unigram counts per class over a LABELED slice
+    * (`isPositiveCol` boolean: curated/high-quality vs rest), plus one
+    * `bucket = -1` row carrying the class DOCUMENT counts (the prior).
+    * The artifact is config-sized (<= buckets + 1 rows) at any corpus
+    * size — same trained-codebook device as [[lmStats]]/[[dsirStats]];
+    * the bucket config rides `n_pos`'s column metadata and scoring
+    * validates it (a mismatch re-hashes into the wrong space).
+    * Tokenization is bare space-split (empties kept), identical to the
+    * LM chain, so external mirrors reproduce counts exactly. */
+  def nbStats(df: DataFrame, textCol: String, isPositiveCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val cfg = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("buckets", buckets.toLong).build()
+    val tok = df
+      .select(col(isPositiveCol).as("__pos"),
+        explode(tokens(col(textCol))).as("__t"))
+      .select(col("__pos"), hashBucket48(col("__t"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"))
+    val docs = df
+      .agg(sum(when(col(isPositiveCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col(isPositiveCol), 1L).otherwise(0L)).as("n_neg"))
+      .select(lit(-1L).as("bucket"), col("n_pos"), col("n_neg"))
+    tok.unionByName(docs)
+      .select(col("bucket"), col("n_pos").as("n_pos", cfg), col("n_neg"))
+  }
+
+  /** Quality-classifier SCORING against a [[nbStats]] artifact: per
+    * document, the add-one-smoothed Naive Bayes negative log2
+    * likelihood under each class — token term
+    * (N_c + buckets) / (c_c[b] + 1) per occurrence plus one prior term
+    * (D_pos + D_neg + 2) / (D_c + 1) — via [[withQuantizedLog2]]'s
+    * integer shift-and-square chain (no libm anywhere, so scores are
+    * bit-identical across engines and partitionings, the dsirStats
+    * lesson). `margin_q = nll_neg_q - nll_q_pos` in 1/1024ths of a
+    * bit: positive margin = the curated class is likelier =
+    * `pred_hq`. This is the published filter's decision rule; the
+    * Pareto-noisiness trick GPT-3 layers on top (keep if
+    * score > 1 - sample) is a caller-side threshold on `margin_q`.
+    *
+    * One corpus pass, text in no exchange: narrow token explode_outer
+    * (null-text docs keep a row and score on the prior alone), ONE
+    * broadcast join of the config-sized stats, two integer nll column
+    * chains, then a doc-grain rollup (map-side combined). Class token
+    * totals and the two prior terms localize through a driver hop of
+    * the artifact — provably bounded at <= buckets + 1 rows by its
+    * grain, the [[localizeStats]] discipline — and ride the plan as
+    * literals, so the scoring plan carries exactly one exchange and
+    * never re-runs the training scan (the prior's own qlog2 runs
+    * through the SAME column chain on a one-row frame, not a
+    * reimplementation). This forces `stats` eagerly at plan-build. */
+  def nbScore(df: DataFrame, textCol: String, idCol: String,
+      stats: DataFrame, buckets: Int = 4096,
+      scoreCol: String = "margin_q"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    stats.schema.fields.find(_.name == "n_pos").map(_.metadata)
+      .filter(_.contains("buckets")).foreach { m =>
+        require(m.getLong("buckets") == buckets,
+          s"nbScore: stats artifact was trained with buckets=" +
+            s"${m.getLong("buckets")} but scoring was invoked with " +
+            s"$buckets — bucket ids would re-hash into the wrong space")
+      }
+    val tokStats = stats.filter(col("bucket") >= 0)
+    val totRow = tokStats
+      .agg(coalesce(sum("n_pos"), lit(0L)).as("tp"),
+        coalesce(sum("n_neg"), lit(0L)).as("tn")).collect()(0)
+    val (tp, tn) = (totRow.getLong(0), totRow.getLong(1))
+    val priorRows = stats.filter(col("bucket") === -1)
+      .select(col("n_pos"), col("n_neg")).collect()
+    require(priorRows.length == 1,
+      s"nbScore: stats artifact must carry exactly one prior row " +
+        s"(bucket = -1), got ${priorRows.length} — was it built by nbStats?")
+    val (dp, dn) = (priorRows(0).getLong(0), priorRows(0).getLong(1))
+    // `+ id` (always 0) keeps the inputs non-foldable: on pure
+    // literals Catalyst constant-folds the 2x10-step chain into an
+    // exponentially duplicated expression tree and the optimizer
+    // spins; with a column reference the chain stays the same narrow
+    // projects the corpus path runs
+    val pq = withQuantizedLog2(withQuantizedLog2(
+        df.sparkSession.range(1).select(
+          (lit(dp + dn + 2) + col("id")).as("__pa"),
+          (lit(dp + 1) + col("id")).as("__pp"),
+          (lit(dn + 1) + col("id")).as("__pn")),
+        "__pa", "__pp", "__prp"), "__pa", "__pn", "__prn")
+      .select("__prp", "__prn").collect()(0)
+    val (priorPos, priorNeg) = (pq.getLong(0), pq.getLong(1))
+    val tok = df
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("__t"))
+      .withColumn("__b",
+        when(col("__t").isNotNull, hashBucket48(col("__t"), buckets)))
+      .join(broadcast(tokStats.select(col("bucket").as("__b"),
+        col("n_pos").as("__cp"), col("n_neg").as("__cn"))),
+        Seq("__b"), "left")
+      .withColumn("__dp", when(col("__t").isNotNull, lit(tp + buckets)))
+      .withColumn("__dn", when(col("__t").isNotNull, lit(tn + buckets)))
+      .withColumn("__np",
+        when(col("__t").isNotNull, coalesce(col("__cp"), lit(0L)) + 1))
+      .withColumn("__nn",
+        when(col("__t").isNotNull, coalesce(col("__cn"), lit(0L)) + 1))
+    val scored = withQuantizedLog2(
+      withQuantizedLog2(tok, "__dp", "__np", "__nllp"),
+      "__dn", "__nn", "__nlln")
+      .groupBy(col(idCol))
+      .agg(count(col("__t")).as("n_tok"),
+        coalesce(sum(col("__nllp")), lit(0L)).as("nll_pos_q"),
+        coalesce(sum(col("__nlln")), lit(0L)).as("nll_neg_q"))
+    scored
+      .withColumn(scoreCol,
+        (col("nll_neg_q") + lit(priorNeg))
+          - (col("nll_pos_q") + lit(priorPos)))
+      .withColumn("pred_hq", col(scoreCol) > 0)
+  }
+
   /** Winnowing fingerprint (rolling hash): hash every word n-gram
     * shingle, slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — the classic local-fingerprint scheme

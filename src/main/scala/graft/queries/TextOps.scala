@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Dedup, GraphOps, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Oracle-checked coverage of the text pipeline operators in
@@ -385,6 +385,31 @@ object TextOps {
         ctxBuckets = 16384, pairBuckets = 16384, order = 5)
     }),
 
+    // Model-based quality classifier (the GPT-3/CCNet "quality
+    // classifier trained on a curated seed" published component):
+    // one-pass Naive Bayes trained on the doc_id % 5 == 0 slice
+    // labeled by doc_id % 10 == 0, then the FULL corpus scored by the
+    // integer quantized-log2 nll margin. Class-marker tokens are
+    // planted deterministically in both engines (hqmarker /
+    // junkmarker) so the classifier separates non-vacuously on the
+    // synthetic corpus — the d40-banner device.
+    "d47_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val marked = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" hqmarker hqmarker")))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" junkmarker junkmarker")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" hqmarker")))
+          .otherwise(col("text")))
+      val train = marked.filter(col("doc_id") % 5 === 0)
+        .withColumn("__pos", col("doc_id") % 10 === 0)
+      val stats = TextAnalysis.localizeStats(
+        TextAnalysis.nbStats(train, "text", "__pos", buckets = 512))
+      TextAnalysis.nbScore(marked, "text", "doc_id", stats, buckets = 512)
+    }),
+
     // The composed CCNet recipe: d38's perplexity scores feeding d36's
     // exact-thirds band split — train on the in-domain slice, score
     // the corpus, label head/middle/tail (head = lowest perplexity).
@@ -527,6 +552,47 @@ object TextOps {
           Tables.documents(s, d).withColumn("url", url),
           "url", "doc_id", cap = 3)
         .select("doc_id", "curl", "domain")
+    }),
+
+    // Bloom-filter exact-membership ingest (the d44 complement at the
+    // EXACT-dup grain): the 3/4 corpus aggregates once to a 64k-bit
+    // k=3 bitmap (config-sized, broadcast), the 1/4 batch probes it,
+    // and the bloom's deterministic false-positive minority settles
+    // through the verifying join — corpus side touched once,
+    // projected to 32-hex fingerprints, shuffling nothing. Planted
+    // exact copies: every doc_id % 8 == 0 batch doc carries its
+    // corpus-side successor's text, so `is_member` is non-vacuously
+    // true across the boundary.
+    "d49_bloom_membership" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val neighbor = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__nt"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .join(neighbor, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
+            col("__nt")).otherwise(col("text")))
+        .select("doc_id", "text")
+      Dedup.exactMembership(docs.filter(col("doc_id") % 4 =!= 0), batch,
+        "text", "doc_id", mBits = 1 << 16, k = 3)
+    }),
+
+    // Domain-graph centrality (d48): fixed-point integer PageRank at
+    // the published 0.85 damping, 8 iterations, over a deterministic
+    // synthetic site-level link graph (the d45 fixture's 20 domains;
+    // dst mixes doc_id and doc_id div 20 so the graph is irregular).
+    // The domain-grain quality prior CommonCrawl-style stacks feed
+    // into URL filtering — composable with d45's per-domain quotas.
+    "d48_domain_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.select(
+        concat(lit("site"), (col("doc_id") % 20).cast("string")).as("src"),
+        concat(lit("site"),
+          ((col("doc_id") * 7 + expr("doc_id div 20")) % 20)
+            .cast("string")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.pageRank(edges, "src", "dst", iters = 8)
+        .select(col("node").as("domain"), col("rank_q"))
     }),
 
     // BPE merge-list training: 8 iterations of count-pairs -> take the
@@ -856,6 +922,93 @@ object TextOps {
          FROM t LEFT JOIN agg USING (doc_id))"""
   }
 
+  /** The d47 mirror: the same planted-marker fixture, one-pass Naive
+    * Bayes class counts, and the integer shift-and-square quantized
+    * log2 (lmNllSql's unroll, keyed (doc_id, lbl) so both class
+    * chains AND the two prior rows share one pass — prior rows ride
+    * the sentinel doc_id = -1). Ends in
+    * `out(doc_id, n_tok, nll_pos_q, nll_neg_q, margin_q, pred_hq)`. */
+  private def nbSql(buckets: Int): String = {
+    val iters = (1 to 10).map { i =>
+      val prev = if (i == 1) "n3" else s"j${i - 1}"
+      s"""j$i AS (SELECT doc_id, lbl, k,
+         CASE WHEN pp >= 2*qq THEN pp >> 1 ELSE pp END AS p, qq AS q,
+         acc*2 + (CASE WHEN pp >= 2*qq THEN 1 ELSE 0 END) AS acc
+       FROM (SELECT doc_id, lbl, k, acc, (p*p) >> s AS pp, (q*q) >> s AS qq
+         FROM (SELECT doc_id, lbl, k, acc, p, q,
+             length(bin(q*q)) - 30 AS s FROM $prev)))"""
+    }.mkString(",\n")
+    s"""mk AS MATERIALIZED (SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' hqmarker hqmarker'
+           WHEN doc_id % 5 = 0 THEN text || ' junkmarker junkmarker'
+           WHEN doc_id % 7 = 0 THEN text || ' hqmarker'
+           ELSE text END AS text
+       FROM documents),
+       trt AS (SELECT doc_id % 10 = 0 AS pos,
+           unnest(string_split(text, ' ')) AS t
+         FROM mk WHERE doc_id % 5 = 0),
+       tstat AS MATERIALIZED (SELECT
+           ('0x' || substr(md5(t), 1, 12))::BIGINT % $buckets AS bucket,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS cn
+         FROM trt GROUP BY 1),
+       tot AS (SELECT coalesce(sum(cp), 0)::BIGINT AS tp,
+           coalesce(sum(cn), 0)::BIGINT AS tn FROM tstat),
+       dstat AS (SELECT
+           sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS dp,
+           sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS dn
+         FROM mk WHERE doc_id % 5 = 0),
+       tk AS MATERIALIZED (SELECT doc_id,
+           unnest(string_split(text, ' ')) AS t FROM mk),
+       sc AS (
+         SELECT tk.doc_id, 1 AS lbl, tp + $buckets AS d,
+             coalesce(cp, 0) + 1 AS n
+           FROM tk CROSS JOIN tot LEFT JOIN tstat
+             ON ('0x' || substr(md5(t), 1, 12))::BIGINT % $buckets
+               = tstat.bucket
+         UNION ALL
+         SELECT tk.doc_id, 0 AS lbl, tn + $buckets AS d,
+             coalesce(cn, 0) + 1 AS n
+           FROM tk CROSS JOIN tot LEFT JOIN tstat
+             ON ('0x' || substr(md5(t), 1, 12))::BIGINT % $buckets
+               = tstat.bucket
+         UNION ALL
+         SELECT -1 AS doc_id, 1 AS lbl, dp + dn + 2 AS d, dp + 1 AS n
+           FROM dstat
+         UNION ALL
+         SELECT -1 AS doc_id, 0 AS lbl, dp + dn + 2 AS d, dn + 1 AS n
+           FROM dstat),
+       n0 AS (SELECT doc_id, lbl, d, n, length(bin(d // n)) - 1 AS k FROM sc),
+       n1 AS (SELECT doc_id, lbl, d, k, (n << k) AS q0 FROM n0),
+       n2 AS (SELECT doc_id, lbl, d, k, q0,
+           length(bin(q0)) - 30 AS s0 FROM n1),
+       n3 AS (SELECT doc_id, lbl, k,
+           CASE WHEN s0 >= 0 THEN d >> s0 ELSE d << (-s0) END AS p,
+           CASE WHEN s0 >= 0 THEN q0 >> s0 ELSE q0 << (-s0) END AS q,
+           0::BIGINT AS acc FROM n2),
+       $iters,
+       nv AS MATERIALIZED (SELECT doc_id, lbl,
+           k::BIGINT * 1024 + acc AS v FROM j10),
+       nag AS (SELECT doc_id,
+           sum(CASE WHEN lbl = 1 THEN v ELSE 0 END)::BIGINT AS nllp,
+           sum(CASE WHEN lbl = 0 THEN v ELSE 0 END)::BIGINT AS nlln
+         FROM nv WHERE doc_id >= 0 GROUP BY 1),
+       pr AS (SELECT
+           sum(CASE WHEN lbl = 1 THEN v END)::BIGINT AS prp,
+           sum(CASE WHEN lbl = 0 THEN v END)::BIGINT AS prn
+         FROM nv WHERE doc_id = -1),
+       tc AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tk GROUP BY 1),
+       out AS (SELECT mk.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+           coalesce(nllp, 0)::BIGINT AS nll_pos_q,
+           coalesce(nlln, 0)::BIGINT AS nll_neg_q,
+           ((coalesce(nlln, 0) + prn) - (coalesce(nllp, 0) + prp))::BIGINT
+             AS margin_q,
+           (coalesce(nlln, 0) + prn) - (coalesce(nllp, 0) + prp) > 0
+             AS pred_hq
+         FROM mk LEFT JOIN tc USING (doc_id) LEFT JOIN nag USING (doc_id)
+           CROSS JOIN pr)"""
+  }
+
   /** The d37/p07 shared BPE-encode CTE chain — an independent
     * recursive-CTE implementation of the published batch-BPE loop over
     * DISTINCT words (see the d37 scaladoc note on batch-semantics
@@ -1181,6 +1334,70 @@ object TextOps {
            FROM s)
          SELECT doc_id, curl, domain FROM r WHERE rn <= 3""",
 
+    // d49: the bloom bitmap mirrored bit for bit — same salted md5
+    // cells, 32-bit words via bit_or, k-of-k hit rule, then the exact
+    // verifying join as ground truth
+    "d49_bloom_membership" ->
+      s"""WITH corpus AS MATERIALIZED (SELECT md5(text) AS key
+           FROM documents WHERE doc_id % 4 <> 0),
+         bk AS MATERIALIZED (SELECT d.doc_id,
+             md5(CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
+               THEN n.text ELSE d.text END) AS key
+           FROM documents d LEFT JOIN documents n
+             ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 4 = 0),
+         bf AS MATERIALIZED (SELECT h // 32 AS word,
+             bit_or(1::BIGINT << (h % 32)::INT) AS bits
+           FROM (SELECT unnest([
+               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
+             ]) AS h FROM corpus) GROUP BY 1),
+         pc AS (SELECT doc_id, unnest([
+               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
+             ]) AS h FROM bk),
+         hit AS (SELECT doc_id,
+             sum(CASE WHEN (coalesce(bits, 0)
+                 & (1::BIGINT << (h % 32)::INT)) <> 0
+               THEN 1 ELSE 0 END) = 3 AS maybe_member
+           FROM pc LEFT JOIN bf ON pc.h // 32 = bf.word
+           GROUP BY 1),
+         conf AS (SELECT DISTINCT bk.doc_id
+           FROM bk JOIN corpus ON bk.key = corpus.key)
+         SELECT hit.doc_id, maybe_member,
+           conf.doc_id IS NOT NULL AS is_member
+         FROM hit LEFT JOIN conf ON hit.doc_id = conf.doc_id""",
+
+    // d48: the same 8 unrolled integer PageRank rounds — floor
+    // division everywhere, so ranks match bit for bit
+    "d48_domain_pagerank" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""pr$i AS MATERIALIZED (SELECT nd.n,
+           150000000::BIGINT + coalesce(c.s, 0) AS r
+         FROM nd LEFT JOIN (
+           SELECT ed.dst AS n,
+               sum(((rr.r * 85) // 100) // ed.deg)::BIGINT AS s
+             FROM ed JOIN pr${i - 1} rr ON ed.src = rr.n GROUP BY 1) c
+           USING (n))"""
+      }.mkString(",\n")
+      s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT
+           'site' || (doc_id % 20)::VARCHAR AS src,
+           'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR AS dst
+         FROM documents
+         WHERE 'site' || (doc_id % 20)::VARCHAR
+           <> 'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR),
+         nd AS MATERIALIZED (SELECT src AS n FROM ed0
+           UNION SELECT dst FROM ed0),
+         dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed0 GROUP BY 1),
+         ed AS MATERIALIZED (SELECT ed0.src, ed0.dst, dg.deg
+           FROM ed0 JOIN dg USING (src)),
+         pr0 AS (SELECT n, 1000000000::BIGINT AS r FROM nd),
+         $rounds
+         SELECT n AS domain, r AS rank_q FROM pr8"""
+    },
+
     // w08: the incremental semantic — each batch doc's candidates are
     // the index docs PLUS batch docs from strictly earlier doc_id % 3
     // slices (appended before its slice arrived); same-slice docs and
@@ -1205,6 +1422,11 @@ object TextOps {
     // d46: the same chain at CCNet's published order 5
     "d46_lm_order5" ->
       s"WITH ${lmNllSql(16384, 16384, order = 5)} SELECT * FROM ppl",
+
+    // d47: the planted-marker NB quality classifier — same one-pass
+    // counts and integer qlog2 chain, independently in SQL
+    "d47_quality_classifier" ->
+      s"WITH ${nbSql(512)} SELECT * FROM out",
 
     // p09: the p06 band split over the order-5 scores
     "p09_ccnet_order5" ->
