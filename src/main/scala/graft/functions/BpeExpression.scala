@@ -122,6 +122,34 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }
 
+  /** Decode an id stream back to text: codepoint ids verbatim, merge
+    * ids via their rank's surface form. Word boundaries are NOT
+    * represented in the id stream ([[encodeText]] drops spaces — the
+    * engine-neutral scheme has no whitespace token), so decoding a
+    * multi-word stream yields the words concatenated; the LOSSLESS
+    * grain is the word, which the d50 gate verifies over the whole
+    * corpus vocabulary. Out-of-range and negative ids fail loudly —
+    * they mean the stream was produced by a different merge list. */
+  def decodeIds(ids: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= 0x110000) {
+        val r = id - 0x110000
+        if (r >= merges.length) throw new IllegalArgumentException(
+          s"graft_bpe_decode: merge id $id has no rank in a " +
+            s"${merges.length}-merge table — wrong merge list?")
+        sb.append(surfaces(r))
+      } else if (id >= 0) sb.appendCodePoint(id)
+      else throw new IllegalArgumentException(
+        s"graft_bpe_decode: negative token id $id")
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Like [[encodeWord]] but yielding the sub-token SURFACE strings —
     * the training loop's view of the current segmentation. Cached
     * separately from the id cache. */
@@ -237,6 +265,65 @@ case class BpeEncodeText(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeEncodeText =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe_decode(ids, merges)` — the inverse of `graft_bpe` at
+  * word grain: codepoint ids back to their characters, merge ids back
+  * to their surface forms, concatenated. The id stream carries no
+  * whitespace token, so a multi-word stream decodes to the words
+  * concatenated (documented in [[BpeTables.decodeIds]]); the d50 gate
+  * proves the word-grain round-trip losslessly over the corpus
+  * vocabulary. Same narrow codegen'd per-row shape as its siblings. */
+case class BpeDecodeIds(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val mergesOk = right.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) => right.foldable
+      case _ => false
+    }
+    val idsOk = left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (idsOk && mergesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_decode expects (array<int>, foldable " +
+          s"array<array<string>> merges), got ${left.dataType.simpleString} " +
+          s"and ${right.dataType.simpleString}" +
+          (if (!right.foldable) " (merges not foldable)" else ""))
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_decode"
+
+  @transient private lazy val tables: BpeTables = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val merges = (0 until arr.numElements()).map { i =>
+      val pair = arr.getArray(i)
+      require(pair != null && pair.numElements() == 2,
+        s"graft_bpe_decode: merge $i is not a [left, right] pair")
+      (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+    }.toArray
+    new BpeTables(merges)
+  }
+
+  override protected def nullSafeEval(ids: Any, m: Any): Any =
+    tables.decodeIds(ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeDecTables", tables, classOf[BpeTables].getName)
+    nullSafeCodeGen(ctx, ev, (ids, _) => s"${ev.value} = $ref.decodeIds($ids);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeDecodeIds =
     copy(left = newLeft, right = newRight)
 }
 

@@ -589,6 +589,8 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BpeEncodeText].getName, "graft_bpe")
   val bpePairsInfo =
     new ExpressionInfo(classOf[BpePairsText].getName, "graft_bpe_pairs")
+  val bpeDecodeInfo =
+    new ExpressionInfo(classOf[BpeDecodeIds].getName, "graft_bpe_decode")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -632,6 +634,12 @@ object GraftFunctions {
     BpePairsText(children(0), children(1))
   }
 
+  private[functions] val bpeDecodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe_decode expects exactly 2 arguments, got ${children.size}")
+    BpeDecodeIds(children(0), children(1))
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -649,6 +657,8 @@ object GraftFunctions {
         FunctionIdentifier("graft_bpe"), bpeInfo, bpeBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_bpe_pairs"), bpePairsInfo, bpePairsBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe_decode"), bpeDecodeInfo, bpeDecodeBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -671,5 +681,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bpeInfo, GraftFunctions.bpeBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_pairs"),
       GraftFunctions.bpePairsInfo, GraftFunctions.bpePairsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_decode"),
+      GraftFunctions.bpeDecodeInfo, GraftFunctions.bpeDecodeBuilder))
   }
 }

@@ -713,6 +713,147 @@ object Dedup {
       finally spark.conf.set(key, old)
     }
 
+  /** Bloom-filter membership artifact over a key column (content
+    * fingerprints) — the exact-dedup complement of [[buildBandIndex]]
+    * for the production ingest shape: a daily batch's exact-duplicate
+    * verdicts against a 100 TB corpus need no corpus join, because the
+    * corpus aggregates ONCE to this config-sized bitmap, which then
+    * BROADCASTS to every probe. `mBits` filter bits packed 32 per row
+    * (bit positions 0..31, so every mask is a small positive long —
+    * no sign games in any engine), `k` salted md5 hash functions.
+    * One corpus pass: key explodes to its k (word, bit) cells, one
+    * map-side-combined `bit_or` aggregate collapses them to at most
+    * mBits/32 rows per task. The (mBits, k) config rides `bits`'
+    * column metadata; probing validates it (a mismatch re-hashes into
+    * the wrong bit space). False-positive rate for n keys is the
+    * standard (1 − e^(−kn/m))^k — size mBits ≥ ~10n for ~1% at k=3;
+    * false positives only send extra candidates to a verifying join,
+    * never lose a document (no false negatives, ever — set union via
+    * OR is exact). Merging two filters of identical config is
+    * `bit_or` per word — idempotent under replay, which is what makes
+    * the artifact maintainable incrementally. */
+  def buildBloom(df: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+      k: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cfg = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("mBits", mBits.toLong).putLong("k", k.toLong).build()
+    df.select(explode(array((0 until k).map(s =>
+        bloomCell(col(keyCol), s, mBits)): _*)).as("__h"))
+      .groupBy(expr("__h div 32").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__h % 32 AS INT)))")
+        .as("bits", cfg))
+  }
+
+  /** One salted hash cell: top-48-bit md5 bucket of saltkey into
+    * [0, mBits) — the d35/d38 engine-neutral hash family. */
+  private def bloomCell(key: Column, salt: Int, mBits: Int): Column =
+    (conv(substring(md5(concat_ws("", lit(salt.toString), key)),
+      1, 12), 16, 10).cast("long") % mBits)
+
+  /** Probe a [[buildBloom]] artifact: appends `maybe_member` — true
+    * iff every one of the key's k bits is set. No false negatives; a
+    * deterministic false-positive minority goes on to the verifying
+    * join (callers prune that join to `maybe_member` rows, which is
+    * the entire point — the corpus-sized side is touched only by the
+    * candidate subset). One batch pass: k-cell explode, ONE broadcast
+    * join of the config-sized bitmap, batch-grain rollup. Null keys
+    * probe no cells and come back `maybe_member = false`. */
+  def probeBloom(batch: DataFrame, keyCol: String, idCol: String,
+      bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    bloom.schema.fields.find(_.name == "bits").map(_.metadata)
+      .filter(_.contains("mBits")).foreach { m =>
+        require(m.getLong("mBits") == mBits && m.getLong("k") == k,
+          s"probeBloom: bloom artifact was built with mBits=" +
+            s"${m.getLong("mBits")}, k=${m.getLong("k")} but probing " +
+            s"was invoked with $mBits/$k — bits would re-hash into " +
+            "the wrong space")
+      }
+    batch
+      .select(col(idCol),
+        explode_outer(when(col(keyCol).isNotNull, array((0 until k).map(s =>
+          bloomCell(col(keyCol), s, mBits)): _*))).as("__h"))
+      .withColumn("__w", expr("__h div 32"))
+      .join(broadcast(bloom.select(col("word").as("__w"),
+        col("bits").cast("long").as("__bits"))), Seq("__w"), "left")
+      .withColumn("__hit",
+        (coalesce(col("__bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(__h % 32 AS INT))"))) =!= 0)
+      .groupBy(col(idCol))
+      .agg((sum(when(col("__hit"), 1L).otherwise(0L)) === k)
+        .as("maybe_member"))
+  }
+
+  /** The composed exact-membership ingest flow (d49): corpus content
+    * fingerprints → [[buildBloom]] (localized through the provably
+    * mBits/32-bounded driver hop so reuse never re-runs the corpus
+    * aggregate), batch probed, and the bloom's false positives
+    * settled by the verifying join — whose corpus side is semi-joined
+    * by the BROADCAST candidate keys, so the full corpus is scanned
+    * once (projected to its 32-hex fingerprint) and shuffles nothing.
+    * Returns (idCol, maybe_member, is_member): `maybe_member` is the
+    * filter's verdict, `is_member` the verified truth. */
+  def exactMembership(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, mBits: Int = 1 << 20,
+      k: Int = 3): DataFrame = {
+    val bloom = TextAnalysis.localizeStats(
+      buildBloom(corpus.select(md5(col(textCol)).as("__key")), "__key",
+        mBits, k))
+    val probed = probeBloom(
+      batch.select(col(idCol), md5(col(textCol)).as("__key")),
+      "__key", idCol, bloom, mBits, k)
+    val candidates = probed.filter(col("maybe_member"))
+      .join(batch.select(col(idCol), md5(col(textCol)).as("__key")),
+        Seq(idCol))
+      .select(col(idCol), col("__key"))
+    val confirmed = corpus.select(md5(col(textCol)).as("__key"))
+      .join(broadcast(candidates), Seq("__key"))
+      .select(col(idCol)).distinct()
+      .withColumn("is_member", lit(true))
+    probed.join(broadcast(confirmed), Seq(idCol), "left")
+      .select(col(idCol), col("maybe_member"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+  }
+
+  /** Persist/extend a [[buildBloom]] artifact at `path` (parquet —
+    * the (mBits, k) config survives the footer round-trip in `bits`'
+    * column metadata): fold `df`'s keys in by per-word OR. OR is
+    * idempotent, so at-least-once delivery has exactly-once artifact
+    * effect with ZERO bookkeeping — no anti-join, no delivery log —
+    * which is what makes the bloom the cheapest incrementally
+    * maintained dedup index (the band index needs its bucket-pruned
+    * idempotence probe; this needs nothing). The merged frame
+    * localizes through the provably mBits/32-bounded driver hop
+    * BEFORE the overwrite, so the write never reads the path it
+    * replaces. */
+  def mergeBloomInto(path: String, df: DataFrame, keyCol: String,
+      mBits: Int = 1 << 20, k: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val add = buildBloom(df, keyCol, mBits, k)
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path)
+        existing.schema.fields.find(_.name == "bits").map(_.metadata)
+          .filter(_.contains("mBits")).foreach { m =>
+            require(m.getLong("mBits") == mBits && m.getLong("k") == k,
+              s"mergeBloomInto: artifact at $path was built with mBits=" +
+                s"${m.getLong("mBits")}, k=${m.getLong("k")} but the " +
+                s"merge was invoked with $mBits/$k")
+          }
+        val cfg = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("mBits", mBits.toLong).putLong("k", k.toLong).build()
+        existing.select(col("word"), col("bits")).unionByName(add)
+          .groupBy("word")
+          .agg(expr("bit_or(bits)").as("bits", cfg))
+      } else add
+    TextAnalysis.localizeStats(merged)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Jaccard similarity of the distinct-token sets of candidate pairs.
     * `blockCol` is the blocking key (equal values are compared). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,

@@ -937,6 +937,22 @@ object TextAnalysis {
       .withColumn("pred_hq", col(scoreCol) > 0)
   }
 
+  /** BPE-decode — the inverse of [[bpeEncode]] at word grain: codepoint
+    * ids back to their characters, merge ids back to their surface
+    * forms, concatenated (graft_bpe_decode, the same narrow codegen'd
+    * per-row shape). The id stream carries no whitespace token, so a
+    * text-level stream decodes to its words concatenated; the LOSSLESS
+    * grain is the word, which d50 proves over the corpus vocabulary.
+    * Appends `outCol` (string). */
+  def bpeDecode(df: DataFrame, idsCol: String,
+      merges: Seq[(String, String)] = defaultBpeMerges,
+      outCol: String = "decoded"): DataFrame = {
+    requireNoCollision(df, Seq(outCol), "bpeDecode")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+    df.withColumn(outCol, call_function("graft_bpe_decode", col(idsCol), m))
+  }
+
   /** Winnowing fingerprint (rolling hash): hash every word n-gram
     * shingle, slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — the classic local-fingerprint scheme

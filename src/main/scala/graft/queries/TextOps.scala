@@ -393,21 +393,24 @@ object TextOps {
     // planted deterministically in both engines (hqmarker /
     // junkmarker) so the classifier separates non-vacuously on the
     // synthetic corpus — the d40-banner device.
-    "d47_quality_classifier" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val marked = docs.withColumn("text",
-        when(col("doc_id") % 10 === 0,
-            concat(col("text"), lit(" hqmarker hqmarker")))
-          .when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit(" junkmarker junkmarker")))
-          .when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" hqmarker")))
-          .otherwise(col("text")))
-      val train = marked.filter(col("doc_id") % 5 === 0)
-        .withColumn("__pos", col("doc_id") % 10 === 0)
-      val stats = TextAnalysis.localizeStats(
-        TextAnalysis.nbStats(train, "text", "__pos", buckets = 512))
-      TextAnalysis.nbScore(marked, "text", "doc_id", stats, buckets = 512)
+    "d47_quality_classifier" -> ((s, d) =>
+      TextAnalysis.nbScore(markedDocs(Tables.documents(s, d)), "text",
+        "doc_id", markedNbStats(Tables.documents(s, d)), buckets = 512)),
+
+    // The composed GPT-3-style recipe (p10): the d47 classifier GATES
+    // the corpus (keep pred_hq only), and the survivors pack into
+    // 512-token training sequences — the "classifier-filtered
+    // pretraining corpus" published stacks feed the tokenizer. The
+    // pack's prefix sums run over the FILTERED set, so sequence ids
+    // are dense over survivors.
+    "p10_classifier_pack" -> ((s, d) => {
+      val marked = markedDocs(Tables.documents(s, d))
+      val kept = TextAnalysis.nbScore(marked, "text", "doc_id",
+          markedNbStats(Tables.documents(s, d)), buckets = 512)
+        .filter(col("pred_hq")).select("doc_id")
+        .join(marked, Seq("doc_id"))
+      Packing.packSequences(kept, "doc_id", "text",
+        seqLen = 512, bucketSize = 64)
     }),
 
     // The composed CCNet recipe: d38's perplexity scores feeding d36's
@@ -564,17 +567,23 @@ object TextOps {
     // corpus-side successor's text, so `is_member` is non-vacuously
     // true across the boundary.
     "d49_bloom_membership" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val neighbor = docs.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("__nt"))
-      val batch = docs.filter(col("doc_id") % 4 === 0)
-        .join(neighbor, Seq("doc_id"), "left")
-        .withColumn("text",
-          when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
-            col("__nt")).otherwise(col("text")))
-        .select("doc_id", "text")
-      Dedup.exactMembership(docs.filter(col("doc_id") % 4 =!= 0), batch,
-        "text", "doc_id", mBits = 1 << 16, k = 3)
+      val (corpus, batch) = bloomFixture(Tables.documents(s, d))
+      Dedup.exactMembership(corpus, batch, "text", "doc_id",
+        mBits = 1 << 16, k = 3)
+    }),
+
+    // BPE round-trip (d50): every distinct corpus word encodes
+    // (graft_bpe) and decodes (graft_bpe_decode) back to itself — the
+    // engine-neutral id scheme is lossless at word grain (the stream
+    // drops whitespace by design, so word IS the round-trip grain).
+    // Both directions are narrow codegen'd per-row calls; the only
+    // exchange is the vocabulary groupBy.
+    "d50_bpe_roundtrip" -> ((s, d) => {
+      val hist = TextAnalysis.bpeWordHistogram(Tables.documents(s, d), "text")
+      TextAnalysis.bpeDecode(
+          TextAnalysis.bpeEncode(hist, "w", outCol = "ids"), "ids")
+        .select(col("w"), size(col("ids")).as("n_ids"), col("decoded"),
+          (col("decoded") === col("w")).as("roundtrip_ok"))
     }),
 
     // Domain-graph centrality (d48): fixed-point integer PageRank at
@@ -686,6 +695,85 @@ object TextOps {
       s.catalog.refreshTable(tbl)
       require(s.table(tbl).count() == planted.count() * 3,
         "w08: replayed slice was re-appended or a slice was dropped")
+      s.read.parquet(sink)
+    }),
+
+    // d49's ingest flow STREAMED: the corpus bitmap persists once,
+    // the batch quarter arrives as three doc_id % 3 slices plus a
+    // REPLAY of slice 0; each micro-batch is probed against the bloom
+    // AS OF ARRIVAL (prior slices folded in — the true incremental
+    // semantic: a slice-1 doc duplicating a slice-0 doc probes true),
+    // verdicts accumulate idempotently (anti-join), and the batch's
+    // bits fold in by per-word OR — where the replay needs NO
+    // bookkeeping at all: OR is idempotent, so redelivery leaves the
+    // artifact bit-identical by algebra, which the gate proves by
+    // comparing against the one-shot bitmap over corpus + batch.
+    "w10_bloom_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w10", d)
+      val (corpus, batchAll) = bloomFixture(Tables.documents(s, d))
+      // Scratch.dir wipes on entry: fresh artifact + sink per run
+      val bloomPath = s"$loc/bloom"
+      val sink = s"$loc/verdicts"
+      Dedup.mergeBloomInto(bloomPath,
+        corpus.select(md5(col("text")).as("__key")), "__key",
+        mBits = 1 << 16, k = 3)
+      batchAll.limit(0)
+        .select(col("doc_id"), lit(false).as("maybe_member"))
+        .write.mode("overwrite").parquet(sink)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0L, 1L, 2L).map(i =>
+          (batchAll.filter(col("doc_id") % 3 === i), s"slice-$i"))
+        :+ (batchAll.filter(col("doc_id") % 3 === 0L), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        val bs = b.sparkSession
+        val keyed = b.select(col("doc_id"), md5(col("text")).as("__key"))
+        // probe BEFORE merging: the verdict reflects the artifact as
+        // the batch arrived, not including the batch itself
+        val probed = Dedup.probeBloom(keyed, "__key", "doc_id",
+            bs.read.parquet(bloomPath), mBits = 1 << 16, k = 3)
+          .join(bs.read.parquet(sink).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        // materialize before appending (the w05 discipline): the plan
+        // reads both paths the writes below extend/replace
+        val vC = probed.persist()
+        vC.count()
+        vC.write.mode("append").parquet(sink)
+        vC.unpersist()
+        Dedup.mergeBloomInto(bloomPath, keyed, "__key",
+          mBits = 1 << 16, k = 3)
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w10 expected 4 non-empty micro-batches (3 slices + replay), " +
+          s"saw $batches")
+      // replay absorbed by algebra: the streamed artifact must be
+      // bit-identical to the one-shot bitmap over corpus + batch
+      val oneShot = graft.operators.TextAnalysis.localizeStats(
+        Dedup.buildBloom(corpus.select(md5(col("text")).as("__key"))
+          .unionByName(batchAll.select(md5(col("text")).as("__key"))),
+          "__key", mBits = 1 << 16, k = 3))
+      val streamed = s.read.parquet(bloomPath)
+      require(streamed.exceptAll(oneShot).isEmpty
+          && oneShot.exceptAll(streamed).isEmpty,
+        "w10: streamed bloom diverged from the one-shot bitmap")
       s.read.parquet(sink)
     }),
 
@@ -840,6 +928,44 @@ object TextOps {
           concat(col("__stext"), lit(" planted boundary copy")))
           .otherwise(col("text")))
       .select(col("doc_id"), col("text"))
+  }
+
+  /** The d47/p10 shared fixture: deterministic class-marker tokens
+    * (hqmarker/junkmarker) planted so the classifier separates
+    * non-vacuously on the synthetic corpus — the d40-banner device.
+    * Mirrored by nbSql's `mk` CTE. */
+  private def markedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" hqmarker hqmarker")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" junkmarker junkmarker")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" hqmarker")))
+        .otherwise(col("text")))
+
+  /** The d47/p10 shared trained artifact: NB stats over the
+    * doc_id % 5 == 0 slice labeled by doc_id % 10 == 0, localized. */
+  private def markedNbStats(docs: DataFrame): DataFrame =
+    TextAnalysis.localizeStats(TextAnalysis.nbStats(
+      markedDocs(docs).filter(col("doc_id") % 5 === 0)
+        .withColumn("__pos", col("doc_id") % 10 === 0),
+      "text", "__pos", buckets = 512))
+
+  /** The d49/w10 shared fixture: corpus = 3/4 of docs; batch = the
+    * rest, every doc_id % 8 == 0 doc carrying its corpus-side
+    * successor's text (an exact cross-boundary copy, so membership is
+    * non-vacuously true across the index/batch boundary). */
+  private def bloomFixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    val neighbor = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__nt"))
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .join(neighbor, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
+          col("__nt")).otherwise(col("text")))
+      .select("doc_id", "text")
+    (docs.filter(col("doc_id") % 4 =!= 0), batch)
   }
 
   /** The d44/w08 shared oracle CTEs: planted corpus -> word-trigram
@@ -1398,6 +1524,38 @@ object TextOps {
          SELECT n AS domain, r AS rank_q FROM pr8"""
     },
 
+    // w10: the bloom as each slice SAW it — a probe cell hits iff any
+    // corpus key (sl -1) or strictly-earlier-slice batch key (sl =
+    // doc_id % 3) owns that cell; the replay is absorbed (first
+    // verdict wins), so only first-delivery rows appear
+    "w10_bloom_stream" -> {
+      def cells(src: String, slExpr: String) = (0 until 3).map(s =>
+        s"""SELECT $slExpr AS sl,
+           ('0x' || substr(md5('$s' || key), 1, 12))::BIGINT % 65536 AS h
+         FROM $src""").mkString(" UNION ALL ")
+      def pcells = (0 until 3).map(s =>
+        s"""SELECT doc_id, sl, $s AS j,
+           ('0x' || substr(md5('$s' || key), 1, 12))::BIGINT % 65536 AS h
+         FROM bk""").mkString(" UNION ALL ")
+      s"""WITH bk AS MATERIALIZED (SELECT d.doc_id, d.doc_id % 3 AS sl,
+           md5(CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
+             THEN n.text ELSE d.text END) AS key
+         FROM documents d LEFT JOIN documents n
+           ON n.doc_id = d.doc_id + 1
+         WHERE d.doc_id % 4 = 0),
+         ck AS (SELECT md5(text) AS key FROM documents
+           WHERE doc_id % 4 <> 0),
+         ac AS MATERIALIZED (${cells("ck", "-1")}
+           UNION ALL ${cells("bk", "sl")}),
+         pc AS (${pcells}),
+         hit AS (SELECT pc.doc_id, pc.j,
+             max(CASE WHEN ac.h IS NOT NULL THEN 1 ELSE 0 END) AS hj
+           FROM pc LEFT JOIN ac ON ac.h = pc.h AND ac.sl < pc.sl
+           GROUP BY pc.doc_id, pc.j)
+         SELECT doc_id, sum(hj) = 3 AS maybe_member
+         FROM hit GROUP BY 1"""
+    },
+
     // w08: the incremental semantic — each batch doc's candidates are
     // the index docs PLUS batch docs from strictly earlier doc_id % 3
     // slices (appended before its slice arrived); same-slice docs and
@@ -1427,6 +1585,26 @@ object TextOps {
     // counts and integer qlog2 chain, independently in SQL
     "d47_quality_classifier" ->
       s"WITH ${nbSql(512)} SELECT * FROM out",
+
+    // p10: the d47 chain filtered to pred_hq, then the d16 pack over
+    // the survivor set (cumulative sums over kept docs only; token
+    // counts over the MARKED text, as on the Spark side)
+    "p10_classifier_pack" ->
+      s"""WITH ${nbSql(512)},
+         kept AS (SELECT doc_id FROM out WHERE pred_hq),
+         t2 AS (SELECT mk.doc_id,
+             len(string_split(mk.text, ' '))::BIGINT AS n_tokens
+           FROM mk JOIN kept USING (doc_id)),
+         c2 AS (SELECT doc_id, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum
+           FROM t2)
+         SELECT doc_id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM c2""",
 
     // p09: the p06 band split over the order-5 scores
     "p09_ccnet_order5" ->
@@ -2044,6 +2222,24 @@ object TextOps {
            md5(coalesce(array_to_string(
              list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // d50: the encode ids decoded back in SQL (chr for codepoints,
+    // the surface list for merge ids) and compared to the word — the
+    // inverse computed independently in both engines
+    "d50_bpe_roundtrip" -> {
+      val surf = graft.operators.TextAnalysis.defaultBpeMerges
+        .map { case (l, r) => "'" + (l + r).replace("'", "''") + "'" }
+        .mkString(", ")
+      s"""WITH RECURSIVE $bpeCtes,
+         dec AS (SELECT w, ids,
+             list_transform(ids, id -> CASE WHEN id >= 1114112
+               THEN ([$surf])[id - 1114112 + 1] ELSE chr(id) END) AS parts
+           FROM enc)
+         SELECT w, len(ids)::INT AS n_ids,
+           array_to_string(parts, '') AS decoded,
+           array_to_string(parts, '') = w AS roundtrip_ok
+         FROM dec"""
+    },
 
     // p07: the d37 encode feeding the d16 prefix-sum packing — pack
     // boundaries from REAL tokenizer counts, mirrored end to end

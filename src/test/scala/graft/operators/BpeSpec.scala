@@ -173,6 +173,40 @@ class BpeSpec extends AnyFunSuite {
     assert(viaHist == viaCorpus, s"$viaHist vs $viaCorpus")
   }
 
+  test("decode inverts encode at word grain, incl. non-ASCII codepoints") {
+    val words = Seq("the", "theater", "running", "x", "naïve", "日本語",
+      "aaaab", "ing")
+    val enc = TextAnalysis.bpeEncode(words.toDF("w"), "w", outCol = "ids")
+    val got = TextAnalysis.bpeDecode(enc, "ids")
+      .select("w", "decoded").as[(String, String)].collect()
+    got.foreach { case (w, dec) => assert(dec == w, s"'$w' decoded '$dec'") }
+  }
+
+  test("multi-word streams decode to words concatenated (no whitespace token)") {
+    val enc = TextAnalysis.bpeEncode(
+      Seq("the cat", " padded  words ").toDF("text"), "text", outCol = "ids")
+    val got = TextAnalysis.bpeDecode(enc, "ids")
+      .select("text", "decoded").as[(String, String)].collect().toMap
+    assert(got("the cat") == "thecat")
+    assert(got(" padded  words ") == "paddedwords")
+  }
+
+  test("decode fails loudly on out-of-range ids; null ids stay null") {
+    import org.apache.spark.SparkException
+    val bad = Seq(Seq(0x110000 + 999)).toDF("ids")
+    val e = intercept[Exception] {
+      TextAnalysis.bpeDecode(bad, "ids").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((e.isInstanceOf[SparkException] || e.getMessage != null) &&
+      (e.getMessage.contains("no rank") || rootMsg(e).contains("no rank")))
+    val nulls = Seq(Option.empty[Seq[Int]]).toDF("ids")
+    val got = TextAnalysis.bpeDecode(nulls, "ids")
+      .select("decoded").as[Option[String]].collect()
+    assert(got.toSeq == Seq(None))
+  }
+
   test("the d37 plan is narrow: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d37_bpe_encode")(
