@@ -746,10 +746,10 @@ object Dedup {
         .as("bits", cfg))
   }
 
-  /** One salted hash cell: top-48-bit md5 bucket of saltkey into
+  /** One salted hash cell: top-48-bit md5 bucket of salt||key into
     * [0, mBits) — the d35/d38 engine-neutral hash family. */
   private def bloomCell(key: Column, salt: Int, mBits: Int): Column =
-    (conv(substring(md5(concat_ws("", lit(salt.toString), key)),
+    (conv(substring(md5(concat_ws("", lit(salt.toString), key)),
       1, 12), 16, 10).cast("long") % mBits)
 
   /** Probe a [[buildBloom]] artifact: appends `maybe_member` — true
@@ -796,7 +796,11 @@ object Dedup {
     * by the BROADCAST candidate keys, so the full corpus is scanned
     * once (projected to its 32-hex fingerprint) and shuffles nothing.
     * Returns (idCol, maybe_member, is_member): `maybe_member` is the
-    * filter's verdict, `is_member` the verified truth. */
+    * filter's verdict, `is_member` the verified truth. The probe
+    * frame is referenced twice (candidate derivation + final join),
+    * so Spark re-runs the BATCH-grain aggregate once more — one extra
+    * pass over the micro-batch, never the corpus; callers holding a
+    * large batch persist it first. */
   def exactMembership(corpus: DataFrame, batch: DataFrame,
       textCol: String, idCol: String, mBits: Int = 1 << 20,
       k: Int = 3): DataFrame = {

@@ -671,9 +671,18 @@ object TextOps {
         // cached file listing — planning the probe against the outer
         // session would read a stale index snapshot from slice 1 on
         val bs = b.sparkSession
-        val verdicts = Dedup.probeBandIndex(bs, tbl, b, "text", "doc_id",
+        // EVERY delivered doc gets its first-delivery verdict recorded,
+        // zero-candidate docs included: without the coalesce-0 row a
+        // zero-candidate doc is missing from the sink, so its REPLAY
+        // re-probes against the by-then-bigger index and can acquire
+        // late candidates (surfaced by the sf0.1 sweep: 11 such docs)
+        val counts = Dedup.probeBandIndex(bs, tbl, b, "text", "doc_id",
             k = 6, bandWidth = 2)
           .groupBy("doc_id").agg(count(lit(1)).as("n_prior_candidates"))
+        val verdicts = b.select("doc_id").distinct()
+          .join(counts, Seq("doc_id"), "left")
+          .withColumn("n_prior_candidates",
+            coalesce(col("n_prior_candidates"), lit(0L)))
           .join(bs.read.parquet(sink).select("doc_id"),
             Seq("doc_id"), "left_anti")
         // materialize before appending: the plan reads both paths the
@@ -1565,9 +1574,12 @@ object TextOps {
          cand AS (SELECT DISTINCT b.doc_id, x.doc_id AS o
            FROM banded b JOIN banded x ON b.band = x.band
            WHERE b.is_batch
-             AND (NOT x.is_batch OR x.doc_id % 3 < b.doc_id % 3))
-         SELECT doc_id, count(*) AS n_prior_candidates
-         FROM cand GROUP BY 1""",
+             AND (NOT x.is_batch OR x.doc_id % 3 < b.doc_id % 3)),
+         cc AS (SELECT doc_id, count(*) AS n FROM cand GROUP BY 1)
+         SELECT bd.doc_id,
+           coalesce(cc.n, 0)::BIGINT AS n_prior_candidates
+         FROM (SELECT DISTINCT doc_id FROM banded WHERE is_batch) bd
+         LEFT JOIN cc USING (doc_id)""",
 
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->
