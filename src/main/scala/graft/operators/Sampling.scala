@@ -118,6 +118,56 @@ object Sampling {
       .drop("__mk", "__pb", "__rn", "__g", "__opb", "__off")
   }
 
+  /** [[quotaPerGroup]] with PER-GROUP caps from a frame — the
+    * reputation-weighted form: published web stacks don't cap every
+    * domain equally, they admit more from high-centrality hosts
+    * (CommonCrawl-ranking-style priors, [[GraphOps.pageRank]]) and
+    * zero out the junk tail. `caps` is one row per group value
+    * (`groupCol`, `capCol`); group-grain = vocabulary-plateau scale,
+    * so it BROADCASTS. A group absent from `caps` gets `defaultCap`;
+    * cap <= 0 drops the group entirely (the rank-gated junk tail).
+    * Same two-level prefix-bucket scan as [[quotaPerGroup]] — no
+    * group-wide window, so one dominant domain cannot serialize the
+    * job; the only additions are the broadcast cap join and the
+    * per-bucket cap carried into the offset prune.
+    *
+    * `caps` must be UNIQUE per group (a duplicate would silently
+    * duplicate survivors through the join) — validated eagerly here,
+    * a group-grain action by contract. */
+  def quotaPerGroupBy(df: DataFrame, idCol: String, groupCol: String,
+      caps: DataFrame, capCol: String = "cap", defaultCap: Long = 0L,
+      prefixChars: Int = 2): DataFrame = {
+    require(defaultCap >= 0, s"defaultCap must be >= 0, got $defaultCap")
+    val dup = caps.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"quotaPerGroupBy: caps frame has duplicate rows for group " +
+        s"'${dup.headOption.map(_.get(0)).orNull}' — one row per group " +
+        "value required (survivors would silently duplicate)")
+    val capped = broadcast(caps.select(col(groupCol).as("__cg"),
+      col(capCol).cast("long").as("__cap")))
+    val withB = withShuffleBuckets(df, idCol, prefixChars)
+      .join(capped, col(groupCol) <=> col("__cg"), "left")
+      .withColumn("__cap", coalesce(col("__cap"), lit(defaultCap)))
+      .drop("__cg")
+    val wIn = Window.partitionBy(col(groupCol), col("__pb"))
+      .orderBy(col("__mk"), col(idCol))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withB.groupBy(col(groupCol), col("__pb"))
+      .agg(count(lit(1)).as("__c"), first(col("__cap")).as("__bcap"))
+      .withColumn("__off", sum("__c").over(wOff) - col("__c"))
+      .filter(col("__off") < col("__bcap"))
+      .select(col(groupCol).as("__g"), col("__pb").as("__opb"),
+        col("__off"))
+    withB.withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") <= col("__cap"))
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__pb") === col("__opb"))
+      .filter(col("__off") + col("__rn") <= col("__cap"))
+      .drop("__mk", "__pb", "__rn", "__g", "__opb", "__off", "__cap")
+  }
+
   /** Corpus balancing by token budget: walk each group in deterministic
     * md5-shuffled order and keep rows while the group's running
     * `tokensCol` total stays within `budget` (the first row of a group

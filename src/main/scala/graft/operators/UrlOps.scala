@@ -63,4 +63,23 @@ object UrlOps {
       .withColumn("domain", urlDomain(col("curl")))
     Sampling.quotaPerGroup(deduped, idCol, "domain", cap, prefixChars)
   }
+
+  /** [[curateUrls]] with REPUTATION-WEIGHTED per-domain caps (the
+    * [[Sampling.quotaPerGroupBy]] form): published web stacks don't
+    * cap every domain equally — they admit more from high-centrality
+    * hosts and zero out the junk tail. `caps` is one row per domain
+    * (domain, capCol), e.g. integer-scaled [[GraphOps.pageRank]]
+    * centrality; domains absent from it get `defaultCap` (0 = drop).
+    * Same canonicalize → dedup → two-level prefix-bucket quota
+    * pipeline; the caps frame broadcasts at host-graph grain. */
+  def curateUrlsWeighted(df: DataFrame, urlCol: String, idCol: String,
+      caps: DataFrame, capCol: String = "cap", defaultCap: Long = 0L,
+      prefixChars: Int = 2): DataFrame = {
+    TextAnalysis.requireNoCollision(df, Seq("curl", "domain"),
+      "curateUrlsWeighted")
+    val deduped = dropUrlDuplicates(df, urlCol, idCol)
+      .withColumn("domain", urlDomain(col("curl")))
+    Sampling.quotaPerGroupBy(deduped, idCol, "domain", caps, capCol,
+      defaultCap, prefixChars)
+  }
 }

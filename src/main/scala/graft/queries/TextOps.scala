@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, GraphOps, Packing, Sampling, TextAnalysis}
 import graft.sources.Tables
@@ -540,20 +540,26 @@ object TextOps {
     // d40 banner device): 20 domains, paths shared by doc_id div 100
     // within a domain (5-way URL dup groups), with case noise on
     // scheme/host and tracking-param/fragment noise to strip.
-    "d45_url_curation" -> ((s, d) => {
-      val host = concat(lit("site"), (col("doc_id") % 20).cast("string"))
-      val url = concat(
-        when(col("doc_id") % 3 === 0, lit("HTTPS://"))
-          .otherwise(lit("https://")),
-        when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
-        lit(".example.com/page/"), expr("doc_id div 100").cast("string"),
-        when(col("doc_id") % 4 === 1,
-            concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
-          .when(col("doc_id") % 4 === 2, lit("#top"))
-          .otherwise(lit("")))
+    "d45_url_curation" -> ((s, d) =>
       graft.operators.UrlOps.curateUrls(
-          Tables.documents(s, d).withColumn("url", url),
+          Tables.documents(s, d).withColumn("url", syntheticUrl),
           "url", "doc_id", cap = 3)
+        .select("doc_id", "curl", "domain")),
+
+    // The d45 + d48 composition (p11): per-domain quotas WEIGHTED by
+    // link-graph centrality — high-rank domains admit more pages, the
+    // teleport-floor tail caps near zero. cap = rank_q div 3e8, the
+    // integer-scaled reputation prior; the quota machinery is the
+    // same two-level prefix-bucket scan, caps broadcast at host-graph
+    // grain.
+    "p11_ranked_quota" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val caps = GraphOps.pageRank(syntheticEdges(docs), "src", "dst",
+          iters = 8)
+        .select(concat(col("node"), lit(".example.com")).as("domain"),
+          expr("rank_q div 300000000").as("cap"))
+      graft.operators.UrlOps.curateUrlsWeighted(
+          docs.withColumn("url", syntheticUrl), "url", "doc_id", caps)
         .select("doc_id", "curl", "domain")
     }),
 
@@ -592,17 +598,10 @@ object TextOps {
     // dst mixes doc_id and doc_id div 20 so the graph is irregular).
     // The domain-grain quality prior CommonCrawl-style stacks feed
     // into URL filtering — composable with d45's per-domain quotas.
-    "d48_domain_pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val edges = docs.select(
-        concat(lit("site"), (col("doc_id") % 20).cast("string")).as("src"),
-        concat(lit("site"),
-          ((col("doc_id") * 7 + expr("doc_id div 20")) % 20)
-            .cast("string")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-      GraphOps.pageRank(edges, "src", "dst", iters = 8)
-        .select(col("node").as("domain"), col("rank_q"))
-    }),
+    "d48_domain_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(syntheticEdges(Tables.documents(s, d)),
+          "src", "dst", iters = 8)
+        .select(col("node").as("domain"), col("rank_q"))),
 
     // BPE merge-list training: 8 iterations of count-pairs -> take the
     // most frequent -> re-segment, over the documents corpus — the
@@ -939,6 +938,31 @@ object TextOps {
       .select(col("doc_id"), col("text"))
   }
 
+  /** The d45/p11 shared URL fixture: 20 domains, 5-way dup groups,
+    * case/tracking noise — mirrored verbatim in the oracle SQL. */
+  private def syntheticUrl: Column = {
+    val host = concat(lit("site"), (col("doc_id") % 20).cast("string"))
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+        .otherwise(lit("https://")),
+      when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
+      lit(".example.com/page/"), expr("doc_id div 100").cast("string"),
+      when(col("doc_id") % 4 === 1,
+          concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2, lit("#top"))
+        .otherwise(lit("")))
+  }
+
+  /** The d48/p11 shared link-graph fixture: site-level edges, dst
+    * mixing doc_id and doc_id div 20 so the graph is irregular. */
+  private def syntheticEdges(docs: DataFrame): DataFrame =
+    docs.select(
+        concat(lit("site"), (col("doc_id") % 20).cast("string")).as("src"),
+        concat(lit("site"),
+          ((col("doc_id") * 7 + expr("doc_id div 20")) % 20)
+            .cast("string")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
   /** The d47/p10 shared fixture: deterministic class-marker tokens
     * (hqmarker/junkmarker) planted so the classifier separates
     * non-vacuously on the synthetic corpus — the d40-banner device.
@@ -976,6 +1000,60 @@ object TextOps {
       .select("doc_id", "text")
     (docs.filter(col("doc_id") % 4 =!= 0), batch)
   }
+
+  /** The d48/p11 shared oracle CTEs: the synthetic link graph and 8
+    * unrolled integer PageRank rounds, ending in `pr8(n, r)`. */
+  private def pageRankCtes: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT nd.n,
+           150000000::BIGINT + coalesce(c.s, 0) AS r
+         FROM nd LEFT JOIN (
+           SELECT ed.dst AS n,
+               sum(((rr.r * 85) // 100) // ed.deg)::BIGINT AS s
+             FROM ed JOIN pr${i - 1} rr ON ed.src = rr.n GROUP BY 1) c
+           USING (n))"""
+    }.mkString(",\n")
+    s"""ed0 AS MATERIALIZED (SELECT DISTINCT
+           'site' || (doc_id % 20)::VARCHAR AS src,
+           'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR AS dst
+         FROM documents
+         WHERE 'site' || (doc_id % 20)::VARCHAR
+           <> 'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR),
+         nd AS MATERIALIZED (SELECT src AS n FROM ed0
+           UNION SELECT dst FROM ed0),
+         dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed0 GROUP BY 1),
+         ed AS MATERIALIZED (SELECT ed0.src, ed0.dst, dg.deg
+           FROM ed0 JOIN dg USING (src)),
+         pr0 AS (SELECT n, 1000000000::BIGINT AS r FROM nd),
+         $rounds"""
+  }
+
+  /** The d45/p11 shared oracle CTEs: synthesize -> strip -> case-fold
+    * -> keep min id per canonical url, ending in
+    * `s(doc_id, curl, domain)` (the dedup survivor set). */
+  private def urlCurationCtes: String =
+    """u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           (CASE WHEN doc_id % 2 = 0
+              THEN upper('site' || (doc_id % 20)::VARCHAR)
+              ELSE 'site' || (doc_id % 20)::VARCHAR END) ||
+           '.example.com/page/' || (doc_id // 100)::VARCHAR ||
+           (CASE WHEN doc_id % 4 = 1
+              THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
+            WHEN doc_id % 4 = 2 THEN '#top' ELSE '' END) AS url
+         FROM documents),
+         c AS (SELECT doc_id,
+           CASE WHEN regexp_extract(b, '^([^/]*://[^/]*)', 1) <> ''
+             THEN lower(regexp_extract(b, '^([^/]*://[^/]*)', 1))
+               || regexp_extract(b, '^[^/]*://[^/]*(.*)$', 1)
+             ELSE b END AS curl
+           FROM (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS b
+             FROM u)),
+         dm AS (SELECT doc_id, curl,
+             lower(regexp_extract(curl, '^[^/]*://([^/]*)', 1)) AS domain
+           FROM c),
+         k AS (SELECT min(doc_id) AS keep_id FROM dm GROUP BY curl),
+         s AS (SELECT dm.* FROM dm JOIN k ON dm.doc_id = k.keep_id)"""
 
   /** The d44/w08 shared oracle CTEs: planted corpus -> word-trigram
     * shingles (+ batch flag) -> the d07 salted 3-band MinHash frame. */
@@ -1441,28 +1519,7 @@ object TextOps {
     // case-fold, keep min id per canonical url, 3-per-domain quota in
     // md5-shuffled order (the d17 mirror over the survivor set)
     "d45_url_curation" ->
-      """WITH u AS (SELECT doc_id,
-           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
-           (CASE WHEN doc_id % 2 = 0
-              THEN upper('site' || (doc_id % 20)::VARCHAR)
-              ELSE 'site' || (doc_id % 20)::VARCHAR END) ||
-           '.example.com/page/' || (doc_id // 100)::VARCHAR ||
-           (CASE WHEN doc_id % 4 = 1
-              THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
-            WHEN doc_id % 4 = 2 THEN '#top' ELSE '' END) AS url
-         FROM documents),
-         c AS (SELECT doc_id,
-           CASE WHEN regexp_extract(b, '^([^/]*://[^/]*)', 1) <> ''
-             THEN lower(regexp_extract(b, '^([^/]*://[^/]*)', 1))
-               || regexp_extract(b, '^[^/]*://[^/]*(.*)$', 1)
-             ELSE b END AS curl
-           FROM (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS b
-             FROM u)),
-         dm AS (SELECT doc_id, curl,
-             lower(regexp_extract(curl, '^[^/]*://([^/]*)', 1)) AS domain
-           FROM c),
-         k AS (SELECT min(doc_id) AS keep_id FROM dm GROUP BY curl),
-         s AS (SELECT dm.* FROM dm JOIN k ON dm.doc_id = k.keep_id),
+      s"""WITH $urlCurationCtes,
          r AS (SELECT doc_id, curl, domain, row_number() OVER (
              PARTITION BY domain
              ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
@@ -1507,31 +1564,24 @@ object TextOps {
 
     // d48: the same 8 unrolled integer PageRank rounds — floor
     // division everywhere, so ranks match bit for bit
-    "d48_domain_pagerank" -> {
-      val rounds = (1 to 8).map { i =>
-        s"""pr$i AS MATERIALIZED (SELECT nd.n,
-           150000000::BIGINT + coalesce(c.s, 0) AS r
-         FROM nd LEFT JOIN (
-           SELECT ed.dst AS n,
-               sum(((rr.r * 85) // 100) // ed.deg)::BIGINT AS s
-             FROM ed JOIN pr${i - 1} rr ON ed.src = rr.n GROUP BY 1) c
-           USING (n))"""
-      }.mkString(",\n")
-      s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT
-           'site' || (doc_id % 20)::VARCHAR AS src,
-           'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR AS dst
-         FROM documents
-         WHERE 'site' || (doc_id % 20)::VARCHAR
-           <> 'site' || ((doc_id * 7 + doc_id // 20) % 20)::VARCHAR),
-         nd AS MATERIALIZED (SELECT src AS n FROM ed0
-           UNION SELECT dst FROM ed0),
-         dg AS (SELECT src, count(*)::BIGINT AS deg FROM ed0 GROUP BY 1),
-         ed AS MATERIALIZED (SELECT ed0.src, ed0.dst, dg.deg
-           FROM ed0 JOIN dg USING (src)),
-         pr0 AS (SELECT n, 1000000000::BIGINT AS r FROM nd),
-         $rounds
-         SELECT n AS domain, r AS rank_q FROM pr8"""
-    },
+    "d48_domain_pagerank" ->
+      s"""WITH $pageRankCtes
+         SELECT n AS domain, r AS rank_q FROM pr8""",
+
+    // p11: the d48 ranks scaled to per-domain caps, driving the d45
+    // survivor set through the weighted quota
+    "p11_ranked_quota" ->
+      s"""WITH $pageRankCtes,
+         caps AS (SELECT n || '.example.com' AS domain,
+             (r // 300000000)::BIGINT AS cap FROM pr8),
+         $urlCurationCtes,
+         r2 AS (SELECT doc_id, curl, domain, row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM s)
+         SELECT doc_id, curl, domain FROM r2
+         LEFT JOIN caps USING (domain)
+         WHERE rn <= coalesce(cap, 0)""",
 
     // w10: the bloom as each slice SAW it — a probe cell hits iff any
     // corpus key (sl -1) or strictly-earlier-slice batch key (sl =

@@ -73,6 +73,37 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.sameElements(again))
   }
 
+  test("quotaPerGroupBy applies per-group caps; default drops; cap 0 drops; dup caps loud") {
+    val df = docs.withColumn("src", $"doc_id" % 4)
+    val caps = Seq((0L, 5L), (1L, 0L), (2L, 100L)).toDF("src", "cap")
+    val out = Sampling.quotaPerGroupBy(df, "doc_id", "src", caps)
+    val counts = out.groupBy("src").count().as[(Long, Long)].collect().toMap
+    assert(counts.get(0L).contains(5L), s"weighted cap not applied: $counts")
+    assert(!counts.contains(1L), "cap-0 group must drop entirely")
+    assert(counts.get(2L).contains(50L), "cap above group size keeps it whole")
+    assert(!counts.contains(3L), "group absent from caps gets defaultCap 0")
+    // defaultCap admits uncapped groups at the default rate
+    val out2 = Sampling.quotaPerGroupBy(df, "doc_id", "src", caps,
+      defaultCap = 7L)
+    assert(out2.filter($"src" === 3).count() == 7)
+    // per-group survivors match the single-window reference selection
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("__rn", row_number().over(
+        Window.partitionBy($"src")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+      .join(caps, Seq("src"))
+      .filter($"__rn" <= $"cap").select("doc_id")
+      .as[Long].collect().sorted
+    assert(out.select("doc_id").as[Long].collect().sorted
+      .sameElements(ref), "weighted quota diverged from the window form")
+    // duplicate caps rows fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.quotaPerGroupBy(df, "doc_id", "src",
+        caps.union(Seq((0L, 3L)).toDF("src", "cap")))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("tokenBudgetPerGroup keeps rows starting under budget, never drops a whole group") {
     val df = docs.withColumn("grp", $"doc_id" % 3)
       .withColumn("n", $"doc_id" % 5 + 10)
