@@ -615,9 +615,14 @@ object Dedup {
     * and never scanned beyond the probed buckets. The bucketed scan
     * must survive planning (DisableUnnecessaryBucketedScan would
     * discard the pruning — nothing above a broadcast join needs the
-    * distribution), so the plan is compiled inside the conf window
-    * here: act on the RETURNED frame; deriving a new frame from it
-    * re-plans outside the window (still correct, full index scan). */
+    * distribution), so the plan is compiled inside the conf window,
+    * ASSERTED to bucket-prune (a mis-built index fails loudly here,
+    * not silently as a full scan at corpus size), and MATERIALIZED by
+    * eager localCheckpoint before the window closes: the returned
+    * frame and anything derived from it (.filter, joins) re-plan from
+    * the checkpointed verdict rows — batch-proportional by
+    * construction — never from the index, so the derived-frame
+    * full-scan fallback is structurally impossible. */
   def probeBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, textCol: String, idCol: String, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3,
@@ -626,17 +631,22 @@ object Dedup {
       bandWidth, shingleSize, maxBatchBands, "probeBandIndex")
     try {
       val bands = banded._2
-      val pruned = spark.table(table)
-        .filter(col("band").isin(bands: _*))
-        .select(col(idCol).as("index_id"), col("band"))
-      val out = pruned
-        .join(broadcast(banded._1.select(col(idCol), col("band"))),
-          Seq("band"))
-        .filter(col("index_id") =!= col(idCol))
-        .select(col(idCol), col("index_id"))
-        .distinct()
-      compileWithBucketedScan(spark, out)
-      out
+      if (bands.isEmpty)  // empty batch: nothing to probe (an empty
+        // isin() folds the scan away, so there is no plan to pin)
+        banded._1.select(col(idCol), col(idCol).as("index_id")).limit(0)
+          .localCheckpoint(true)
+      else {
+        val pruned = spark.table(table)
+          .filter(col("band").isin(bands: _*))
+          .select(col(idCol).as("index_id"), col("band"))
+        val out = pruned
+          .join(broadcast(banded._1.select(col(idCol), col("band"))),
+            Seq("band"))
+          .filter(col("index_id") =!= col(idCol))
+          .select(col(idCol), col("index_id"))
+          .distinct()
+        compileAndPinBucketedScan(spark, out, table)
+      }
     } finally release()
   }
 
@@ -700,17 +710,31 @@ object Dedup {
   }
 
   /** Compile `df`'s physical plan with the auto-bucketed-scan
-    * heuristic OFF, so the In(band) bucket pruning survives into the
-    * executed plan (see [[probeBandIndex]]). The conf flip is
-    * session-global; the compile window holds the append lock. */
-  private def compileWithBucketedScan(
-      spark: org.apache.spark.sql.SparkSession, df: DataFrame): Unit =
+    * heuristic OFF so the In(band) bucket pruning survives, assert at
+    * call time that the compiled plan actually bucket-prunes (the
+    * ranked() precondition pattern — probing a table that is not a
+    * [[buildBandIndex]] product refuses loudly instead of shipping a
+    * full-index-scan probe), then materialize via eager
+    * localCheckpoint INSIDE the window, so the checkpoint execution
+    * runs the pruned plan and every derived frame reads checkpointed
+    * rows. The conf flip is session-global; the window holds the
+    * append lock. */
+  private def compileAndPinBucketedScan(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      table: String): DataFrame =
     bandConfLock.synchronized {
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
       spark.conf.set(key, "false")
-      try { df.queryExecution.executedPlan; () }
-      finally spark.conf.set(key, old)
+      try {
+        val executed = df.queryExecution.executedPlan.toString
+        require(executed.contains("SelectedBucketsCount"),
+          s"probeBandIndex: the scan of $table did not bucket-prune — " +
+            "the table must be band-bucketed (a buildBandIndex/" +
+            "appendToBandIndex product); refusing to run a full-index-" +
+            "scan probe")
+        df.localCheckpoint(true)
+      } finally spark.conf.set(key, old)
     }
 
   /** Bloom-filter membership artifact over a key column (content
@@ -736,7 +760,7 @@ object Dedup {
       k: Int = 3): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0,
       s"mBits must be a positive multiple of 32, got $mBits")
-    require(k >= 1, s"k must be >= 1, got $k")
+    requireBloomK(k)
     val cfg = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("mBits", mBits.toLong).putLong("k", k.toLong).build()
     df.select(explode(array((0 until k).map(s =>
@@ -747,10 +771,22 @@ object Dedup {
   }
 
   /** One salted hash cell: top-48-bit md5 bucket of salt||key into
-    * [0, mBits) — the d35/d38 engine-neutral hash family. */
+    * [0, mBits) — the d35/d38 engine-neutral hash family. The salt
+    * prepends with NO separator, so the scheme is prefix-free only
+    * for single-digit salts ("1"+"1x" vs "11"+"x" alias at k >= 11,
+    * correlating the hash functions); [[requireBloomK]] enforces the
+    * bound at every public entry. */
   private def bloomCell(key: Column, salt: Int, mBits: Int): Column =
     (conv(substring(md5(concat_ws("", lit(salt.toString), key)),
       1, 12), 16, 10).cast("long") % mBits)
+
+  /** Guard for the [[bloomCell]] salt scheme: k in [1, 10]. */
+  private def requireBloomK(k: Int): Unit =
+    require(k >= 1 && k <= 10,
+      s"k must be in [1, 10], got $k — bloomCell prepends the salt " +
+        "digit with no separator, so salts beyond one digit alias " +
+        "(salt 1 on key '1x' = salt 11 on key 'x') and correlate the " +
+        "hash functions, inflating the false-positive rate")
 
   /** Probe a [[buildBloom]] artifact: appends `maybe_member` — true
     * iff every one of the key's k bits is set. No false negatives; a
@@ -759,12 +795,16 @@ object Dedup {
     * the entire point — the corpus-sized side is touched only by the
     * candidate subset). One batch pass: k-cell explode, ONE broadcast
     * join of the config-sized bitmap, batch-grain rollup. Null keys
-    * probe no cells and come back `maybe_member = false`. */
+    * probe no cells and come back `maybe_member = false`. Duplicate
+    * `idCol` rows are collapsed first (one arbitrary row per id, the
+    * freshBatchBands normalization) — without it a doc-grain rollup
+    * over two keys' cells could count k hits across DIFFERENT keys
+    * and report a spurious member. */
   def probeBloom(batch: DataFrame, keyCol: String, idCol: String,
       bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0,
       s"mBits must be a positive multiple of 32, got $mBits")
-    require(k >= 1, s"k must be >= 1, got $k")
+    requireBloomK(k)
     bloom.schema.fields.find(_.name == "bits").map(_.metadata)
       .filter(_.contains("mBits")).foreach { m =>
         require(m.getLong("mBits") == mBits && m.getLong("k") == k,
@@ -774,6 +814,7 @@ object Dedup {
             "the wrong space")
       }
     batch
+      .dropDuplicates(Seq(idCol))
       .select(col(idCol),
         explode_outer(when(col(keyCol).isNotNull, array((0 until k).map(s =>
           bloomCell(col(keyCol), s, mBits)): _*))).as("__h"))
@@ -838,8 +879,16 @@ object Dedup {
       mBits: Int = 1 << 20, k: Int = 3): Unit = {
     val spark = df.sparkSession
     val add = buildBloom(df, keyCol, mBits, k)
+    // existence through the Hadoop FS API, not java.io.File: the path
+    // may live on any Hadoop filesystem (hdfs://, s3a://) — a local-FS
+    // check is always false there and would silently REPLACE the
+    // accumulated bloom with only this batch's bits (lost membership
+    // bits = missed exact duplicates, violating the no-false-negatives
+    // contract)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(hadoopPath)) {
         val existing = spark.read.parquet(path)
         existing.schema.fields.find(_.name == "bits").map(_.metadata)
           .filter(_.contains("mBits")).foreach { m =>

@@ -813,7 +813,10 @@ object TextAnalysis {
       outCol: String = "bpe_ids"): DataFrame = {
     requireNoCollision(df, Seq(outCol), "bpeEncode")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // merges = Nil (codepoint-only encode) makes the bare literal type
+    // array<void>; pin it (the bpePairCounts device)
     val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+      .cast("array<array<string>>")
     df.withColumn(outCol, call_function("graft_bpe", col(textCol), m))
   }
 
@@ -949,7 +952,10 @@ object TextAnalysis {
       outCol: String = "decoded"): DataFrame = {
     requireNoCollision(df, Seq(outCol), "bpeDecode")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // merges = Nil (decoding a codepoint-only id stream) makes the
+    // bare literal type array<void>; pin it (the bpePairCounts device)
     val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
+      .cast("array<array<string>>")
     df.withColumn(outCol, call_function("graft_bpe_decode", col(idsCol), m))
   }
 

@@ -48,6 +48,35 @@ class BloomSpec extends AnyFunSuite {
     assert(got(1L) && !got(2L), got.toString)
   }
 
+  test("k beyond the single-digit salt bound is rejected at build and probe") {
+    // bloomCell prepends the salt with no separator: salt "1" on key
+    // "1x" aliases salt "11" on key "x", so k > 10 correlates the hash
+    // functions — the guard refuses instead
+    val corpus = Seq("a").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 11)
+    }
+    assert(e.getMessage.contains("[1, 10]"), e.getMessage)
+    val bloom = Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 10)
+    val probe = Seq((1L, "a")).toDF("id", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.probeBloom(probe, "k", "id", bloom, 1 << 10, k = 11)
+    }
+    assert(e2.getMessage.contains("[1, 10]"), e2.getMessage)
+  }
+
+  test("duplicate-id batch rows are collapsed before the doc-grain rollup") {
+    // without the entry normalization, a replayed row doubles its k
+    // cells and sum === k reports a genuine member as NOT maybe_member
+    val corpus = Seq("a").toDF("k")
+    val bloom = TextAnalysis.localizeStats(
+      Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 3))
+    val probe = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
+    val got = Dedup.probeBloom(probe, "k", "id", bloom, 1 << 10, 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.size == 2 && got(1L) && !got(2L), got.toString)
+  }
+
   test("mismatched config fails loudly; bad mBits rejected") {
     val corpus = Seq("a").toDF("k")
     val bloom = Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 2)

@@ -191,6 +191,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got(" padded  words ") == "paddedwords")
   }
 
+  test("empty merge list: codepoint-only encode and decode round-trip") {
+    // merges = Nil used to build an array<void> literal and fail
+    // graft_bpe/graft_bpe_decode's type check with an analysis error;
+    // the literal type is now pinned (r15 ADVICE)
+    val enc = TextAnalysis.bpeEncode(Seq("abc").toDF("w"), "w",
+      merges = Nil, outCol = "ids")
+    val ids = enc.select("ids").as[Seq[Int]].collect().head
+    assert(ids == Seq('a'.toInt, 'b'.toInt, 'c'.toInt), ids.toString)
+    val dec = TextAnalysis.bpeDecode(enc, "ids", merges = Nil)
+      .select("decoded").as[String].collect().head
+    assert(dec == "abc")
+  }
+
   test("decode fails loudly on out-of-range ids; null ids stay null") {
     import org.apache.spark.SparkException
     val bad = Seq(Seq(0x110000 + 999)).toDF("ids")

@@ -163,9 +163,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"$got vs $want")
     assert(got.exists(_._1 == 10L), "planted near-copy found no index candidate")
-    // probe plan: index scan bucket-pruned to the batch's band buckets
-    assert(probe.queryExecution.executedPlan.toString
-      .contains("SelectedBucketsCount"), "probe scan not bucket-pruned")
+    // probe contract (r16): the verdicts were ASSERTED bucket-pruned at
+    // call time and checkpointed under that plan — neither the returned
+    // frame nor anything DERIVED from it can re-plan a scan of the
+    // index (the r15 derived-frame full-scan fallback)
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(!probePlan.contains("FileScan"),
+      s"probe result must be checkpointed, not a live index scan:\n$probePlan")
+    val derived = probe.filter(col("doc_id") === 10L)
+      .join(batch.select(col("doc_id")), Seq("doc_id"))
+    val derivedScans = derived.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(!derivedScans.contains("spec_idx"),
+      s"derived frame re-scanned the index:\n$derivedScans")
     // append, then REPLAY the same batch: second append adds nothing
     Dedup.appendToBandIndex(batch, tbl, "text", "doc_id", k = 6,
       bandWidth = 2, buckets = 4)
@@ -182,6 +192,33 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!reprobe.exists(p => p._1 == p._2), "self-pair leaked")
     assert(reprobe.exists(_ == (10L, 1L)), "near-copy pair lost after append")
+  }
+
+  test("probeBandIndex refuses a non-bucketed table; empty batch probes empty") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"alpha beta $filler")).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    // a band frame saved WITHOUT bucketBy: correct columns, no pruning
+    // possible — the call-time assertion must fail loudly instead of
+    // shipping a silent full-index-scan probe
+    val flat = "graft_bandidx.spec_flat"
+    Similarity.dropTableAndLocation(spark, flat)
+    Dedup.lshBands(Dedup.minHashSignatures(docs, "text", "doc_id", 6),
+        "doc_id", 6, 2)
+      .write.mode("overwrite").saveAsTable(flat)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeBandIndex(spark, flat, docs, "text", "doc_id", k = 6,
+        bandWidth = 2)
+    }
+    assert(e.getMessage.contains("did not bucket-prune"), e.getMessage)
+    // an empty batch has no bands (nothing to pin); verdicts are empty
+    val tbl = "graft_bandidx.spec_empty_probe"
+    Dedup.buildBandIndex(docs, "text", "doc_id", tbl, k = 6, bandWidth = 2,
+      buckets = 4)
+    val got = Dedup.probeBandIndex(spark, tbl, docs.limit(0), "text",
+      "doc_id", k = 6, bandWidth = 2)
+    assert(got.columns.toSeq == Seq("doc_id", "index_id"))
+    assert(got.count() == 0)
   }
 
   test("incremental line dedup over ascending slices equals the one-shot pass") {
