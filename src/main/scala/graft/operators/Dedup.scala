@@ -591,6 +591,10 @@ object Dedup {
       buckets: Int = 32): Unit = {
     val spark = df.sparkSession
     Similarity.dropTableAndLocation(spark, table)
+    // a rebuilt index starts with no pending deletes: a stale tombstone
+    // side table from a previous build would silently suppress live
+    // docs from every probe
+    Similarity.dropTableAndLocation(spark, tombstoneTable(table))
     // task-aligned to buckets (same hash family): one file per bucket
     // instead of one per (task x bucket) — see RawVault.writeTable
     lshBands(minHashSignatures(df, textCol, idCol, k, shingleSize),
@@ -617,22 +621,37 @@ object Dedup {
     * discard the pruning — nothing above a broadcast join needs the
     * distribution), so the plan is compiled inside the conf window,
     * ASSERTED to bucket-prune (a mis-built index fails loudly here,
-    * not silently as a full scan at corpus size), and MATERIALIZED by
-    * eager localCheckpoint before the window closes: the returned
-    * frame and anything derived from it (.filter, joins) re-plan from
-    * the checkpointed verdict rows — batch-proportional by
-    * construction — never from the index, so the derived-frame
-    * full-scan fallback is structurally impossible. */
+    * not silently as a full scan at corpus size — the catalog
+    * bucketSpec is additionally validated up front, so even an empty
+    * batch refuses a mis-built table), and MATERIALIZED by an eager
+    * checkpoint: the returned frame and anything derived from it
+    * (.filter, joins) re-plan from the checkpointed verdict rows —
+    * batch-proportional by construction — never from the index, so
+    * the derived-frame full-scan fallback is structurally impossible.
+    *
+    * Checkpoint durability: the default is `localCheckpoint` —
+    * verdict blocks live on executor storage only, so an executor
+    * loss (or dynamic-allocation decommission) makes the returned
+    * frame unrecoverable mid-pipeline; the lineage it replaced cannot
+    * recompute. Fine for the single-writer ingest loop this operator
+    * serves (a failed probe re-probes the batch), but long-lived
+    * production sessions can pass `reliableCheckpoint = true` to
+    * write the verdicts through the configured `sc.setCheckpointDir`
+    * instead (verdicts are batch-proportional, so the extra write is
+    * micro-batch-sized). */
   def probeBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       batch: DataFrame, textCol: String, idCol: String, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3,
-      maxBatchBands: Int = 1 << 20): DataFrame = {
+      maxBatchBands: Int = 1 << 20,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    requireBandBucketedTable(spark, table, "probeBandIndex")
     val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
       bandWidth, shingleSize, maxBatchBands, "probeBandIndex")
     try {
       val bands = banded._2
       if (bands.isEmpty)  // empty batch: nothing to probe (an empty
-        // isin() folds the scan away, so there is no plan to pin)
+        // isin() folds the scan away, so there is no plan to pin; the
+        // catalog check above still rejected a mis-built table)
         banded._1.select(col(idCol), col(idCol).as("index_id")).limit(0)
           .localCheckpoint(true)
       else {
@@ -645,7 +664,7 @@ object Dedup {
           .filter(col("index_id") =!= col(idCol))
           .select(col(idCol), col("index_id"))
           .distinct()
-        compileAndPinBucketedScan(spark, out, table)
+        compileAndPinBucketedScan(spark, out, table, reliableCheckpoint)
       }
     } finally release()
   }
@@ -714,14 +733,17 @@ object Dedup {
     * call time that the compiled plan actually bucket-prunes (the
     * ranked() precondition pattern — probing a table that is not a
     * [[buildBandIndex]] product refuses loudly instead of shipping a
-    * full-index-scan probe), then materialize via eager
-    * localCheckpoint INSIDE the window, so the checkpoint execution
-    * runs the pruned plan and every derived frame reads checkpointed
-    * rows. The conf flip is session-global; the window holds the
-    * append lock. */
+    * full-index-scan probe), then materialize via an eager checkpoint
+    * OUTSIDE the window: `executedPlan` is a cached lazy val on the
+    * QueryExecution compiled here, and checkpoint execution only calls
+    * `executedPlan.execute()` — it never re-plans — so the lock and
+    * the session-global conf flip cover plan compilation alone, not
+    * the probe job. Concurrent same-session queries plan with their
+    * own conf, and appendToBandIndex never serializes behind probe
+    * execution. */
   private def compileAndPinBucketedScan(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-      table: String): DataFrame =
+      table: String, reliable: Boolean): DataFrame = {
     bandConfLock.synchronized {
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
@@ -733,9 +755,210 @@ object Dedup {
             "the table must be band-bucketed (a buildBandIndex/" +
             "appendToBandIndex product); refusing to run a full-index-" +
             "scan probe")
-        df.localCheckpoint(true)
       } finally spark.conf.set(key, old)
     }
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+
+  /** Catalog-metadata validation shared by every band-index read/
+    * rewrite entry point: `table` must be bucketed by exactly `band`
+    * (a [[buildBandIndex]]/[[appendToBandIndex]] product). Returns the
+    * bucket count, so layout-preserving rewrites need no bucket
+    * parameter. This is the metadata complement of the compiled-plan
+    * `SelectedBucketsCount` assert — it also covers paths where no
+    * plan exists to inspect (an empty probe batch, a pre-rewrite
+    * check). */
+  private[graft] def requireBandBucketedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      context: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    require(spec.exists(_.bucketColumnNames == Seq("band")),
+      s"$context: table $table is not band-bucketed " +
+        s"(bucketSpec=$spec) — not a buildBandIndex product; a probe " +
+        "against it could not bucket-prune at any scale")
+    spec.get.numBuckets
+  }
+
+  /** Number of data files currently backing a band-index table — the
+    * quantity [[compactBandIndex]] exists to bound. Hidden files
+    * (`_SUCCESS`, dotfiles) excluded. */
+  def bandIndexFileCount(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Compact a [[buildBandIndex]] table back to one file per bucket.
+    *
+    * Every [[appendToBandIndex]] delivery writes its own task-aligned
+    * file set, so after N deliveries each bucket holds N files and a
+    * probe's bucket-pruned scan opens N files per probed bucket — the
+    * probe cost degrades linearly in DELIVERIES, not in data. This
+    * pass rewrites the table coalesced (the f05 rewrite device: same
+    * bucket count and hash family read from the catalog, one
+    * task-aligned file per bucket) into a staging table, then
+    * atomically swaps it in under the band lock, so no probe plan
+    * compilation or append interleaves with the swap. (A probe plan
+    * compiled before the swap that is still executing its checkpoint
+    * when the swap lands fails loudly on the dropped files — never
+    * silently wrong — and the single-writer ingest contract makes
+    * that interleaving a caller bug.) When the index has a tombstone
+    * side table ([[ingestResolveNearDups]]'s supersede mechanism),
+    * the rewrite also APPLIES it: tombstoned docs' bands are dropped
+    * and the tombstone table truncated — deletes cost O(corpus) only
+    * here, never per delivery. Verdict-neutral by construction apart
+    * from exactly those applied tombstones — row set, bucketing spec,
+    * and bucket hash are all unchanged (spec'd: identical probe
+    * verdicts before/after with the file count reduced) — and
+    * idempotent: re-running rewrites the same one-file-per-bucket
+    * layout. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val buckets = requireBandBucketedTable(spark, table, "compactBandIndex")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val stagingIdent = ident.copy(table = ident.table + "__compact_stage")
+    val staging = stagingIdent.unquotedString
+    Similarity.dropTableAndLocation(spark, staging)
+    val tomb = tombstoneTable(table)
+    val applyTombs = spark.catalog.tableExists(tomb)
+    bandConfLock.synchronized {
+      val idName = bandIndexIdColumn(spark, table)
+      val rows =
+        if (applyTombs)
+          spark.table(table).join(
+            spark.table(tomb).select(col(idName)), Seq(idName), "left_anti")
+        else spark.table(table)
+      // Force the bucketed scan for the rewrite: the scan then claims
+      // HashPartitioning(band, buckets), the repartition below elides,
+      // and each task reads ONE bucket's file sets and writes its one
+      // replacement file — a zero-shuffle, per-bucket-parallel rewrite.
+      // Left to the default heuristic, DisableUnnecessaryBucketedScan
+      // drops the bucketed read AFTER the repartition was already
+      // elided against its claimed partitioning, and the write tasks
+      // hold arbitrary bucket mixtures — compaction would then GROW
+      // the file count it exists to bound.
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try {
+        rows.repartition(buckets, col("band"))
+          .write.bucketBy(buckets, "band")
+          .mode("overwrite").saveAsTable(staging)
+      } finally spark.conf.set(key, old)
+      Similarity.dropTableAndLocation(spark, table)
+      spark.sql(s"ALTER TABLE $staging RENAME TO ${ident.unquotedString}")
+      if (applyTombs) spark.sql(s"TRUNCATE TABLE $tomb")
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** The tombstone side table of a band index: superseded index doc
+    * ids awaiting physical removal at the next [[compactBandIndex]]. */
+  private[graft] def tombstoneTable(table: String): String =
+    table + "__tombstones"
+
+  /** The id column of a band-index table (its one non-`band` column). */
+  private def bandIndexIdColumn(
+      spark: org.apache.spark.sql.SparkSession, table: String): String =
+    spark.table(table).columns.filter(_ != "band") match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"band index $table must have exactly (id, band) columns, " +
+          s"saw ${other.mkString(",")} besides band")
+    }
+
+  /** Incremental near-dup RESOLUTION at ingest — the [[probeBandIndex]]
+    * + [[resolveNearDupsByQuality]] composition the one-shot d42 pass
+    * cannot express: a NEW batch doc that near-dups index docs is
+    * kept, dropped, or made to REPLACE them by score, at delivery
+    * time, without re-mining the corpus.
+    *
+    * Policy (the d42 total order): a batch doc WINS iff it beats every
+    * live index-side candidate under (`scoreCol` desc, id asc).
+    * Winners are ingested ([[appendToBandIndex]], idempotent) and
+    * their candidates become TOMBSTONES (appended to the side table;
+    * physically removed at the next [[compactBandIndex]]); losers are
+    * dropped and never enter the index. Tombstoned docs are dead to
+    * every later delivery — their verdict rows are filtered before
+    * resolution — so a better-scored late arrival genuinely
+    * supersedes its index-side near-dup.
+    *
+    * `indexScores` must cover every index doc id (`idCol`,
+    * `scoreCol`) — it is scanned ONCE, semi-joined by the broadcast
+    * batch-proportional verdict pairs, so the corpus-sized side
+    * shuffles nothing. The batch side is micro-batch grain by the
+    * probe's contract and broadcasts everywhere. The pair frame is
+    * eagerly checkpointed before any table mutation (the w05
+    * discipline: everything returned or written derives from
+    * checkpointed batch-proportional rows, not from the tables the
+    * appends extend). The whole flow is replay-idempotent: a replayed
+    * winner finds its candidates tombstoned and itself appended (both
+    * appends anti-joined), a replayed loser loses again.
+    *
+    * Returns one row per batch doc:
+    * (idCol, n_candidates, kept, n_superseded). */
+  def ingestResolveNearDups(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, indexScores: DataFrame, k: Int = 6,
+      bandWidth: Int = 2, shingleSize: Int = 3, buckets: Int = 32,
+      maxBatchBands: Int = 1 << 20): DataFrame = {
+    val tomb = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tomb))
+      spark.table(table).select(col(idCol)).limit(0)
+        .write.saveAsTable(tomb)
+    val verdicts = probeBandIndex(spark, table, batch, textCol, idCol,
+        k, bandWidth, shingleSize, maxBatchBands)
+      .join(spark.table(tomb).select(col(idCol).as("index_id")),
+        Seq("index_id"), "left_anti")
+    // one corpus-score scan, broadcast-semi-joined by the verdict
+    // pairs; the per-pair frame checkpoints batch-proportional rows so
+    // resolution, tombstoning, and the winner append all replan from
+    // them (never from indexScores, never from the mutating tables)
+    val pairs = indexScores
+      .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
+      .join(broadcast(verdicts.join(
+          broadcast(batch.select(col(idCol), col(scoreCol).as("__bs"))),
+          Seq(idCol))),
+        Seq("index_id"))
+      .select(col(idCol), col("index_id"), col("__bs"), col("__is"))
+      .localCheckpoint(true)
+    val beats = col("__bs") > col("__is") ||
+      (col("__bs") === col("__is") && col(idCol) < col("index_id"))
+    val byDoc = pairs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        (min(when(beats, 1).otherwise(0)) === 1).as("__wins"))
+    val resolved = batch.select(col(idCol))
+      .join(broadcast(byDoc), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_candidates"),
+        coalesce(col("__wins"), lit(true)).as("kept"),
+        when(coalesce(col("__wins"), lit(true)),
+          coalesce(col("__n"), lit(0L))).otherwise(lit(0L))
+          .as("n_superseded"))
+      .localCheckpoint(true)
+    val superseded = pairs
+      .join(broadcast(byDoc.filter(col("__wins")).select(col(idCol))),
+        Seq(idCol), "left_semi")
+      .select(col("index_id").as(idCol)).distinct()
+    superseded
+      .join(spark.table(tomb), Seq(idCol), "left_anti")
+      .write.mode("append").saveAsTable(tomb)
+    spark.catalog.refreshTable(tomb)
+    val winners = batch.join(
+      broadcast(resolved.filter(col("kept")).select(col(idCol))),
+      Seq(idCol), "left_semi")
+    appendToBandIndex(winners, table, textCol, idCol, k, bandWidth,
+      shingleSize, buckets, maxBatchBands)
+    resolved
+  }
 
   /** Bloom-filter membership artifact over a key column (content
     * fingerprints) — the exact-dedup complement of [[buildBandIndex]]
@@ -794,12 +1017,22 @@ object Dedup {
     * join (callers prune that join to `maybe_member` rows, which is
     * the entire point — the corpus-sized side is touched only by the
     * candidate subset). One batch pass: k-cell explode, ONE broadcast
-    * join of the config-sized bitmap, batch-grain rollup. Null keys
-    * probe no cells and come back `maybe_member = false`. Duplicate
-    * `idCol` rows are collapsed first (one arbitrary row per id, the
-    * freshBatchBands normalization) — without it a doc-grain rollup
-    * over two keys' cells could count k hits across DIFFERENT keys
-    * and report a spurious member. */
+    * join of the config-sized bitmap, per-key then per-doc rollup.
+    * Null keys probe no cells and come back `maybe_member = false`.
+    * Duplicate (`idCol`, `keyCol`) rows are collapsed first (a
+    * replayed row must not double its cells — `sum === k` would
+    * report a genuine member as false); duplicate ids carrying
+    * DIFFERENT keys FAIL LOUDLY (raise_error in the final rollup) —
+    * silently picking one key would make `maybe_member`
+    * partition-order-dependent on malformed input, in tension with
+    * the no-false-negatives contract, and every other graft entry
+    * point refuses ambiguity rather than resolving it arbitrarily.
+    * The id→key functional dependency is the upstream contract (ids
+    * are content-hash grain); this guard just makes a breach loud.
+    * Costs one extra micro-batch-grain exchange vs the single-rollup
+    * form (the (id, key) aggregate reuses the dedup's partitioning;
+    * the id-grain rollup re-keys) — batch-proportional, never
+    * corpus. */
   def probeBloom(batch: DataFrame, keyCol: String, idCol: String,
       bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     require(mBits > 0 && mBits % 32 == 0,
@@ -814,8 +1047,8 @@ object Dedup {
             "the wrong space")
       }
     batch
-      .dropDuplicates(Seq(idCol))
-      .select(col(idCol),
+      .dropDuplicates(Seq(idCol, keyCol))
+      .select(col(idCol), col(keyCol).as("__key"),
         explode_outer(when(col(keyCol).isNotNull, array((0 until k).map(s =>
           bloomCell(col(keyCol), s, mBits)): _*))).as("__h"))
       .withColumn("__w", expr("__h div 32"))
@@ -824,9 +1057,17 @@ object Dedup {
       .withColumn("__hit",
         (coalesce(col("__bits"), lit(0L))
           .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(__h % 32 AS INT))"))) =!= 0)
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("__key"))
       .agg((sum(when(col("__hit"), 1L).otherwise(0L)) === k)
-        .as("maybe_member"))
+        .as("__key_member"))
+      .groupBy(col(idCol))
+      .agg(max(col("__key_member")).as("__mm"), count(lit(1)).as("__nk"))
+      .select(col(idCol),
+        when(col("__nk") > 1, raise_error(concat(
+            lit("probeBloom: id "), col(idCol).cast("string"),
+            lit(" carries conflicting keys — ids must be key-grain " +
+              "(one key per id); dedupe upstream or probe at key grain"))))
+          .otherwise(col("__mm")).as("maybe_member"))
   }
 
   /** The composed exact-membership ingest flow (d49): corpus content

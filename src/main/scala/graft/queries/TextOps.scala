@@ -531,6 +531,186 @@ object TextOps {
       s.read.parquet(out)
     }),
 
+    // Band-index compaction (d51): the d44 fixture delivered as TWO
+    // append batches, so each bucket holds up to three task-aligned
+    // file sets (build + 2 deliveries) and the probe's pruned scan
+    // opens one file per DELIVERY per bucket; compaction rewrites to
+    // one file per bucket (layout read from the catalog, atomic
+    // staging swap) and must be verdict-neutral — the post-compaction
+    // probe of the batch against the full index hash-matches the
+    // mirror computed over the raw banded pairs.
+    "d51_band_compaction" -> ((s, d) => {
+      val planted = plantBoundaryCopies(Tables.documents(s, d))
+      val idxSet = planted.filter(col("doc_id") % 4 =!= 0)
+      val batch = planted.filter(col("doc_id") % 4 === 0)
+      val tbl = "graft_bandidx.d51_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      Dedup.appendToBandIndex(batch.filter(col("doc_id") % 8 === 0), tbl,
+        "text", "doc_id", k = 6, bandWidth = 2, buckets = 8)
+      Dedup.appendToBandIndex(batch.filter(col("doc_id") % 8 =!= 0), tbl,
+        "text", "doc_id", k = 6, bandWidth = 2, buckets = 8)
+      val rowsBefore = s.table(tbl).count()
+      val filesBefore = Dedup.bandIndexFileCount(s, tbl)
+      require(filesBefore > 8,
+        s"d51: three deliveries must leave more file sets than buckets, " +
+          s"saw $filesBefore")
+      Dedup.compactBandIndex(s, tbl)
+      require(Dedup.bandIndexFileCount(s, tbl) <= 8,
+        "d51: compaction must leave at most one file per bucket")
+      require(s.table(tbl).count() == rowsBefore,
+        "d51: compaction with no tombstones must be row-neutral")
+      Dedup.probeBandIndex(s, tbl, batch, "text", "doc_id",
+          k = 6, bandWidth = 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_index_candidates"))
+    }),
+
+    // Incremental near-dup resolution at ingest (d52): the d44 + d42
+    // composition. The batch arrives as two doc_id % 8 slices; each
+    // slice's docs are probed against the index AS IT STANDS, and the
+    // keep-the-best policy (score desc, id asc — score is a
+    // deterministic pseudo-quality (doc_id*37) % 100 so both outcomes
+    // occur) resolves every near-dup across the boundary: winners are
+    // appended and TOMBSTONE their index-side candidates (dead to the
+    // later slice's probe), losers are dropped. Compaction then
+    // applies the tombstones physically — the row-count identity pins
+    // exactly 3 bands removed per superseded doc.
+    "d52_ingest_resolve" -> ((s, d) => {
+      val planted = plantBoundaryCopies(Tables.documents(s, d))
+      val score = (col("doc_id") * 37) % 100
+      val idxSet = planted.filter(col("doc_id") % 4 =!= 0)
+      val batch = planted.filter(col("doc_id") % 4 === 0)
+        .withColumn("q", score)
+      val scores = Tables.documents(s, d)
+        .select(col("doc_id"), score.as("q"))
+      val tbl = "graft_bandidx.d52_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      val idxDocs = idxSet.count()
+      val r1 = Dedup.ingestResolveNearDups(s, tbl,
+        batch.filter(col("doc_id") % 8 === 0), "text", "doc_id", "q",
+        scores, k = 6, bandWidth = 2, buckets = 8)
+      val r2 = Dedup.ingestResolveNearDups(s, tbl,
+        batch.filter(col("doc_id") % 8 =!= 0), "text", "doc_id", "q",
+        scores, k = 6, bandWidth = 2, buckets = 8)
+      val kept = r1.filter(col("kept")).count() +
+        r2.filter(col("kept")).count()
+      require(s.table(tbl).count() == (idxDocs + kept) * 3,
+        "d52: index must hold 3 bands per index doc + per kept batch doc")
+      val tombN = s.table(Dedup.tombstoneTable(tbl)).count()
+      val rowsBefore = s.table(tbl).count()
+      Dedup.compactBandIndex(s, tbl)
+      require(s.table(tbl).count() == rowsBefore - tombN * 3,
+        "d52: compaction must remove exactly the tombstoned docs' bands")
+      require(s.table(Dedup.tombstoneTable(tbl)).count() == 0,
+        "d52: compaction must truncate the applied tombstones")
+      r1.unionByName(r2)
+    }),
+
+    // The full modern-stack ingest capstone (p12): one new batch (the
+    // doc_id % 4 == 0 quarter) pushed through EVERY r14/r15 component
+    // in production order — URL canonicalize + exact-URL dedup within
+    // the batch (d45) -> bloom exact-membership vs the corpus, verified
+    // members dropped (d49) -> band-index near-dup vs the corpus, docs
+    // with live candidates dropped (d44) -> NB classifier gate (d47) ->
+    // order-5 LM scored against the corpus in-domain slice, CCNet
+    // head+middle kept (d46/p09) -> PageRank-weighted per-domain quota
+    // (p11) -> 512-token sequence packing (d16). Dedup verdicts are
+    // computed on the PLANTED text (markers first, then the %20
+    // boundary near-copies, then the %8 exact copies — so the copies
+    // carry their source's markers verbatim and exact membership
+    // survives marking); every post-dedup stage re-reads the survivor's
+    // text from the marked STORE by id — the production split between
+    // content-normalized verdicts and the document store. Artifacts
+    // (bloom bitmap, band index, NB stats, LM stats, PageRank caps) are
+    // each built once by construction: the stats localize through
+    // their config-sized driver hops, the index is a catalog table,
+    // and the batch-side frames persist/checkpoint at each verdict
+    // boundary so no stage re-runs an upstream one.
+    "p12_curation_capstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val marked = markedDocs(docs)                   // the document store
+      val planted = plantBoundaryCopies(marked)       // %20 near-copies
+      val corpus = planted.filter(col("doc_id") % 4 =!= 0)
+      val neighbor = planted.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__nt"))
+      val batch0 = planted.filter(col("doc_id") % 4 === 0)
+        .join(neighbor, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
+            col("__nt")).otherwise(col("text")))
+        .select("doc_id", "text")
+      // stage 1: URL canonicalize + exact-URL dedup within the batch
+      // (pathDiv 40: 2-way recrawl groups over the quarter-batch)
+      val s1 = graft.operators.UrlOps.dropUrlDuplicates(
+          batch0.withColumn("url", syntheticUrlWith(40)), "url", "doc_id")
+        .withColumn("domain", graft.operators.UrlOps.urlDomain(col("curl")))
+        .persist()
+      // stage 2: bloom exact-membership vs the corpus (verified truth)
+      val mem = Dedup.exactMembership(corpus, s1, "text", "doc_id",
+        mBits = 1 << 16, k = 3)
+      val s2 = s1.join(mem.filter(!col("is_member")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // stage 3: band-index near-dup vs the corpus
+      val tbl = "graft_bandidx.p12_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(corpus, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      val nd = Dedup.probeBandIndex(s, tbl, s2, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      val s3 = s2.join(nd.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti")
+        .select("doc_id", "domain").localCheckpoint(true)
+      s1.unpersist(blocking = false)
+      // dedup verdicts done — downstream stages score the STORE text
+      val store = marked.join(broadcast(s3), Seq("doc_id")).persist()
+      // stage 4: NB classifier QUANTILE gate — keep the top two-thirds
+      // of the survivors by classifier margin (the published
+      // threshold-at-a-quantile form; the hard pred_hq cut is d47/p10's
+      // gate and would throttle this funnel to near-empty). Ranking
+      // descending = scoreBandSplit over the negated margin.
+      val keptIds = Sampling.scoreBandSplit(
+          TextAnalysis.nbScore(store, "text", "doc_id",
+              markedNbStats(docs), buckets = 512)
+            .select(col("doc_id"), (-col("margin_q")).as("neg_margin")),
+          "neg_margin", "doc_id")
+        .filter(col("band") =!= "tail").select("doc_id")
+      val s4 = store.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+        .persist()
+      // stage 5: order-5 LM vs the corpus in-domain slice; keep the
+      // head+middle perplexity thirds OF THE SURVIVORS
+      val lmStats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        marked.filter(col("doc_id") % 97 === 0 && col("doc_id") % 4 =!= 0),
+        "text", ctxBuckets = 16384, pairBuckets = 16384, order = 5))
+      val bands = Sampling.scoreBandSplit(
+        TextAnalysis.lmPerplexity(s4, "text", "doc_id", lmStats,
+          ctxBuckets = 16384, pairBuckets = 16384, order = 5),
+        "ppl_q", "doc_id")
+      val s5 = s4.join(
+        broadcast(bands.filter(col("band") =!= "tail").select("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // stage 6: PageRank-weighted per-domain quota
+      val caps = GraphOps.pageRank(syntheticEdges(docs), "src", "dst",
+          iters = 8)
+        .select(concat(col("node"), lit(".example.com")).as("domain"),
+          expr("rank_q div 300000000").as("cap"))
+      val s6 = Sampling.quotaPerGroupBy(s5, "doc_id", "domain", caps, "cap")
+        .localCheckpoint(true)
+      store.unpersist(blocking = false)
+      s4.unpersist(blocking = false)
+      // stage 7: pack the final mix into 512-token sequences
+      Packing.packSequences(s6, "doc_id", "text", seqLen = 512,
+          bucketSize = 64)
+        .join(s6.select("doc_id", "domain"), Seq("doc_id"))
+        .select("doc_id", "domain", "n_tokens", "start_offset",
+          "first_seq", "last_seq")
+    }),
+
     // URL/domain-grain curation: canonicalize (scheme/host lowercase,
     // query+fragment strip) -> exact URL dedup keeping the min-id copy
     // -> 3-doc quota per domain through the d17 two-level machinery
@@ -940,13 +1120,19 @@ object TextOps {
 
   /** The d45/p11 shared URL fixture: 20 domains, 5-way dup groups,
     * case/tracking noise — mirrored verbatim in the oracle SQL. */
-  private def syntheticUrl: Column = {
+  private def syntheticUrl: Column = syntheticUrlWith(100)
+
+  /** [[syntheticUrl]] with the path divisor as a knob: dup-group
+    * width = pathDiv / 20 over a dense id range. p12 uses 40 (2-way
+    * groups over its quarter-batch — the d45 default's 5-way groups
+    * would throttle the capstone's funnel to near-empty). */
+  private def syntheticUrlWith(pathDiv: Int): Column = {
     val host = concat(lit("site"), (col("doc_id") % 20).cast("string"))
     concat(
       when(col("doc_id") % 3 === 0, lit("HTTPS://"))
         .otherwise(lit("https://")),
       when(col("doc_id") % 2 === 0, upper(host)).otherwise(host),
-      lit(".example.com/page/"), expr("doc_id div 100").cast("string"),
+      lit(".example.com/page/"), expr(s"doc_id div $pathDiv").cast("string"),
       when(col("doc_id") % 4 === 1,
           concat(lit("?utm_source=feed&ref="), col("doc_id").cast("string")))
         .when(col("doc_id") % 4 === 2, lit("#top"))
@@ -1030,24 +1216,27 @@ object TextOps {
 
   /** The d45/p11 shared oracle CTEs: synthesize -> strip -> case-fold
     * -> keep min id per canonical url, ending in
-    * `s(doc_id, curl, domain)` (the dedup survivor set). */
-  private def urlCurationCtes: String =
-    """u AS (SELECT doc_id,
+    * `s(doc_id, curl, domain)` (the dedup survivor set). `src` is the
+    * doc population the urls synthesize over (p12 runs it over the
+    * batch slice). */
+  private def urlCurationCtes(src: String = "documents",
+      pathDiv: Int = 100): String =
+    s"""u AS (SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
            (CASE WHEN doc_id % 2 = 0
               THEN upper('site' || (doc_id % 20)::VARCHAR)
               ELSE 'site' || (doc_id % 20)::VARCHAR END) ||
-           '.example.com/page/' || (doc_id // 100)::VARCHAR ||
+           '.example.com/page/' || (doc_id // $pathDiv)::VARCHAR ||
            (CASE WHEN doc_id % 4 = 1
               THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
             WHEN doc_id % 4 = 2 THEN '#top' ELSE '' END) AS url
-         FROM documents),
+         FROM $src),
          c AS (SELECT doc_id,
            CASE WHEN regexp_extract(b, '^([^/]*://[^/]*)', 1) <> ''
              THEN lower(regexp_extract(b, '^([^/]*://[^/]*)', 1))
-               || regexp_extract(b, '^[^/]*://[^/]*(.*)$', 1)
+               || regexp_extract(b, '^[^/]*://[^/]*(.*)$$', 1)
              ELSE b END AS curl
-           FROM (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS b
+           FROM (SELECT doc_id, regexp_replace(url, '[?#].*$$', '') AS b
              FROM u)),
          dm AS (SELECT doc_id, curl,
              lower(regexp_extract(curl, '^[^/]*://([^/]*)', 1)) AS domain
@@ -1056,15 +1245,17 @@ object TextOps {
          s AS (SELECT dm.* FROM dm JOIN k ON dm.doc_id = k.keep_id)"""
 
   /** The d44/w08 shared oracle CTEs: planted corpus -> word-trigram
-    * shingles (+ batch flag) -> the d07 salted 3-band MinHash frame. */
-  private val bandIdxCtes: String = {
+    * shingles (+ batch flag) -> the d07 salted 3-band MinHash frame.
+    * `src` is the (doc_id, text) population the plant applies over
+    * (p12 runs it over the marked store). */
+  private def bandIdxCtes(src: String = "documents"): String = {
     val bandExprs = (0 until 3).map(b =>
       s"md5(concat_ws(',', '$b', ${shingleMinhashSql(2 * b)}, " +
         s"${shingleMinhashSql(2 * b + 1)}))").mkString(", ")
     s"""pl AS (SELECT d.doc_id,
          CASE WHEN d.doc_id % 20 = 0 AND s.text IS NOT NULL
            THEN s.text || ' planted boundary copy' ELSE d.text END AS text
-       FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id + 1),
+       FROM $src d LEFT JOIN $src s ON s.doc_id = d.doc_id + 1),
        shp AS (SELECT doc_id, doc_id % 4 = 0 AS is_batch,
          CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
            ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -1086,53 +1277,57 @@ object TextOps {
       src: String = "documents",
       trainPred: String = "doc_id % 97 = 0",
       textExpr: String = "text",
-      order: Int = 2): String = {
+      order: Int = 2,
+      tag: String = ""): String = {
+    // `tag` prefixes every CTE name so two chains (or this chain plus
+    // nbSql, whose `sc` collides) can compose in ONE mirror — p12
+    // embeds this under tag="lm" next to nbSql and pageRankCtes
     val iters = (1 to 10).map { i =>
-      val prev = if (i == 1) "l3" else s"i${i - 1}"
-      s"""i$i AS (SELECT doc_id, k,
+      val prev = if (i == 1) s"${tag}l3" else s"${tag}i${i - 1}"
+      s"""${tag}i$i AS (SELECT doc_id, k,
          CASE WHEN pp >= 2*qq THEN pp >> 1 ELSE pp END AS p, qq AS q,
          acc*2 + (CASE WHEN pp >= 2*qq THEN 1 ELSE 0 END) AS acc
        FROM (SELECT doc_id, k, acc, (p*p) >> s AS pp, (q*q) >> s AS qq
          FROM (SELECT doc_id, k, acc, p, q,
              length(bin(q*q)) - 30 AS s FROM $prev)))"""
     }.mkString(",\n")
-    s"""t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $src),
-       trn AS (SELECT doc_id,
+    s"""${tag}t AS (SELECT doc_id, string_split($textExpr, ' ') AS tk FROM $src),
+       ${tag}trn AS (SELECT doc_id,
            array_to_string(tk[i:i+${order - 2}], ' ') AS a,
            tk[i+${order - 1}] AS b
          FROM (SELECT doc_id, tk,
-           unnest(generate_series(1, len(tk) - ${order - 1})) AS i FROM t)),
-       cstat AS (SELECT ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
+           unnest(generate_series(1, len(tk) - ${order - 1})) AS i FROM ${tag}t)),
+       ${tag}cstat AS (SELECT ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
            AS bucket, count(*)::BIGINT AS cc
-         FROM trn WHERE $trainPred GROUP BY 1),
-       pstat AS (SELECT
+         FROM ${tag}trn WHERE $trainPred GROUP BY 1),
+       ${tag}pstat AS (SELECT
            ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % $pairB
            AS bucket, count(*)::BIGINT AS pc
-         FROM trn WHERE $trainPred GROUP BY 1),
-       sc AS (SELECT trn.doc_id,
+         FROM ${tag}trn WHERE $trainPred GROUP BY 1),
+       ${tag}sc AS (SELECT ${tag}trn.doc_id,
            coalesce(cc, 0) + $pairB AS d,
            least(coalesce(pc, 0) + 1, coalesce(cc, 0) + $pairB) AS n
-         FROM trn
-         LEFT JOIN cstat ON ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
-           = cstat.bucket
-         LEFT JOIN pstat ON
+         FROM ${tag}trn
+         LEFT JOIN ${tag}cstat ON ('0x' || substr(md5(a), 1, 12))::BIGINT % $ctxB
+           = ${tag}cstat.bucket
+         LEFT JOIN ${tag}pstat ON
            ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % $pairB
-           = pstat.bucket),
-       l0 AS (SELECT doc_id, d, n, length(bin(d // n)) - 1 AS k FROM sc),
-       l1 AS (SELECT doc_id, d, k, (n << k) AS q0 FROM l0),
-       l2 AS (SELECT doc_id, d, k, q0, length(bin(q0)) - 30 AS s0 FROM l1),
-       l3 AS (SELECT doc_id, k,
+           = ${tag}pstat.bucket),
+       ${tag}l0 AS (SELECT doc_id, d, n, length(bin(d // n)) - 1 AS k FROM ${tag}sc),
+       ${tag}l1 AS (SELECT doc_id, d, k, (n << k) AS q0 FROM ${tag}l0),
+       ${tag}l2 AS (SELECT doc_id, d, k, q0, length(bin(q0)) - 30 AS s0 FROM ${tag}l1),
+       ${tag}l3 AS (SELECT doc_id, k,
            CASE WHEN s0 >= 0 THEN d >> s0 ELSE d << (-s0) END AS p,
            CASE WHEN s0 >= 0 THEN q0 >> s0 ELSE q0 << (-s0) END AS q,
-           0::BIGINT AS acc FROM l2),
+           0::BIGINT AS acc FROM ${tag}l2),
        $iters,
-       nll AS (SELECT doc_id, k::BIGINT * 1024 + acc AS v FROM i10),
-       agg AS (SELECT doc_id, count(*)::BIGINT AS nt, sum(v)::BIGINT AS sv
-         FROM nll GROUP BY 1),
-       ppl AS (SELECT t.doc_id, coalesce(nt, 0)::BIGINT AS n_trans,
+       ${tag}nll AS (SELECT doc_id, k::BIGINT * 1024 + acc AS v FROM ${tag}i10),
+       ${tag}agg AS (SELECT doc_id, count(*)::BIGINT AS nt, sum(v)::BIGINT AS sv
+         FROM ${tag}nll GROUP BY 1),
+       ${tag}ppl AS (SELECT ${tag}t.doc_id, coalesce(nt, 0)::BIGINT AS n_trans,
            coalesce(sv, 0)::BIGINT AS nll_q,
            coalesce(sv // greatest(nt, 1), 0)::BIGINT AS ppl_q
-         FROM t LEFT JOIN agg USING (doc_id))"""
+         FROM ${tag}t LEFT JOIN ${tag}agg USING (doc_id))"""
   }
 
   /** The d47 mirror: the same planted-marker fixture, one-pass Naive
@@ -1508,18 +1703,148 @@ object TextOps {
     // d44: batch docs' distinct-index-candidate counts — the probe of
     // the pre-append index, replayed one-shot over the planted corpus
     "d44_incremental_neardup" ->
-      s"""WITH $bandIdxCtes,
+      s"""WITH ${bandIdxCtes()},
          cand AS (SELECT DISTINCT b.doc_id, i.doc_id AS o
            FROM banded b JOIN banded i ON b.band = i.band
            WHERE b.is_batch AND NOT i.is_batch)
          SELECT doc_id, count(*) AS n_index_candidates
          FROM cand GROUP BY 1""",
 
+    // d51: compaction is verdict-neutral, so the mirror is the plain
+    // banded-pair probe of the batch against the FULL post-append
+    // index (batch docs included, self-pairs excluded)
+    "d51_band_compaction" ->
+      s"""WITH ${bandIdxCtes()},
+         cand AS (SELECT DISTINCT b.doc_id, i.doc_id AS o
+           FROM banded b JOIN banded i ON b.band = i.band
+           WHERE b.is_batch AND i.doc_id <> b.doc_id)
+         SELECT doc_id, count(*) AS n_index_candidates
+         FROM cand GROUP BY 1""",
+
+    // d52: the slice-aware keep-the-best mirror (the w08 oracle
+    // device with the d42 policy applied): slice A (doc_id % 8 = 0)
+    // resolves against the original index; slice B resolves against
+    // the index as slice A left it — minus slice A's tombstones, plus
+    // slice A's appended winners
+    "d52_ingest_resolve" ->
+      s"""WITH ${bandIdxCtes()},
+         sc AS MATERIALIZED (
+           SELECT doc_id, (doc_id * 37) % 100 AS q FROM documents),
+         ja AS MATERIALIZED (
+           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
+           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
+               FROM banded b JOIN banded i ON b.band = i.band
+               WHERE b.is_batch AND b.doc_id % 8 = 0 AND NOT i.is_batch) p
+           JOIN sc bs ON bs.doc_id = p.doc_id
+           JOIN sc iq ON iq.doc_id = p.o),
+         aa AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n,
+             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
+               THEN 1 ELSE 0 END) = 1 AS wins
+           FROM ja GROUP BY 1),
+         tomb1 AS MATERIALIZED (SELECT DISTINCT o
+           FROM ja JOIN aa USING (doc_id) WHERE aa.wins),
+         keep1 AS MATERIALIZED (SELECT b.doc_id FROM
+             (SELECT DISTINCT doc_id FROM banded
+              WHERE is_batch AND doc_id % 8 = 0) b
+           LEFT JOIN aa USING (doc_id) WHERE coalesce(aa.wins, true)),
+         jb AS MATERIALIZED (
+           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
+           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
+               FROM banded b JOIN banded i ON b.band = i.band
+               WHERE b.is_batch AND b.doc_id % 8 = 4
+                 AND ((NOT i.is_batch
+                       AND i.doc_id NOT IN (SELECT o FROM tomb1))
+                   OR (i.is_batch AND i.doc_id % 8 = 0
+                       AND i.doc_id IN (SELECT doc_id FROM keep1)))) p
+           JOIN sc bs ON bs.doc_id = p.doc_id
+           JOIN sc iq ON iq.doc_id = p.o),
+         ab AS (SELECT doc_id, count(*)::BIGINT AS n,
+             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
+               THEN 1 ELSE 0 END) = 1 AS wins
+           FROM jb GROUP BY 1),
+         bb AS (SELECT DISTINCT doc_id FROM banded WHERE is_batch)
+         SELECT bb.doc_id,
+           coalesce(x.n, 0)::BIGINT AS n_candidates,
+           coalesce(x.wins, true) AS kept,
+           (CASE WHEN coalesce(x.wins, true) THEN coalesce(x.n, 0)
+             ELSE 0 END)::BIGINT AS n_superseded
+         FROM bb LEFT JOIN
+           (SELECT * FROM aa UNION ALL SELECT * FROM ab) x
+           USING (doc_id)""",
+
+    // p12: the whole modern stack mirrored in ONE chain — nbSql gives
+    // the marked store (mk) + classifier verdicts (out); bandIdxCtes
+    // over mk gives the planted text (pl) + bands; the batch/corpus
+    // split, exact plant, URL dedup (urlCurationCtes over bt), bloom
+    // stage (exact text membership — the bloom's false positives are
+    // settled by the verifying join, so membership IS text equality),
+    // band drop, classifier gate, order-5 LM thirds over the
+    // survivors (lmNllSql under tag=lm), PageRank caps, weighted
+    // quota, and the d16 pack tail
+    "p12_curation_capstone" ->
+      s"""WITH ${nbSql(512)},
+         ${bandIdxCtes("mk")},
+         bt AS MATERIALIZED (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
+               THEN n.text ELSE d.text END AS text
+           FROM pl d LEFT JOIN pl n ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 4 = 0),
+         cp AS MATERIALIZED (SELECT doc_id, text FROM pl
+           WHERE doc_id % 4 <> 0),
+         ${urlCurationCtes("bt", 40)},
+         s3 AS MATERIALIZED (SELECT s.doc_id, s.domain
+           FROM s JOIN bt USING (doc_id)
+           WHERE bt.text NOT IN (SELECT text FROM cp)
+             AND s.doc_id NOT IN (
+               SELECT DISTINCT b.doc_id FROM banded b JOIN banded i
+                 ON b.band = i.band
+               WHERE b.is_batch AND NOT i.is_batch)),
+         nbr AS (SELECT s3.doc_id, s3.domain,
+             row_number() OVER (ORDER BY -out.margin_q NULLS FIRST,
+               s3.doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn
+           FROM s3 JOIN out USING (doc_id)),
+         s4p AS MATERIALIZED (SELECT doc_id, domain FROM nbr
+           WHERE (rk - 1) * 3 < cn * 2),
+         ${lmNllSql(16384, 16384, src = "mk",
+          trainPred = "doc_id % 97 = 0 AND doc_id % 4 <> 0",
+          order = 5, tag = "lm")},
+         lmr AS (SELECT s4p.doc_id, s4p.domain,
+             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
+               s4p.doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn
+           FROM s4p JOIN lmppl USING (doc_id)),
+         s5p AS MATERIALIZED (SELECT doc_id, domain FROM lmr
+           WHERE (rk - 1) * 3 < cn * 2),
+         $pageRankCtes,
+         caps AS (SELECT n || '.example.com' AS domain,
+             (r // 300000000)::BIGINT AS cap FROM pr8),
+         r2 AS (SELECT doc_id, domain, row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM s5p),
+         s7 AS MATERIALIZED (SELECT doc_id, domain FROM r2
+           LEFT JOIN caps USING (domain)
+           WHERE rn <= coalesce(cap, 0)),
+         t2 AS (SELECT mk.doc_id, s7.domain,
+             len(string_split(mk.text, ' '))::BIGINT AS n_tokens
+           FROM mk JOIN s7 USING (doc_id)),
+         c2 AS (SELECT doc_id, domain, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum
+           FROM t2)
+         SELECT doc_id, domain, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM c2""",
+
     // d45: the URL pipeline mirrored end to end — synthesize, strip,
     // case-fold, keep min id per canonical url, 3-per-domain quota in
     // md5-shuffled order (the d17 mirror over the survivor set)
     "d45_url_curation" ->
-      s"""WITH $urlCurationCtes,
+      s"""WITH ${urlCurationCtes()},
          r AS (SELECT doc_id, curl, domain, row_number() OVER (
              PARTITION BY domain
              ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
@@ -1574,7 +1899,7 @@ object TextOps {
       s"""WITH $pageRankCtes,
          caps AS (SELECT n || '.example.com' AS domain,
              (r // 300000000)::BIGINT AS cap FROM pr8),
-         $urlCurationCtes,
+         ${urlCurationCtes()},
          r2 AS (SELECT doc_id, curl, domain, row_number() OVER (
              PARTITION BY domain
              ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
@@ -1620,7 +1945,7 @@ object TextOps {
     // slices (appended before its slice arrived); same-slice docs and
     // the replay contribute nothing
     "w08_band_stream_dedup" ->
-      s"""WITH $bandIdxCtes,
+      s"""WITH ${bandIdxCtes()},
          cand AS (SELECT DISTINCT b.doc_id, x.doc_id AS o
            FROM banded b JOIN banded x ON b.band = x.band
            WHERE b.is_batch

@@ -77,6 +77,27 @@ class BloomSpec extends AnyFunSuite {
     assert(got.size == 2 && got(1L) && !got(2L), got.toString)
   }
 
+  test("duplicate ids with CONFLICTING keys fail loudly") {
+    // a duplicate id carrying a DIFFERENT key is malformed input: any
+    // silent pick would make maybe_member partition-order-dependent
+    // (a possible missed member, against the no-false-negatives
+    // contract) — the rollup must raise instead
+    val corpus = Seq("a").toDF("k")
+    val bloom = TextAnalysis.localizeStats(
+      Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 3))
+    val probe = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("id", "k")
+    val e = intercept[Exception] {
+      Dedup.probeBloom(probe, "k", "id", bloom, 1 << 10, 3).collect()
+    }
+    assert(e.getMessage.contains("conflicting keys"), e.getMessage)
+    // same id replayed with the SAME key stays fine (the dedup grain
+    // is (id, key), not id)
+    val ok = Dedup.probeBloom(Seq((1L, "a"), (1L, "a")).toDF("id", "k"),
+        "k", "id", bloom, 1 << 10, 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(ok == Map(1L -> true), ok.toString)
+  }
+
   test("mismatched config fails loudly; bad mBits rejected") {
     val corpus = Seq("a").toDF("k")
     val bloom = Dedup.buildBloom(corpus, "k", mBits = 1 << 10, k = 2)
@@ -123,7 +144,7 @@ class BloomSpec extends AnyFunSuite {
     assert(e.getMessage.contains("was built with"), e.getMessage)
   }
 
-  test("probe plan: bitmap broadcasts, one batch-grain exchange, no corpus scan") {
+  test("probe plan: bitmap broadcasts, two batch-grain exchanges, no corpus scan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = (0 until 100).map(i => s"key-$i").toDF("k")
     val bloom = TextAnalysis.localizeStats(
@@ -133,7 +154,12 @@ class BloomSpec extends AnyFunSuite {
     df.collect()
     val nodes = graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
     val ex = nodes.collect { case s: ShuffleExchangeExec => s }
-    assert(ex.size == 1, s"expected 1 exchange (batch rollup), got ${ex.size}")
+    // two exchanges, both batch-grain: the (id, key) dedup (whose
+    // partitioning the per-key rollup reuses) and the id-grain rollup
+    // that the conflicting-key guard rides on — the price of a loud
+    // failure instead of a partition-order-dependent verdict
+    assert(ex.size == 2,
+      s"expected 2 exchanges (dedup + id rollup), got ${ex.size}")
     val bc = nodes.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }

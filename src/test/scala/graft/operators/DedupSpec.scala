@@ -210,7 +210,15 @@ class DedupSpec extends AnyFunSuite {
       Dedup.probeBandIndex(spark, flat, docs, "text", "doc_id", k = 6,
         bandWidth = 2)
     }
-    assert(e.getMessage.contains("did not bucket-prune"), e.getMessage)
+    assert(e.getMessage.contains("not band-bucketed"), e.getMessage)
+    // the refusal must not depend on batch size: an EMPTY batch against
+    // the same mis-built table fails the same way (the catalog check —
+    // there is no plan to assert on), never a silent empty frame
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.probeBandIndex(spark, flat, docs.limit(0), "text", "doc_id",
+        k = 6, bandWidth = 2)
+    }
+    assert(e2.getMessage.contains("not band-bucketed"), e2.getMessage)
     // an empty batch has no bands (nothing to pin); verdicts are empty
     val tbl = "graft_bandidx.spec_empty_probe"
     Dedup.buildBandIndex(docs, "text", "doc_id", tbl, k = 6, bandWidth = 2,
@@ -219,6 +227,97 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", k = 6, bandWidth = 2)
     assert(got.columns.toSeq == Seq("doc_id", "index_id"))
     assert(got.count() == 0)
+  }
+
+  test("compactBandIndex: verdict-neutral, file count back to one per bucket, idempotent") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (2L, s"one two three four five $filler extra"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"alpha beta gamma delta $filler tail"),   // near-copy of 1
+      (11L, (0 until 30).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_compact"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    Dedup.appendToBandIndex(Seq((10L, s"alpha beta gamma delta $filler tail"))
+        .toDF("doc_id", "text"),
+      tbl, "text", "doc_id", k = 6, bandWidth = 2, buckets = 4)
+    Dedup.appendToBandIndex(Seq((11L, (0 until 30).map(i => s"q$i")
+        .mkString(" "))).toDF("doc_id", "text"),
+      tbl, "text", "doc_id", k = 6, bandWidth = 2, buckets = 4)
+    val before = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filesBefore = Dedup.bandIndexFileCount(spark, tbl)
+    assert(filesBefore > 4,
+      s"three deliveries should stack file sets, saw $filesBefore")
+    val rowsBefore = spark.table(tbl).count()
+    Dedup.compactBandIndex(spark, tbl)
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4,
+      "compaction must leave at most one file per bucket")
+    assert(spark.table(tbl).count() == rowsBefore,
+      "compaction with no tombstones must be row-neutral")
+    // the probe after compaction still ASSERTS bucket pruning on its
+    // compiled plan (a compaction that lost the bucketSpec would throw
+    // here) and returns identical verdicts
+    val after = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"verdicts drifted: $after vs $before")
+    // idempotent: a second compaction rewrites the same layout
+    Dedup.compactBandIndex(spark, tbl)
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4)
+    assert(spark.table(tbl).count() == rowsBefore)
+  }
+
+  test("ingestResolveNearDups: better-scored arrival supersedes; worse is dropped") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_resolve"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    val scores = Seq((1L, 5L), (3L, 5L), (10L, 9L), (11L, 2L), (12L, 7L))
+      .toDF("doc_id", "q")
+    // 10 near-dups 1 with a BETTER score -> kept, 1 tombstoned;
+    // 12 is unrelated -> kept with no candidates
+    val batchA = Seq(
+      (10L, s"alpha beta gamma delta $filler tail", 9L),
+      (12L, (0 until 30).map(i => s"y$i").mkString(" "), 7L))
+      .toDF("doc_id", "text", "q")
+    val rA = Dedup.ingestResolveNearDups(spark, tbl, batchA, "text",
+        "doc_id", "q", scores, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(rA(10L) == ((1L, true, 1L)), s"got ${rA(10L)}")
+    assert(rA(12L) == ((0L, true, 0L)), s"got ${rA(12L)}")
+    assert(spark.table(Dedup.tombstoneTable(tbl))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // 11 near-dups 10 (now index-resident) with a WORSE score -> dropped;
+    // and 1 is tombstone-dead: a near-copy of 1 sees only live docs
+    val batchB = Seq(
+      (11L, s"alpha beta gamma delta $filler tail", 2L))
+      .toDF("doc_id", "text", "q")
+    val rB = Dedup.ingestResolveNearDups(spark, tbl, batchB, "text",
+        "doc_id", "q", scores, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(!rB(11L)._2, "worse-scored arrival must be dropped")
+    assert(rB(11L)._1 >= 1L, "live candidates (10) must be seen")
+    // loser never entered the index
+    assert(spark.table(tbl).filter(col("doc_id") === 11L).isEmpty)
+    // compaction applies the tombstones physically and truncates them
+    Dedup.compactBandIndex(spark, tbl)
+    assert(spark.table(tbl).filter(col("doc_id") === 1L).isEmpty,
+      "superseded doc survived compaction")
+    assert(spark.table(Dedup.tombstoneTable(tbl)).count() == 0)
+    assert(spark.table(tbl).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L, 10L, 12L))
   }
 
   test("incremental line dedup over ascending slices equals the one-shot pass") {
