@@ -6,6 +6,32 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The published byte-to-unicode alphabet (the GPT-2 byte-level BPE
+  * base vocabulary): every byte 0..255 maps to a printable single
+  * character — printable latin bytes ('!'..'~', '¡'..'¬', '®'..'ÿ')
+  * map to themselves, the rest take consecutive codepoints from 256 up
+  * (space 0x20 becomes 'Ġ' = U+0120, the familiar leading-space
+  * marker in published merge lists). Byte-level merge lists — including
+  * real published ones — are strings over exactly this alphabet, which
+  * is what makes [[BpeTables]]' byte mode artifact-compatible with
+  * them. */
+object ByteAlphabet {
+  val byteToStr: Array[String] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }.toArray
+  }
+  /** mapped single char -> byte value; byte mode's decode direction. */
+  val charToByte: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer](512)
+    byteToStr.zipWithIndex.foreach { case (s, b) => m.put(s.charAt(0), b) }
+    m
+  }
+}
+
 /** The BPE-apply tables and kernel: a trained merge list compiled to
   * rank/id lookups, plus the word-level encode loop. Built once per
   * plan (the expression references it via `addReferenceObj`, so every
@@ -18,8 +44,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary artifact is needed — the merge list IS the vocabulary,
   * so an external engine replaying the same merges assigns the same
   * ids.
-  */
-final class BpeTables(val merges: Array[(String, String)]) extends Serializable {
+  *
+  * `byteLevel = true` is the published GPT-2 scheme: the unit is the
+  * UTF-8 BYTE, mapped through [[ByteAlphabet]] (base vocab exactly
+  * 256), and the text splits into space-ATTACHED chunks (each space
+  * run glues to the following word, a trailing run stands alone) so
+  * whitespace itself is tokenized ('Ġ'-prefixed tokens) and decode is
+  * LOSSLESS over the whole text — where codepoint mode drops spaces
+  * and is lossless at word grain only. The id rule is unchanged
+  * (single mapped char -> its codepoint, merged surface ->
+  * 0x110000 + rank), so byte mode is the same machinery under a
+  * different base segmentation, and real published merge lists (pairs
+  * over the mapped alphabet) plug in as-is. */
+final class BpeTables(val merges: Array[(String, String)],
+    val byteLevel: Boolean = false) extends Serializable {
   // an EMPTY merge list is legal: encode degenerates to code points and
   // pairsOf to adjacent-character pairs — training's first iteration
   merges.foreach { case (l, r) =>
@@ -61,13 +99,22 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
     * word's code points; repeat { find the present pair with the
     * lowest merge rank; merge ALL its occurrences left-to-right,
     * non-overlapping } until no pair is in the merge table. */
+  /** A word's (codepoint mode) or chunk's (byte mode) initial
+    * single-symbol segmentation. */
+  private def baseTokens(unit: String): Array[String] =
+    if (byteLevel)
+      unit.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => ByteAlphabet.byteToStr(b & 0xff))
+    else
+      word2cps(unit)
+
+  private def word2cps(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   private def encodeWord(word: String): Array[Int] = {
     val cached = cache.get(word)
     if (cached != null) return cached
-    var toks = {
-      val cps = word.codePoints().toArray
-      cps.map(cp => new String(Character.toChars(cp)))
-    }
+    var toks = baseTokens(word)
     var done = false
     while (!done && toks.length > 1) {
       var best = Int.MaxValue
@@ -103,21 +150,36 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
     ids
   }
 
-  /** Encode a whole text: split on single spaces (empty words — runs
-    * of spaces, leading/trailing — contribute zero tokens), encode
-    * each word, concatenate ids in order. */
+  /** Encode a whole text. Codepoint mode: split on single spaces
+    * (empty words — runs of spaces, leading/trailing — contribute zero
+    * tokens), encode each word, concatenate ids in order. Byte mode:
+    * split into space-ATTACHED chunks — a new chunk starts at every
+    * space that follows a non-space (equivalently, the regex matches
+    * of `' *[^ ]+| +'`) — so every byte of the text lands in exactly
+    * one chunk and decode reproduces the text verbatim. */
   def encodeText(text: UTF8String): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[Int](s.length / 3 + 1)
     var start = 0
     var i = 0
     val n = s.length
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        if (i > start) out ++= encodeWord(s.substring(start, i))
-        start = i + 1
+    if (byteLevel) {
+      while (i <= n) {
+        if (i == n ||
+            (s.charAt(i) == ' ' && i > 0 && s.charAt(i - 1) != ' ')) {
+          if (i > start) out ++= encodeWord(s.substring(start, i))
+          start = i
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      while (i <= n) {
+        if (i == n || s.charAt(i) == ' ') {
+          if (i > start) out ++= encodeWord(s.substring(start, i))
+          start = i + 1
+        }
+        i += 1
+      }
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }
@@ -147,7 +209,25 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
         s"graft_bpe_decode: negative token id $id")
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    if (!byteLevel) UTF8String.fromString(sb.toString)
+    else {
+      // byte mode: the decoded surface is a string over the mapped
+      // alphabet; reverse-map every char to its byte, then the bytes
+      // ARE the UTF-8 text. An alphabet-foreign char fails loudly —
+      // it means the ids came from a codepoint-mode stream.
+      val chars = sb.toString
+      val bytes = new Array[Byte](chars.length)
+      var j = 0
+      while (j < chars.length) {
+        val b = ByteAlphabet.charToByte.get(chars.charAt(j))
+        if (b == null) throw new IllegalArgumentException(
+          s"graft_bpe_bytes_decode: char U+${chars.charAt(j).toInt.toHexString}" +
+            " is not in the 256-byte alphabet — codepoint-mode ids?")
+        bytes(j) = b.intValue().toByte
+        j += 1
+      }
+      UTF8String.fromBytes(bytes)
+    }
   }
 
   /** Like [[encodeWord]] but yielding the sub-token SURFACE strings —
@@ -157,8 +237,7 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
   private def segmentWord(word: String): Array[String] = {
     val cached = segCache.get(word)
     if (cached != null) return cached
-    var toks = word.codePoints().toArray
-      .map(cp => new String(Character.toChars(cp)))
+    var toks = baseTokens(word)
     var done = false
     while (!done && toks.length > 1) {
       var best = Int.MaxValue
@@ -191,22 +270,35 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
   def pairsOf(text: UTF8String): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length / 3 + 1)
+    def emit(unit: String): Unit = {
+      val toks = segmentWord(unit)
+      var j = 0
+      while (j < toks.length - 1) {
+        out += UTF8String.fromString(toks(j) + " " + toks(j + 1))
+        j += 1
+      }
+    }
     var start = 0
     var i = 0
     val n = s.length
-    while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        if (i > start) {
-          val toks = segmentWord(s.substring(start, i))
-          var j = 0
-          while (j < toks.length - 1) {
-            out += UTF8String.fromString(toks(j) + " " + toks(j + 1))
-            j += 1
-          }
+    if (byteLevel) {
+      // the encodeText chunking: space runs attach to the next word
+      while (i <= n) {
+        if (i == n ||
+            (s.charAt(i) == ' ' && i > 0 && s.charAt(i - 1) != ' ')) {
+          if (i > start) emit(s.substring(start, i))
+          start = i
         }
-        start = i + 1
+        i += 1
       }
-      i += 1
+    } else {
+      while (i <= n) {
+        if (i == n || s.charAt(i) == ' ') {
+          if (i > start) emit(s.substring(start, i))
+          start = i + 1
+        }
+        i += 1
+      }
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }
@@ -221,7 +313,8 @@ final class BpeTables(val merges: Array[(String, String)]) extends Serializable 
   * apply as one narrow, codegen'd per-row call — no UDF, no shuffle,
   * the merge table rides the plan as a shared reference object.
   */
-case class BpeEncodeText(left: Expression, right: Expression)
+case class BpeEncodeText(left: Expression, right: Expression,
+    byteLevel: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes()
@@ -242,7 +335,8 @@ case class BpeEncodeText(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = left.nullable
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "graft_bpe"
+  override def prettyName: String =
+    if (byteLevel) "graft_bpe_bytes" else "graft_bpe"
 
   @transient private lazy val tables: BpeTables = {
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -252,7 +346,7 @@ case class BpeEncodeText(left: Expression, right: Expression)
         s"graft_bpe: merge $i is not a [left, right] pair")
       (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
     }.toArray
-    new BpeTables(merges)
+    new BpeTables(merges, byteLevel)
   }
 
   override protected def nullSafeEval(text: Any, m: Any): Any =
@@ -265,7 +359,7 @@ case class BpeEncodeText(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeEncodeText =
-    copy(left = newLeft, right = newRight)
+    copy(left = newLeft, right = newRight)  // byteLevel rides the copy
 }
 
 /** `graft_bpe_decode(ids, merges)` — the inverse of `graft_bpe` at
@@ -275,7 +369,8 @@ case class BpeEncodeText(left: Expression, right: Expression)
   * concatenated (documented in [[BpeTables.decodeIds]]); the d50 gate
   * proves the word-grain round-trip losslessly over the corpus
   * vocabulary. Same narrow codegen'd per-row shape as its siblings. */
-case class BpeDecodeIds(left: Expression, right: Expression)
+case class BpeDecodeIds(left: Expression, right: Expression,
+    byteLevel: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes()
@@ -301,7 +396,8 @@ case class BpeDecodeIds(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = left.nullable
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "graft_bpe_decode"
+  override def prettyName: String =
+    if (byteLevel) "graft_bpe_bytes_decode" else "graft_bpe_decode"
 
   @transient private lazy val tables: BpeTables = {
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -311,7 +407,7 @@ case class BpeDecodeIds(left: Expression, right: Expression)
         s"graft_bpe_decode: merge $i is not a [left, right] pair")
       (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
     }.toArray
-    new BpeTables(merges)
+    new BpeTables(merges, byteLevel)
   }
 
   override protected def nullSafeEval(ids: Any, m: Any): Any =
@@ -333,7 +429,8 @@ case class BpeDecodeIds(left: Expression, right: Expression)
   * Training iterates: count these corpus-wide, append the most
   * frequent pair to the merge list, re-segment
   * ([[graft.operators.TextAnalysis.trainBpeMerges]]). */
-case class BpePairsText(left: Expression, right: Expression)
+case class BpePairsText(left: Expression, right: Expression,
+    byteLevel: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes()
@@ -355,7 +452,8 @@ case class BpePairsText(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = left.nullable
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "graft_bpe_pairs"
+  override def prettyName: String =
+    if (byteLevel) "graft_bpe_bytes_pairs" else "graft_bpe_pairs"
 
   @transient private lazy val tables: BpeTables = {
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -365,7 +463,7 @@ case class BpePairsText(left: Expression, right: Expression)
         s"graft_bpe_pairs: merge $i is not a [left, right] pair")
       (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
     }.toArray
-    new BpeTables(merges)
+    new BpeTables(merges, byteLevel)
   }
 
   override protected def nullSafeEval(text: Any, m: Any): Any =

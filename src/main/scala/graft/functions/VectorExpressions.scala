@@ -591,6 +591,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BpePairsText].getName, "graft_bpe_pairs")
   val bpeDecodeInfo =
     new ExpressionInfo(classOf[BpeDecodeIds].getName, "graft_bpe_decode")
+  val bpeBytesInfo =
+    new ExpressionInfo(classOf[BpeEncodeText].getName, "graft_bpe_bytes")
+  val bpeBytesPairsInfo =
+    new ExpressionInfo(classOf[BpePairsText].getName, "graft_bpe_bytes_pairs")
+  val bpeBytesDecodeInfo =
+    new ExpressionInfo(classOf[BpeDecodeIds].getName, "graft_bpe_bytes_decode")
 
   private[functions] val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2,
@@ -640,6 +646,25 @@ object GraftFunctions {
     BpeDecodeIds(children(0), children(1))
   }
 
+  // the byte-level (GPT-2 alphabet) variants: same expressions, flag set
+  private[functions] val bpeBytesBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe_bytes expects exactly 2 arguments, got ${children.size}")
+    BpeEncodeText(children(0), children(1), byteLevel = true)
+  }
+
+  private[functions] val bpeBytesPairsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe_bytes_pairs expects exactly 2 arguments, got ${children.size}")
+    BpePairsText(children(0), children(1), byteLevel = true)
+  }
+
+  private[functions] val bpeBytesDecodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2,
+      s"graft_bpe_bytes_decode expects exactly 2 arguments, got ${children.size}")
+    BpeDecodeIds(children(0), children(1), byteLevel = true)
+  }
+
   /** Idempotently register on a live (classic) session. */
   def register(spark: SparkSession): Unit = spark match {
     case s: org.apache.spark.sql.classic.SparkSession =>
@@ -659,6 +684,14 @@ object GraftFunctions {
         FunctionIdentifier("graft_bpe_pairs"), bpePairsInfo, bpePairsBuilder)
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier("graft_bpe_decode"), bpeDecodeInfo, bpeDecodeBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe_bytes"), bpeBytesInfo, bpeBytesBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe_bytes_pairs"), bpeBytesPairsInfo,
+        bpeBytesPairsBuilder)
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_bpe_bytes_decode"), bpeBytesDecodeInfo,
+        bpeBytesDecodeBuilder)
     case _ => // non-classic session (e.g. connect): extensions config required
   }
 }
@@ -683,5 +716,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bpePairsInfo, GraftFunctions.bpePairsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_decode"),
       GraftFunctions.bpeDecodeInfo, GraftFunctions.bpeDecodeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_bytes"),
+      GraftFunctions.bpeBytesInfo, GraftFunctions.bpeBytesBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_bytes_pairs"),
+      GraftFunctions.bpeBytesPairsInfo, GraftFunctions.bpeBytesPairsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_bytes_decode"),
+      GraftFunctions.bpeBytesDecodeInfo, GraftFunctions.bpeBytesDecodeBuilder))
   }
 }

@@ -718,6 +718,18 @@ object TextAnalysis {
     "i" -> "t", "i" -> "s", "o" -> "f", "a" -> "l", "e" -> "d",
     "a" -> "r", "s" -> "t", "c" -> "o", "l" -> "e")
 
+  /** A byte-level merge list in the PUBLISHED GPT-2 artifact format
+    * (vocab.bpe, openai/gpt-2): pairs of strings over the
+    * [[graft.functions.ByteAlphabet]] mapped alphabet, where "Ġ" is
+    * the mapped space byte — the opening merges of that public list
+    * ("Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", ...). Real
+    * merge lists plug into byte mode unmodified — this prefix is the
+    * compatibility fixture the d53 gate runs against. */
+  val gpt2ByteMergesPrefix: Seq[(String, String)] = Seq(
+    "Ġ" -> "t", "Ġ" -> "a", "h" -> "e", "i" -> "n",
+    "r" -> "e", "o" -> "n", "Ġt" -> "he", "e" -> "r",
+    "Ġ" -> "s", "a" -> "t")
+
   /** The one-pass (word, count) corpus histogram BPE training
     * iterates on: whitespace words (empty words — runs of spaces,
     * leading/trailing — contribute nothing, matching graft_bpe_pairs'
@@ -810,14 +822,15 @@ object TextAnalysis {
     * pair -> re-segment; this applies the resulting artifact. */
   def bpeEncode(df: DataFrame, textCol: String,
       merges: Seq[(String, String)] = defaultBpeMerges,
-      outCol: String = "bpe_ids"): DataFrame = {
+      outCol: String = "bpe_ids", byteLevel: Boolean = false): DataFrame = {
     requireNoCollision(df, Seq(outCol), "bpeEncode")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // merges = Nil (codepoint-only encode) makes the bare literal type
     // array<void>; pin it (the bpePairCounts device)
     val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
       .cast("array<array<string>>")
-    df.withColumn(outCol, call_function("graft_bpe", col(textCol), m))
+    val fn = if (byteLevel) "graft_bpe_bytes" else "graft_bpe"
+    df.withColumn(outCol, call_function(fn, col(textCol), m))
   }
 
   /** Model-based quality-classifier TRAINING (the GPT-3/CCNet recipe's
@@ -949,14 +962,15 @@ object TextAnalysis {
     * Appends `outCol` (string). */
   def bpeDecode(df: DataFrame, idsCol: String,
       merges: Seq[(String, String)] = defaultBpeMerges,
-      outCol: String = "decoded"): DataFrame = {
+      outCol: String = "decoded", byteLevel: Boolean = false): DataFrame = {
     requireNoCollision(df, Seq(outCol), "bpeDecode")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // merges = Nil (decoding a codepoint-only id stream) makes the
     // bare literal type array<void>; pin it (the bpePairCounts device)
     val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
       .cast("array<array<string>>")
-    df.withColumn(outCol, call_function("graft_bpe_decode", col(idsCol), m))
+    val fn = if (byteLevel) "graft_bpe_bytes_decode" else "graft_bpe_decode"
+    df.withColumn(outCol, call_function(fn, col(idsCol), m))
   }
 
   /** Winnowing fingerprint (rolling hash): hash every word n-gram

@@ -772,6 +772,27 @@ object TextOps {
           (col("decoded") === col("w")).as("roundtrip_ok"))
     }),
 
+    // Byte-level BPE (d53): the published GPT-2 scheme — UTF-8 bytes
+    // through the 256-symbol mapped alphabet, space runs attached to
+    // the following word ('Ġ'-prefixed tokens), the opening merges of
+    // the PUBLIC GPT-2 vocab.bpe applied verbatim (artifact
+    // compatibility), whole-text-lossless decode pinned by an
+    // in-engine require, and the full id stream hash-matched against
+    // an independent recursive-SQL mirror that re-derives the byte
+    // decomposition from hex(encode(text)).
+    "d53_bpe_byte_level" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ms = TextAnalysis.gpt2ByteMergesPrefix
+      val enc = TextAnalysis.bpeEncode(docs, "text", ms, byteLevel = true)
+      val bad = TextAnalysis.bpeDecode(enc, "bpe_ids", ms, byteLevel = true)
+        .filter(col("decoded") =!= col("text")).count()
+      require(bad == 0,
+        s"d53: byte-level decode must be lossless, $bad docs diverged")
+      enc.select(col("doc_id"), size(col("bpe_ids")).as("n_bpe"),
+        md5(concat_ws(" ",
+          transform(col("bpe_ids"), x => x.cast("string")))).as("ids_md5"))
+    }),
+
     // Domain-graph centrality (d48): fixed-point integer PageRank at
     // the published 0.85 damping, 8 iterations, over a deterministic
     // synthetic site-level link graph (the d45 fixture's 20 domains;
@@ -1471,6 +1492,65 @@ object TextOps {
              i -> struct_pack(wi := i, w := ws[i]))) AS x FROM t)),
        agg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS a
          FROM dw JOIN enc USING (w) GROUP BY 1)"""
+  }
+
+  /** The d53 byte-level mirror: [[bpeCtes]]' recursive merge loop, but
+    * over space-attached CHUNKS (`' *[^ ]+| +'` — every byte lands in
+    * exactly one chunk) whose initial segmentation is the UTF-8 byte
+    * sequence mapped through the published 256-symbol alphabet
+    * (re-derived here from `hex(encode(w))`, independent of the Spark
+    * kernel's byte path). Ends in `btx(doc_id, cs)` and
+    * `bagg(doc_id, a)`. */
+  private def bpeBytesCtes(ms: Seq[(String, String)]): String = {
+    def lits(xs: Seq[String]) =
+      xs.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
+    val rkKeys = lits(ms.map { case (l, r) => s"$l $r" })
+    val rkVals = ms.indices.mkString(", ")
+    val idKeys = lits(ms.map { case (l, r) => l + r })
+    val idVals = ms.indices.map(_ + 0x110000).mkString(", ")
+    val b2u = lits(graft.functions.ByteAlphabet.byteToStr.toSeq)
+    s"""bmp AS (SELECT map([$rkKeys], [$rkVals]) AS rk,
+               map([$idKeys], [$idVals]) AS im, [$b2u] AS b2u),
+       btx AS (SELECT doc_id,
+           regexp_extract_all(text, ' *[^ ]+| +') AS cs
+         FROM documents),
+       bwd AS (SELECT DISTINCT unnest(cs) AS w FROM btx),
+       bst AS (
+         SELECT w,
+             list_transform(generate_series(1, octet_length(encode(w))),
+               i -> b2u[('0x' || substr(hex(encode(w)), 2*i-1, 2))::INT + 1])
+               AS toks,
+             CAST(NULL AS INT) AS cur, false AS done
+           FROM bwd, bmp
+         UNION ALL
+         SELECT w,
+             CASE WHEN eff IS NULL THEN toks
+               ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+             END AS toks,
+             eff AS cur, eff IS NULL AS done
+           FROM (
+             SELECT w, toks,
+                 CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                   THEN cur ELSE list_aggregate(pr, 'min') END AS eff,
+                 list_position(pr,
+                   CASE WHEN cur IS NOT NULL AND list_contains(pr, cur)
+                     THEN cur ELSE list_aggregate(pr, 'min') END) AS pos
+               FROM (
+                 SELECT w, toks, cur,
+                     list_transform(generate_series(1, len(toks) - 1),
+                       i -> map_extract(rk, toks[i] || ' ' || toks[i+1])[1])
+                       AS pr
+                   FROM bst, bmp WHERE NOT done))),
+       benc AS (SELECT w,
+           list_transform(toks, s -> CASE WHEN length(s) = 1
+             THEN unicode(s) ELSE map_extract(im, s)[1] END) AS ids
+         FROM bst, bmp WHERE done),
+       bdw AS (SELECT doc_id, x.wi AS wi, x.w AS w FROM (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(cs)),
+             i -> struct_pack(wi := i, w := cs[i]))) AS x FROM btx)),
+       bagg AS (SELECT doc_id, flatten(list(ids ORDER BY wi)) AS a
+         FROM bdw JOIN benc USING (w) GROUP BY 1)"""
   }
 
   /** The d39 training mirror: `numMerges` UNROLLED stages, each a full
@@ -2609,6 +2689,16 @@ object TextOps {
            md5(coalesce(array_to_string(
              list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // d53: the byte-level chain — same recursive loop, byte-mapped
+    // initial segmentation, chunked text, published GPT-2 merges
+    "d53_bpe_byte_level" ->
+      s"""WITH RECURSIVE ${bpeBytesCtes(
+            graft.operators.TextAnalysis.gpt2ByteMergesPrefix)}
+         SELECT btx.doc_id, coalesce(len(a), 0)::INT AS n_bpe,
+           md5(coalesce(array_to_string(
+             list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
+         FROM btx LEFT JOIN bagg ON btx.doc_id = bagg.doc_id""",
 
     // d50: the encode ids decoded back in SQL (chr for codepoints,
     // the surface list for merge ids) and compared to the word — the

@@ -220,6 +220,50 @@ class BpeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(None))
   }
 
+  test("byte mode: GPT-2 alphabet, space-attached chunks, published merges fire") {
+    val ms = TextAnalysis.gpt2ByteMergesPrefix
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, "the"), (2L, " the"), (3L, "at on")).toDF("doc_id", "text"),
+      "text", ms, outCol = "ids", byteLevel = true)
+    val got = enc.select("doc_id", "ids")
+      .as[(Long, Seq[Int])].collect().toMap
+    // "the": t | he ("h e" rank 2; "t he" is NOT a listed merge)
+    assert(got(1L) == Seq('t'.toInt, 0x110000 + 2), got(1L).toString)
+    // " the": the space maps to the 'Ġ' byte symbol and the published
+    // chain fires through it: Ġ t -> Ġt, h e -> he, Ġt he -> Ġthe
+    assert(got(2L) == Seq(0x110000 + 6), got(2L).toString)
+    // "at on": "a t" (rank 9) then "Ġ" attaches to "on" -> Ġ o? not
+    // listed; o n IS (rank 5): [at, Ġ, on]
+    assert(got(3L) ==
+      Seq(0x110000 + 9, 'Ġ'.toInt, 0x110000 + 5), got(3L).toString)
+  }
+
+  test("byte mode roundtrip is lossless over the WHOLE text, spaces included") {
+    val ms = TextAnalysis.gpt2ByteMergesPrefix
+    val texts = Seq("the cat sat", " lead space", "trail ", "a  b   c",
+      "", "héllo wörld", "日本語 テスト", "   ")
+    val enc = TextAnalysis.bpeEncode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "text", ms, outCol = "ids", byteLevel = true)
+    val got = TextAnalysis.bpeDecode(enc, "ids", ms, byteLevel = true)
+      .select("text", "decoded").as[(String, String)].collect()
+    got.foreach { case (t, dec) =>
+      assert(dec == t, s"'$t' decoded '$dec'") }
+  }
+
+  test("byte decode rejects codepoint-mode ids outside the 256-byte alphabet") {
+    val bad = Seq(Seq('日'.toInt)).toDF("ids")
+    val e = intercept[Exception] {
+      TextAnalysis.bpeDecode(bad, "ids", TextAnalysis.gpt2ByteMergesPrefix,
+        byteLevel = true).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(e.getMessage.contains("alphabet") ||
+      rootMsg(e).contains("alphabet"), rootMsg(e))
+  }
+
   test("the d37 plan is narrow: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d37_bpe_encode")(
