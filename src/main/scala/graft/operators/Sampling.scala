@@ -477,10 +477,23 @@ object Sampling {
     val repVariants = sides.flatMap(_.collectFirst {
       case r: RepartitionByExpression => r.canonicalized
     }).distinct
+    if (!(sides.size == 2 && repVariants.size == 1)) {
+      repVariants.zipWithIndex.foreach { case (v, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/tmp/rank_variant_$i.txt"),
+          v.toString.getBytes("UTF-8"))
+      }
+    }
     require(sides.size == 2 && repVariants.size == 1,
       s"rankByValue: the two range-exchange subtrees no longer " +
-        "canonicalize identically — offsets and ranks would derive " +
-        "from independently-sampled partitionings and silently corrupt")
+        s"canonicalize identically (sides=${sides.size}, " +
+        s"variants=${repVariants.size}) — offsets and ranks would " +
+        "derive from independently-sampled partitionings and silently " +
+        "corrupt. One known trigger: an input lineage containing a " +
+        "persist()ed frame can be cache-substituted on ONE side only " +
+        "(seen under non-adaptive planning in p12) — checkpoint the " +
+        "score frame before ranking so both subtrees bottom at the " +
+        "same materialized rows")
     (rk, counts)
   }
 

@@ -674,11 +674,21 @@ object TextOps {
       // threshold-at-a-quantile form; the hard pred_hq cut is d47/p10's
       // gate and would throttle this funnel to near-empty). Ranking
       // descending = scoreBandSplit over the negated margin.
-      val keptIds = Sampling.scoreBandSplit(
-          TextAnalysis.nbScore(store, "text", "doc_id",
-              markedNbStats(docs), buckets = 512)
-            .select(col("doc_id"), (-col("margin_q")).as("neg_margin")),
-          "neg_margin", "doc_id")
+      // the score frame is survivor-grain: checkpoint it before
+      // ranking so ranked()'s two range-exchange consumers bottom at
+      // the same materialized rows (a persisted upstream can be
+      // cache-substituted on one side only — rankByValue's guard
+      // refuses that plan) and the NB chain provably runs once
+      val nbScores = TextAnalysis.nbScore(store, "text", "doc_id",
+          markedNbStats(docs), buckets = 512)
+        .select(col("doc_id"), (-col("margin_q")).as("neg_margin"))
+        // the coalesce is a no-expression partitioning barrier: a
+        // checkpoint taken under non-adaptive planning captures the
+        // chain's HashPartitioning WITH its expression ids, and the
+        // rank self-join's DeduplicateRelations newInstance then breaks
+        // the canonical equality rankByValue requires
+        .coalesce(32).localCheckpoint(true)
+      val keptIds = Sampling.scoreBandSplit(nbScores, "neg_margin", "doc_id")
         .filter(col("band") =!= "tail").select("doc_id")
       val s4 = store.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
         .persist()
@@ -687,10 +697,10 @@ object TextOps {
       val lmStats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
         marked.filter(col("doc_id") % 97 === 0 && col("doc_id") % 4 =!= 0),
         "text", ctxBuckets = 16384, pairBuckets = 16384, order = 5))
-      val bands = Sampling.scoreBandSplit(
-        TextAnalysis.lmPerplexity(s4, "text", "doc_id", lmStats,
-          ctxBuckets = 16384, pairBuckets = 16384, order = 5),
-        "ppl_q", "doc_id")
+      val pplScores = TextAnalysis.lmPerplexity(s4, "text", "doc_id",
+          lmStats, ctxBuckets = 16384, pairBuckets = 16384, order = 5)
+        .select("doc_id", "ppl_q").coalesce(32).localCheckpoint(true)
+      val bands = Sampling.scoreBandSplit(pplScores, "ppl_q", "doc_id")
       val s5 = s4.join(
         broadcast(bands.filter(col("band") =!= "tail").select("doc_id")),
         Seq("doc_id"), "left_semi")
