@@ -743,6 +743,15 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** [[bpeWordHistogram]]'s byte-mode counterpart: the (chunk, count)
+    * histogram over space-ATTACHED chunks (`' *[^ ]+| +'` — the
+    * graft_bpe_bytes chunking, so whitespace is part of the trained
+    * vocabulary exactly as the published byte-level scheme has it). */
+  def bpeChunkHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(col(textCol), lit(" *[^ ]+| +"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
   /** One training iteration's weighted pair-count frame over a
     * [[bpeWordHistogram]]: each DISTINCT word is segmented once under
     * the current merges (graft_bpe_pairs) and its adjacent sub-token
@@ -751,13 +760,14 @@ object TextAnalysis {
     * vocab-scan cost. Exposed for the plan spec that pins the
     * per-merge job to the histogram. */
   private[graft] def bpePairCounts(hist: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], byteLevel: Boolean = false): DataFrame = {
     // an empty array() literal types as array<void>; pin the type
     val m = array(merges.map { case (l, r) => array(lit(l), lit(r)) }: _*)
       .cast("array<array<string>>")
+    val fn = if (byteLevel) "graft_bpe_bytes_pairs" else "graft_bpe_pairs"
     hist
       .select(col("cnt"),
-        explode(call_function("graft_bpe_pairs", col("w"), m)).as("p"))
+        explode(call_function(fn, col("w"), m)).as("p"))
       .groupBy("p").agg(sum(col("cnt")).as("c"))
   }
 
@@ -786,16 +796,21 @@ object TextAnalysis {
     * of the merge list — needs surfaces to be unambiguous). Training
     * stops early when no pair occurs twice. */
   def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
-      base: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+      base: Seq[(String, String)] = Nil,
+      byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val hist = bpeWordHistogram(df, textCol).persist()
+    // byte mode trains over space-attached chunks through the mapped
+    // alphabet (graft_bpe_bytes_pairs) — the merges it learns are
+    // published-format byte merges ('Ġ'-prefixed and all)
+    val hist = (if (byteLevel) bpeChunkHistogram(df, textCol)
+      else bpeWordHistogram(df, textCol)).persist()
     try {
       var merges = base.toVector
       var stop = false
       while (merges.size < base.size + numMerges && !stop) {
         val surfaces = merges.map { case (l, r) => l + r }
-        val best = bpePairCounts(hist, merges)
+        val best = bpePairCounts(hist, merges, byteLevel)
           .filter(col("c") >= 2 &&
             !regexp_replace(col("p"), " ", "").isin(surfaces: _*))
           .orderBy(col("c").desc, col("p").asc)

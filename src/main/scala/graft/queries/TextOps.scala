@@ -828,6 +828,23 @@ object TextOps {
         .toDF("merge_rank", "lhs", "rhs")
     }),
 
+    // d39's training loop in BYTE mode (d54): the same iterate-count-
+    // take-best-re-segment driver loop, but over the space-attached
+    // chunk histogram through the 256-symbol mapped alphabet
+    // (graft_bpe_bytes_pairs) — what it learns on a natural-language
+    // corpus is a published-FORMAT byte merge list ('Ġ'-prefixed
+    // whitespace merges included), directly loadable by
+    // graft_bpe_bytes. Mirrored by the same unrolled dynamic replay
+    // with the byte seed segmentation.
+    "d54_bpe_byte_train" -> ((s, d) => {
+      val ms = TextAnalysis.trainBpeMerges(
+        Tables.documents(s, d), "text", numMerges = 8, byteLevel = true)
+      import s.implicits._
+      ms.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+    }),
+
     // d44's ingest flow STREAMED (the w07 pattern): the batch quarter
     // of the corpus arrives as three doc_id % 3 file slices plus a
     // REPLAY of slice 0, each micro-batch probed against the index as
@@ -994,6 +1011,98 @@ object TextOps {
           && oneShot.exceptAll(streamed).isEmpty,
         "w10: streamed bloom diverged from the one-shot bitmap")
       s.read.parquet(sink)
+    }),
+
+    // d52's resolve-at-ingest flow STREAMED (the w08 device): the
+    // batch quarter arrives as its two doc_id % 8 slices plus a
+    // REPLAY of slice 0, each micro-batch pushed through
+    // ingestResolveNearDups against the index AS IT STANDS —
+    // slice-1 docs see slice-0 winners as live candidates and
+    // slice-0 tombstones as dead — with first-delivery verdicts
+    // accumulated idempotently (anti-join on doc_id against the
+    // sink). The replay must contribute nothing anywhere: verdict
+    // rows absorbed by the anti-join, appends/tombstones absorbed by
+    // the operator's own idempotence (a replayed winner finds itself
+    // index-resident and its candidates tombstoned; a replayed loser
+    // loses again; band-sharing is symmetric, so no replayed winner
+    // can acquire a late candidate — if it shared a band with a
+    // slice-1 winner, that doc would have lost to it at delivery).
+    // The sink therefore equals the one-shot two-slice d52 run row
+    // for row: the oracle IS the d52 mirror.
+    "w11_resolve_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w11", d)
+      val planted = plantBoundaryCopies(Tables.documents(s, d))
+      val score = (col("doc_id") * 37) % 100
+      val idxSet = planted.filter(col("doc_id") % 4 =!= 0)
+      val batchAll = planted.filter(col("doc_id") % 4 === 0)
+      val tbl = "graft_bandidx.w11_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      val idxDocs = idxSet.count()
+      val sink = s"$loc/resolved"
+      batchAll.limit(0)
+        .select(col("doc_id"), lit(0L).as("n_candidates"),
+          lit(true).as("kept"), lit(0L).as("n_superseded"))
+        .write.mode("overwrite").parquet(sink)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(
+          (batchAll.filter(col("doc_id") % 8 === 0), "slice-0"),
+          (batchAll.filter(col("doc_id") % 8 =!= 0), "slice-1"),
+          (batchAll.filter(col("doc_id") % 8 === 0), "slice-2-replay")))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        val bs = b.sparkSession  // the w08 cloned-session discipline
+        val scores = Tables.documents(bs, d)
+          .select(col("doc_id"), score.as("q"))
+        val resolved = Dedup.ingestResolveNearDups(bs, tbl,
+          b.withColumn("q", score), "text", "doc_id", "q", scores,
+          k = 6, bandWidth = 2, buckets = 8)
+        // first-delivery verdicts only; resolved is already
+        // checkpointed, so only the sink path is read while written
+        val fresh = resolved
+          .join(bs.read.parquet(sink).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .persist()
+        fresh.count()
+        fresh.write.mode("append").parquet(sink)
+        fresh.unpersist()
+        ()
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 3,
+        s"w11 expected 3 non-empty micro-batches (2 slices + replay), " +
+          s"saw $batches")
+      s.catalog.refreshTable(tbl)
+      val out = s.read.parquet(sink)
+      val kept = out.filter(col("kept")).count()
+      require(s.table(tbl).count() == (idxDocs + kept) * 3,
+        "w11: index must hold 3 bands per index doc + per kept batch " +
+          "doc (replay must not re-append)")
+      val tombN = s.table(Dedup.tombstoneTable(tbl)).count()
+      val rowsBefore = s.table(tbl).count()
+      Dedup.compactBandIndex(s, tbl)
+      require(s.table(tbl).count() == rowsBefore - tombN * 3,
+        "w11: compaction must remove exactly the tombstoned docs' bands")
+      out
     }),
 
     // Streaming curation end to end (the capstone): the p08 corpus
@@ -1504,6 +1613,58 @@ object TextOps {
          FROM dw JOIN enc USING (w) GROUP BY 1)"""
   }
 
+  /** The d52/w11 shared mirror: the slice-aware keep-the-best
+    * resolution over the two doc_id % 8 slices — slice A against
+    * the original index, slice B against the index as slice A left
+    * it (minus tombstones, plus appended winners). d52 computes it
+    * one-shot; w11 accumulates the same first-delivery verdicts
+    * through the stream. */
+  private def resolveTwoSliceSql: String =
+    s"""WITH ${bandIdxCtes()},
+         sc AS MATERIALIZED (
+           SELECT doc_id, (doc_id * 37) % 100 AS q FROM documents),
+         ja AS MATERIALIZED (
+           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
+           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
+               FROM banded b JOIN banded i ON b.band = i.band
+               WHERE b.is_batch AND b.doc_id % 8 = 0 AND NOT i.is_batch) p
+           JOIN sc bs ON bs.doc_id = p.doc_id
+           JOIN sc iq ON iq.doc_id = p.o),
+         aa AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n,
+             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
+               THEN 1 ELSE 0 END) = 1 AS wins
+           FROM ja GROUP BY 1),
+         tomb1 AS MATERIALIZED (SELECT DISTINCT o
+           FROM ja JOIN aa USING (doc_id) WHERE aa.wins),
+         keep1 AS MATERIALIZED (SELECT b.doc_id FROM
+             (SELECT DISTINCT doc_id FROM banded
+              WHERE is_batch AND doc_id % 8 = 0) b
+           LEFT JOIN aa USING (doc_id) WHERE coalesce(aa.wins, true)),
+         jb AS MATERIALIZED (
+           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
+           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
+               FROM banded b JOIN banded i ON b.band = i.band
+               WHERE b.is_batch AND b.doc_id % 8 = 4
+                 AND ((NOT i.is_batch
+                       AND i.doc_id NOT IN (SELECT o FROM tomb1))
+                   OR (i.is_batch AND i.doc_id % 8 = 0
+                       AND i.doc_id IN (SELECT doc_id FROM keep1)))) p
+           JOIN sc bs ON bs.doc_id = p.doc_id
+           JOIN sc iq ON iq.doc_id = p.o),
+         ab AS (SELECT doc_id, count(*)::BIGINT AS n,
+             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
+               THEN 1 ELSE 0 END) = 1 AS wins
+           FROM jb GROUP BY 1),
+         bb AS (SELECT DISTINCT doc_id FROM banded WHERE is_batch)
+         SELECT bb.doc_id,
+           coalesce(x.n, 0)::BIGINT AS n_candidates,
+           coalesce(x.wins, true) AS kept,
+           (CASE WHEN coalesce(x.wins, true) THEN coalesce(x.n, 0)
+             ELSE 0 END)::BIGINT AS n_superseded
+         FROM bb LEFT JOIN
+           (SELECT * FROM aa UNION ALL SELECT * FROM ab) x
+           USING (doc_id)"""
+
   /** The d53 byte-level mirror: [[bpeCtes]]' recursive merge loop, but
     * over space-attached CHUNKS (`' *[^ ]+| +'` — every byte lands in
     * exactly one chunk) whose initial segmentation is the UTF-8 byte
@@ -1570,17 +1731,30 @@ object TextOps {
     * hardcoded), then the weighted pair count and the (count desc,
     * pair asc) argmax with the same surface-collision skip and the
     * same count >= 2 floor as the Spark loop. */
-  private def bpeTrainSql(numMerges: Int): String = {
+  private def bpeTrainSql(numMerges: Int,
+      byteLevel: Boolean = false): String = {
+    // byte mode: the seed segmentation is the chunk's UTF-8 bytes
+    // mapped through the published alphabet (re-derived from
+    // hex(encode(w)) — the bpeBytesCtes device); the b2u list rides
+    // the mp$s map CTE so the recursive SEED sees it
+    val b2uCol =
+      if (!byteLevel) ""
+      else ", [" + graft.functions.ByteAlphabet.byteToStr
+        .map(x => s"'${x.replace("'", "''")}'").mkString(", ") + "] AS b2u"
+    val seedToks =
+      if (!byteLevel) "list_transform(generate_series(1, length(w)), i -> w[i])"
+      else """list_transform(generate_series(1, octet_length(encode(w))),
+               i -> b2u[('0x' || substr(hex(encode(w)), 2*i-1, 2))::INT + 1])"""
     val stages = (0 until numMerges).map { s =>
       s"""mp$s AS MATERIALIZED (SELECT coalesce(
            map(list(a || ' ' || b ORDER BY r), list(r ORDER BY r)),
-           map([]::VARCHAR[], []::INT[])) AS rk FROM m$s),
+           map([]::VARCHAR[], []::INT[])) AS rk$b2uCol FROM m$s),
          st$s AS (
            -- the rank map rides the SEED rows: a data-dependent CTE
            -- referenced from the recursive term would re-evaluate its
            -- whole upstream training chain once per iteration
            SELECT w,
-               list_transform(generate_series(1, length(w)), i -> w[i]) AS toks,
+               $seedToks AS toks,
                CAST(NULL AS INT) AS cur, false AS done, rk
              FROM wd, mp$s
            UNION ALL
@@ -1617,11 +1791,18 @@ object TextOps {
          m${s + 1} AS MATERIALIZED (SELECT r, a, b FROM m$s
            UNION ALL SELECT r, a, b FROM best$s)"""
     }.mkString(",\n")
-    s"""WITH RECURSIVE
-       t AS (SELECT doc_id,
+    val wu =
+      if (!byteLevel)
+        """t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS ws
          FROM documents),
-       wu AS MATERIALIZED (SELECT unnest(ws) AS w FROM t),
+       wu AS MATERIALIZED (SELECT unnest(ws) AS w FROM t)"""
+      else
+        """wu AS MATERIALIZED (SELECT
+           unnest(regexp_extract_all(text, ' *[^ ]+| +')) AS w
+         FROM documents)"""
+    s"""WITH RECURSIVE
+       $wu,
        wd AS MATERIALIZED (SELECT DISTINCT w FROM wu),
        wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cnt FROM wu GROUP BY 1),
        m0 AS MATERIALIZED (SELECT 0::INT AS r, '' AS a, '' AS b WHERE 1 = 0),
@@ -1632,6 +1813,10 @@ object TextOps {
   def oracleSql: Map[String, String] = Map(
     // d39: the unrolled dynamic training replay
     "d39_bpe_train" -> bpeTrainSql(8),
+
+    // d54: the same replay with the byte seed segmentation and the
+    // chunk histogram
+    "d54_bpe_byte_train" -> bpeTrainSql(8, byteLevel = true),
 
     // p08: the full web recipe replayed stage by stage — planted
     // banner, Gopher gate (the p04 mirror), d40 line dedup with husks
@@ -1816,51 +2001,14 @@ object TextOps {
     // resolves against the original index; slice B resolves against
     // the index as slice A left it — minus slice A's tombstones, plus
     // slice A's appended winners
-    "d52_ingest_resolve" ->
-      s"""WITH ${bandIdxCtes()},
-         sc AS MATERIALIZED (
-           SELECT doc_id, (doc_id * 37) % 100 AS q FROM documents),
-         ja AS MATERIALIZED (
-           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
-           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
-               FROM banded b JOIN banded i ON b.band = i.band
-               WHERE b.is_batch AND b.doc_id % 8 = 0 AND NOT i.is_batch) p
-           JOIN sc bs ON bs.doc_id = p.doc_id
-           JOIN sc iq ON iq.doc_id = p.o),
-         aa AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n,
-             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
-               THEN 1 ELSE 0 END) = 1 AS wins
-           FROM ja GROUP BY 1),
-         tomb1 AS MATERIALIZED (SELECT DISTINCT o
-           FROM ja JOIN aa USING (doc_id) WHERE aa.wins),
-         keep1 AS MATERIALIZED (SELECT b.doc_id FROM
-             (SELECT DISTINCT doc_id FROM banded
-              WHERE is_batch AND doc_id % 8 = 0) b
-           LEFT JOIN aa USING (doc_id) WHERE coalesce(aa.wins, true)),
-         jb AS MATERIALIZED (
-           SELECT p.doc_id, p.o, bs.q AS bq, iq.q AS iq
-           FROM (SELECT DISTINCT b.doc_id, i.doc_id AS o
-               FROM banded b JOIN banded i ON b.band = i.band
-               WHERE b.is_batch AND b.doc_id % 8 = 4
-                 AND ((NOT i.is_batch
-                       AND i.doc_id NOT IN (SELECT o FROM tomb1))
-                   OR (i.is_batch AND i.doc_id % 8 = 0
-                       AND i.doc_id IN (SELECT doc_id FROM keep1)))) p
-           JOIN sc bs ON bs.doc_id = p.doc_id
-           JOIN sc iq ON iq.doc_id = p.o),
-         ab AS (SELECT doc_id, count(*)::BIGINT AS n,
-             min(CASE WHEN bq > iq OR (bq = iq AND doc_id < o)
-               THEN 1 ELSE 0 END) = 1 AS wins
-           FROM jb GROUP BY 1),
-         bb AS (SELECT DISTINCT doc_id FROM banded WHERE is_batch)
-         SELECT bb.doc_id,
-           coalesce(x.n, 0)::BIGINT AS n_candidates,
-           coalesce(x.wins, true) AS kept,
-           (CASE WHEN coalesce(x.wins, true) THEN coalesce(x.n, 0)
-             ELSE 0 END)::BIGINT AS n_superseded
-         FROM bb LEFT JOIN
-           (SELECT * FROM aa UNION ALL SELECT * FROM ab) x
-           USING (doc_id)""",
+    "d52_ingest_resolve" -> resolveTwoSliceSql,
+
+    // w11: the streamed flow accumulates exactly the first-delivery
+    // verdicts of the same two slices (the replay is absorbed
+    // everywhere), so the mirror IS the d52 mirror
+    "w11_resolve_stream" -> resolveTwoSliceSql,
+
+
 
     // p12: the whole modern stack mirrored in ONE chain — nbSql gives
     // the marked store (mk) + classifier verdicts (out); bandIdxCtes

@@ -252,6 +252,30 @@ class BpeSpec extends AnyFunSuite {
       assert(dec == t, s"'$t' decoded '$dec'") }
   }
 
+  test("byte-mode training learns loadable published-format merges") {
+    val corpus = Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "the bat and the rat sat").toDF("text")
+    val ms = TextAnalysis.trainBpeMerges(corpus, "text", numMerges = 6,
+      byteLevel = true)
+    assert(ms.nonEmpty && ms.size <= 6, ms.toString)
+    // whitespace is part of the vocabulary: a space-side merge must
+    // appear (the corpus is dominated by ' the'-style chunks)
+    assert(ms.exists { case (l, r) => (l + r).contains("Ġ") },
+      s"no mapped-space merge learned: $ms")
+    // closure: the trained artifact loads into the byte encoder and
+    // the encode/decode round-trip stays whole-text lossless under it
+    val enc = TextAnalysis.bpeEncode(corpus, "text", ms, outCol = "ids",
+      byteLevel = true)
+    val got = TextAnalysis.bpeDecode(enc, "ids", ms, byteLevel = true)
+      .select("text", "decoded").as[(String, String)].collect()
+    got.foreach { case (t, dec) => assert(dec == t, s"'$t' -> '$dec'") }
+    // and the merges genuinely compress: fewer ids than bytes
+    val nid = enc.select(sum(size(col("ids")))).as[Long].head()
+    val nbytes = corpus.select(sum(length(col("text")))).as[Long].head()
+    assert(nid < nbytes, s"$nid ids vs $nbytes bytes")
+  }
+
   test("byte decode rejects codepoint-mode ids outside the 256-byte alphabet") {
     val bad = Seq(Seq('日'.toInt)).toDF("ids")
     val e = intercept[Exception] {
