@@ -1203,6 +1203,20 @@ object TextOps {
           .select(col("doc_id"), size(col("bpe_ids")).as("n_bpe")),
         "doc_id", "n_bpe", seqLen = 512)),
 
+    // p07 at the BYTE grain (p13): pack boundaries from the byte-level
+    // tokenizer's counts — the published-scheme tokenizer (d53's
+    // GPT-2-prefix merges, whitespace tokenized, whole-text lossless)
+    // driving the d16 prefix-sum machinery. Unlike p07, every byte of
+    // every document is budgeted (spaces included), so the sequence
+    // grid is a true byte-faithful training layout. Same two
+    // exchanges; text enters neither.
+    "p13_byte_token_pack" -> ((s, d) =>
+      graft.operators.Packing.packSequencesBy(
+        TextAnalysis.bpeEncode(Tables.documents(s, d), "text",
+            TextAnalysis.gpt2ByteMergesPrefix, byteLevel = true)
+          .select(col("doc_id"), size(col("bpe_ids")).as("n_bt")),
+        "doc_id", "n_bt", seqLen = 512)),
+
     // Token-weighted temperature mix: each language's mass is its total
     // token count (Σ per-doc whitespace tokens — the published
     // token-budget form) instead of its document count; the sqrt
@@ -2847,6 +2861,20 @@ object TextOps {
            md5(coalesce(array_to_string(
              list_transform(a, x -> x::VARCHAR), ' '), '')) AS ids_md5
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    // p13: the d53 byte encode feeding the d16 prefix-sum packing —
+    // the p07 mirror over byte-token counts
+    "p13_byte_token_pack" ->
+      s"""WITH RECURSIVE ${bpeBytesCtes(
+            graft.operators.TextAnalysis.gpt2ByteMergesPrefix)},
+         nb AS (SELECT btx.doc_id, coalesce(len(a), 0)::BIGINT AS n_bt
+           FROM btx LEFT JOIN bagg ON btx.doc_id = bagg.doc_id),
+         cum AS (SELECT doc_id, n_bt,
+           sum(n_bt) OVER (ORDER BY doc_id) AS c FROM nb)
+         SELECT doc_id, n_bt, (c - n_bt)::BIGINT AS start_offset,
+           ((c - n_bt) // 512)::BIGINT AS first_seq,
+           (greatest(c - 1, c - n_bt) // 512)::BIGINT AS last_seq
+         FROM cum""",
 
     // d53: the byte-level chain — same recursive loop, byte-mapped
     // initial segmentation, chunked text, published GPT-2 merges

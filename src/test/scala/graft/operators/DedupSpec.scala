@@ -229,6 +229,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("probeBandIndex reliable-checkpoint hatch: same verdicts, reliable storage") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq((1L, s"alpha beta gamma delta $filler"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"alpha beta gamma delta $filler tail"))
+      .toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_reliable"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spec-chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val got = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2, reliableCheckpoint = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // the reliable variant actually wrote through the checkpoint dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty,
+      "reliableCheckpoint=true must write to the checkpoint dir")
+  }
+
   test("compactBandIndex: verdict-neutral, file count back to one per bucket, idempotent") {
     val filler = (0 until 30).map(i => s"w$i").mkString(" ")
     val idxDocs = Seq(
