@@ -632,18 +632,7 @@ object TextOps {
     // and the batch-side frames persist/checkpoint at each verdict
     // boundary so no stage re-runs an upstream one.
     "p12_curation_capstone" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val marked = markedDocs(docs)                   // the document store
-      val planted = plantBoundaryCopies(marked)       // %20 near-copies
-      val corpus = planted.filter(col("doc_id") % 4 =!= 0)
-      val neighbor = planted.select((col("doc_id") - 1).as("doc_id"),
-        col("text").as("__nt"))
-      val batch0 = planted.filter(col("doc_id") % 4 === 0)
-        .join(neighbor, Seq("doc_id"), "left")
-        .withColumn("text",
-          when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
-            col("__nt")).otherwise(col("text")))
-        .select("doc_id", "text")
+      val (marked, corpus, batch0) = capstoneFixture(s, d)
       // stage 1: URL canonicalize + exact-URL dedup within the batch
       // (pathDiv 40: 2-way recrawl groups over the quarter-batch)
       val s1 = graft.operators.UrlOps.dropUrlDuplicates(
@@ -667,58 +656,118 @@ object TextOps {
           "left_anti")
         .select("doc_id", "domain").localCheckpoint(true)
       s1.unpersist(blocking = false)
-      // dedup verdicts done — downstream stages score the STORE text
-      val store = marked.join(broadcast(s3), Seq("doc_id")).persist()
-      // stage 4: NB classifier QUANTILE gate — keep the top two-thirds
-      // of the survivors by classifier margin (the published
-      // threshold-at-a-quantile form; the hard pred_hq cut is d47/p10's
-      // gate and would throttle this funnel to near-empty). Ranking
-      // descending = scoreBandSplit over the negated margin.
-      // the score frame is survivor-grain: checkpoint it before
-      // ranking so ranked()'s two range-exchange consumers bottom at
-      // the same materialized rows (a persisted upstream can be
-      // cache-substituted on one side only — rankByValue's guard
-      // refuses that plan) and the NB chain provably runs once
-      val nbScores = TextAnalysis.nbScore(store, "text", "doc_id",
-          markedNbStats(docs), buckets = 512)
-        .select(col("doc_id"), (-col("margin_q")).as("neg_margin"))
-        // the coalesce is a no-expression partitioning barrier: a
-        // checkpoint taken under non-adaptive planning captures the
-        // chain's HashPartitioning WITH its expression ids, and the
-        // rank self-join's DeduplicateRelations newInstance then breaks
-        // the canonical equality rankByValue requires
-        .coalesce(32).localCheckpoint(true)
-      val keptIds = Sampling.scoreBandSplit(nbScores, "neg_margin", "doc_id")
-        .filter(col("band") =!= "tail").select("doc_id")
-      val s4 = store.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
-        .persist()
-      // stage 5: order-5 LM vs the corpus in-domain slice; keep the
-      // head+middle perplexity thirds OF THE SURVIVORS
-      val lmStats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
-        marked.filter(col("doc_id") % 97 === 0 && col("doc_id") % 4 =!= 0),
-        "text", ctxBuckets = 16384, pairBuckets = 16384, order = 5))
-      val pplScores = TextAnalysis.lmPerplexity(s4, "text", "doc_id",
-          lmStats, ctxBuckets = 16384, pairBuckets = 16384, order = 5)
-        .select("doc_id", "ppl_q").coalesce(32).localCheckpoint(true)
-      val bands = Sampling.scoreBandSplit(pplScores, "ppl_q", "doc_id")
-      val s5 = s4.join(
-        broadcast(bands.filter(col("band") =!= "tail").select("doc_id")),
-        Seq("doc_id"), "left_semi")
-      // stage 6: PageRank-weighted per-domain quota
-      val caps = GraphOps.pageRank(syntheticEdges(docs), "src", "dst",
-          iters = 8)
-        .select(concat(col("node"), lit(".example.com")).as("domain"),
-          expr("rank_q div 300000000").as("cap"))
-      val s6 = Sampling.quotaPerGroupBy(s5, "doc_id", "domain", caps, "cap")
-        .localCheckpoint(true)
-      store.unpersist(blocking = false)
-      s4.unpersist(blocking = false)
-      // stage 7: pack the final mix into 512-token sequences
-      Packing.packSequences(s6, "doc_id", "text", seqLen = 512,
-          bucketSize = 64)
-        .join(s6.select("doc_id", "domain"), Seq("doc_id"))
-        .select("doc_id", "domain", "n_tokens", "start_offset",
-          "first_seq", "last_seq")
+      capstoneFinish(s, d, marked, s3)
+    }),
+
+    // The capstone's INGEST HALF streamed (w12): the batch quarter
+    // arrives as two ASCENDING-doc_id slices plus a REPLAY of slice 0
+    // (the w09 convention — ascending slices make min-id-per-curl URL
+    // dedup prefix-decidable), each micro-batch pushed through URL
+    // dedup (within-slice + a seen-curl index for cross-slice dups),
+    // bloom exact-membership vs the pre-built corpus bitmap, and the
+    // band-index probe, survivors accumulated idempotently; the
+    // corpus-global finish (classifier quantile -> LM thirds -> quota
+    // -> pack) runs once the stream drains — the w09 nightly-scoring
+    // split applied to the full modern stack. The replay contributes
+    // nothing (its curls are already indexed); the sink equals the
+    // one-shot p12 survivor set row for row, so the oracle IS the p12
+    // mirror.
+    "w12_stream_capstone" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w12", d)
+      val (marked, corpus, batch0) = capstoneFixture(s, d)
+      val tbl = "graft_bandidx.w12_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+      Dedup.buildBandIndex(corpus, "text", "doc_id", tbl,
+        k = 6, bandWidth = 2, buckets = 8)
+      // the corpus bitmap builds ONCE, localized — every slice probes
+      // the same driver-local artifact (production would mergeBloomInto)
+      val bloom = TextAnalysis.localizeStats(Dedup.buildBloom(
+        corpus.select(md5(col("text")).as("__key")), "__key",
+        mBits = 1 << 16, k = 3))
+      val sink = s"$loc/survivors"
+      batch0.limit(0)
+        .select(col("doc_id"), lit("").as("domain"))
+        .write.mode("overwrite").parquet(sink)
+      val curlIdx = s"$loc/curls"
+      batch0.limit(0).select(lit("").as("curl"))
+        .write.mode("overwrite").parquet(curlIdx)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      // documents ids are dense 0..n-1, so n/2 splits the id range
+      val median = Tables.documents(s, d).count() / 2
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(
+          (batch0.filter(col("doc_id") < median), "slice-0"),
+          (batch0.filter(col("doc_id") >= median), "slice-1"),
+          (batch0.filter(col("doc_id") < median), "slice-2-replay")))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        val bs = b.sparkSession  // the w08 cloned-session discipline
+        // URL stage: within-slice min-id dedup + cross-slice dups
+        // dropped against the seen-curl index (survivors' curls only —
+        // a within-slice dup shares its keeper's curl, so index grain
+        // is exactly "curl has a keeper already")
+        val s1 = graft.operators.UrlOps.dropUrlDuplicates(
+            b.withColumn("url", syntheticUrlWith(40)), "url", "doc_id")
+          .withColumn("domain",
+            graft.operators.UrlOps.urlDomain(col("curl")))
+          .join(bs.read.parquet(curlIdx), Seq("curl"), "left_anti")
+          .persist()
+        s1.count()
+        // bloom stage: probe the shared bitmap, settle false positives
+        // by the broadcast-candidate verifying join vs the corpus
+        val keyed = s1.select(col("doc_id"), md5(col("text")).as("__key"))
+        val cand = Dedup.probeBloom(keyed, "__key", "doc_id", bloom,
+            mBits = 1 << 16, k = 3)
+          .filter(col("maybe_member"))
+          .join(keyed, Seq("doc_id")).select("doc_id", "__key")
+        val (_, corpusB, _) = capstoneFixture(bs, d)
+        val members = corpusB.select(md5(col("text")).as("__key"))
+          .join(broadcast(cand), Seq("__key"))
+          .select("doc_id").distinct()
+        val s2 = s1.join(members, Seq("doc_id"), "left_anti")
+        // band stage vs the corpus index
+        val nd = Dedup.probeBandIndex(bs, tbl, s2, "text", "doc_id",
+          k = 6, bandWidth = 2)
+        val s3 = s2.join(nd.select("doc_id").distinct(), Seq("doc_id"),
+          "left_anti").select("doc_id", "domain")
+        // idempotent accumulation (verdicts first, then the curl index)
+        val fresh = s3.join(bs.read.parquet(sink).select("doc_id"),
+          Seq("doc_id"), "left_anti").persist()
+        fresh.count()
+        fresh.write.mode("append").parquet(sink)
+        fresh.unpersist()
+        val newCurls = s1.select("curl").distinct()
+          .join(bs.read.parquet(curlIdx), Seq("curl"), "left_anti")
+          .persist()
+        newCurls.count()
+        newCurls.write.mode("append").parquet(curlIdx)
+        newCurls.unpersist()
+        s1.unpersist()
+        ()
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 3,
+        s"w12 expected 3 non-empty micro-batches (2 slices + replay), " +
+          s"saw $batches")
+      capstoneFinish(s, d, marked,
+        s.read.parquet(sink).localCheckpoint(true))
     }),
 
     // URL/domain-grain curation: canonicalize (scheme/host lowercase,
@@ -1627,6 +1676,153 @@ object TextOps {
          FROM dw JOIN enc USING (w) GROUP BY 1)"""
   }
 
+  /** The capstone's corpus-global DOWNSTREAM — classifier quantile
+    * gate, order-5 LM thirds, PageRank-weighted quota, sequence
+    * packing — over an already-resolved survivor frame
+    * (doc_id, domain). Shared by the one-shot p12 and the streamed
+    * w12 (whose ingest half accumulates the identical survivor set):
+    * the w09 split between incremental ingest and the periodic
+    * corpus-global finish, applied to the full modern stack. `s3`
+    * must be checkpointed/materialized (both callers ensure it). */
+  private def capstoneFinish(s: SparkSession, d: String,
+      marked: DataFrame, s3: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // downstream stages score the STORE text by id
+    val store = marked.join(broadcast(s3), Seq("doc_id")).persist()
+      // stage 4: NB classifier QUANTILE gate — keep the top two-thirds
+      // of the survivors by classifier margin (the published
+      // threshold-at-a-quantile form; the hard pred_hq cut is d47/p10's
+      // gate and would throttle this funnel to near-empty). Ranking
+      // descending = scoreBandSplit over the negated margin.
+      // the score frame is survivor-grain: checkpoint it before
+      // ranking so ranked()'s two range-exchange consumers bottom at
+      // the same materialized rows (a persisted upstream can be
+      // cache-substituted on one side only — rankByValue's guard
+      // refuses that plan) and the NB chain provably runs once
+      val nbScores = TextAnalysis.nbScore(store, "text", "doc_id",
+          markedNbStats(docs), buckets = 512)
+        .select(col("doc_id"), (-col("margin_q")).as("neg_margin"))
+        // the coalesce is a no-expression partitioning barrier: a
+        // checkpoint taken under non-adaptive planning captures the
+        // chain's HashPartitioning WITH its expression ids, and the
+        // rank self-join's DeduplicateRelations newInstance then breaks
+        // the canonical equality rankByValue requires
+        .coalesce(32).localCheckpoint(true)
+      val keptIds = Sampling.scoreBandSplit(nbScores, "neg_margin", "doc_id")
+        .filter(col("band") =!= "tail").select("doc_id")
+      val s4 = store.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+        .persist()
+      // stage 5: order-5 LM vs the corpus in-domain slice; keep the
+      // head+middle perplexity thirds OF THE SURVIVORS
+      val lmStats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        marked.filter(col("doc_id") % 97 === 0 && col("doc_id") % 4 =!= 0),
+        "text", ctxBuckets = 16384, pairBuckets = 16384, order = 5))
+      val pplScores = TextAnalysis.lmPerplexity(s4, "text", "doc_id",
+          lmStats, ctxBuckets = 16384, pairBuckets = 16384, order = 5)
+        .select("doc_id", "ppl_q").coalesce(32).localCheckpoint(true)
+      val bands = Sampling.scoreBandSplit(pplScores, "ppl_q", "doc_id")
+      val s5 = s4.join(
+        broadcast(bands.filter(col("band") =!= "tail").select("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // stage 6: PageRank-weighted per-domain quota
+      val caps = GraphOps.pageRank(syntheticEdges(docs), "src", "dst",
+          iters = 8)
+        .select(concat(col("node"), lit(".example.com")).as("domain"),
+          expr("rank_q div 300000000").as("cap"))
+      val s6 = Sampling.quotaPerGroupBy(s5, "doc_id", "domain", caps, "cap")
+        .localCheckpoint(true)
+      store.unpersist(blocking = false)
+      s4.unpersist(blocking = false)
+      // stage 7: pack the final mix into 512-token sequences
+      Packing.packSequences(s6, "doc_id", "text", seqLen = 512,
+          bucketSize = 64)
+        .join(s6.select("doc_id", "domain"), Seq("doc_id"))
+        .select("doc_id", "domain", "n_tokens", "start_offset",
+          "first_seq", "last_seq")
+  }
+
+  /** The capstone's shared fixture: the marked STORE, the corpus
+    * three-quarters, and the batch quarter with the %20 boundary
+    * near-copies and %8 exact copies planted (markers first, so the
+    * copies carry their source's markers verbatim and exact
+    * membership survives marking). */
+  private def capstoneFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val marked = markedDocs(Tables.documents(s, d))
+    val planted = plantBoundaryCopies(marked)
+    val corpus = planted.filter(col("doc_id") % 4 =!= 0)
+    val neighbor = planted.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__nt"))
+    val batch0 = planted.filter(col("doc_id") % 4 === 0)
+      .join(neighbor, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
+          col("__nt")).otherwise(col("text")))
+      .select("doc_id", "text")
+    (marked, corpus, batch0)
+  }
+
+  /** The p12/w12 shared capstone mirror (see the p12 oracle comment
+    * for the stage-by-stage account). */
+  private def capstoneSql: String =
+    s"""WITH ${nbSql(512)},
+         ${bandIdxCtes("mk")},
+         bt AS MATERIALIZED (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
+               THEN n.text ELSE d.text END AS text
+           FROM pl d LEFT JOIN pl n ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 4 = 0),
+         cp AS MATERIALIZED (SELECT doc_id, text FROM pl
+           WHERE doc_id % 4 <> 0),
+         ${urlCurationCtes("bt", 40)},
+         s3 AS MATERIALIZED (SELECT s.doc_id, s.domain
+           FROM s JOIN bt USING (doc_id)
+           WHERE bt.text NOT IN (SELECT text FROM cp)
+             AND s.doc_id NOT IN (
+               SELECT DISTINCT b.doc_id FROM banded b JOIN banded i
+                 ON b.band = i.band
+               WHERE b.is_batch AND NOT i.is_batch)),
+         nbr AS (SELECT s3.doc_id, s3.domain,
+             row_number() OVER (ORDER BY -out.margin_q NULLS FIRST,
+               s3.doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn
+           FROM s3 JOIN out USING (doc_id)),
+         s4p AS MATERIALIZED (SELECT doc_id, domain FROM nbr
+           WHERE (rk - 1) * 3 < cn * 2),
+         ${lmNllSql(16384, 16384, src = "mk",
+          trainPred = "doc_id % 97 = 0 AND doc_id % 4 <> 0",
+          order = 5, tag = "lm")},
+         lmr AS (SELECT s4p.doc_id, s4p.domain,
+             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
+               s4p.doc_id NULLS FIRST) AS rk,
+             count(*) OVER () AS cn
+           FROM s4p JOIN lmppl USING (doc_id)),
+         s5p AS MATERIALIZED (SELECT doc_id, domain FROM lmr
+           WHERE (rk - 1) * 3 < cn * 2),
+         $pageRankCtes,
+         caps AS (SELECT n || '.example.com' AS domain,
+             (r // 300000000)::BIGINT AS cap FROM pr8),
+         r2 AS (SELECT doc_id, domain, row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+           FROM s5p),
+         s7 AS MATERIALIZED (SELECT doc_id, domain FROM r2
+           LEFT JOIN caps USING (domain)
+           WHERE rn <= coalesce(cap, 0)),
+         t2 AS (SELECT mk.doc_id, s7.domain,
+             len(string_split(mk.text, ' '))::BIGINT AS n_tokens
+           FROM mk JOIN s7 USING (doc_id)),
+         c2 AS (SELECT doc_id, domain, n_tokens,
+             (sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum
+           FROM t2)
+         SELECT doc_id, domain, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq
+         FROM c2"""
+
   /** The d52/w11 shared mirror: the slice-aware keep-the-best
     * resolution over the two doc_id % 8 slices — slice A against
     * the original index, slice B against the index as slice A left
@@ -2033,64 +2229,16 @@ object TextOps {
     // band drop, classifier gate, order-5 LM thirds over the
     // survivors (lmNllSql under tag=lm), PageRank caps, weighted
     // quota, and the d16 pack tail
-    "p12_curation_capstone" ->
-      s"""WITH ${nbSql(512)},
-         ${bandIdxCtes("mk")},
-         bt AS MATERIALIZED (SELECT d.doc_id,
-             CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
-               THEN n.text ELSE d.text END AS text
-           FROM pl d LEFT JOIN pl n ON n.doc_id = d.doc_id + 1
-           WHERE d.doc_id % 4 = 0),
-         cp AS MATERIALIZED (SELECT doc_id, text FROM pl
-           WHERE doc_id % 4 <> 0),
-         ${urlCurationCtes("bt", 40)},
-         s3 AS MATERIALIZED (SELECT s.doc_id, s.domain
-           FROM s JOIN bt USING (doc_id)
-           WHERE bt.text NOT IN (SELECT text FROM cp)
-             AND s.doc_id NOT IN (
-               SELECT DISTINCT b.doc_id FROM banded b JOIN banded i
-                 ON b.band = i.band
-               WHERE b.is_batch AND NOT i.is_batch)),
-         nbr AS (SELECT s3.doc_id, s3.domain,
-             row_number() OVER (ORDER BY -out.margin_q NULLS FIRST,
-               s3.doc_id NULLS FIRST) AS rk,
-             count(*) OVER () AS cn
-           FROM s3 JOIN out USING (doc_id)),
-         s4p AS MATERIALIZED (SELECT doc_id, domain FROM nbr
-           WHERE (rk - 1) * 3 < cn * 2),
-         ${lmNllSql(16384, 16384, src = "mk",
-          trainPred = "doc_id % 97 = 0 AND doc_id % 4 <> 0",
-          order = 5, tag = "lm")},
-         lmr AS (SELECT s4p.doc_id, s4p.domain,
-             row_number() OVER (ORDER BY ppl_q NULLS FIRST,
-               s4p.doc_id NULLS FIRST) AS rk,
-             count(*) OVER () AS cn
-           FROM s4p JOIN lmppl USING (doc_id)),
-         s5p AS MATERIALIZED (SELECT doc_id, domain FROM lmr
-           WHERE (rk - 1) * 3 < cn * 2),
-         $pageRankCtes,
-         caps AS (SELECT n || '.example.com' AS domain,
-             (r // 300000000)::BIGINT AS cap FROM pr8),
-         r2 AS (SELECT doc_id, domain, row_number() OVER (
-             PARTITION BY domain
-             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
-           FROM s5p),
-         s7 AS MATERIALIZED (SELECT doc_id, domain FROM r2
-           LEFT JOIN caps USING (domain)
-           WHERE rn <= coalesce(cap, 0)),
-         t2 AS (SELECT mk.doc_id, s7.domain,
-             len(string_split(mk.text, ' '))::BIGINT AS n_tokens
-           FROM mk JOIN s7 USING (doc_id)),
-         c2 AS (SELECT doc_id, domain, n_tokens,
-             (sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               AS cum
-           FROM t2)
-         SELECT doc_id, domain, n_tokens,
-           cum - n_tokens AS start_offset,
-           (cum - n_tokens) // 512 AS first_seq,
-           (cum - 1) // 512 AS last_seq
-         FROM c2""",
+    "p12_curation_capstone" -> capstoneSql,
+
+    // w12: the streamed ingest half accumulates exactly the one-shot
+    // survivor set (ascending slices make min-id-per-curl URL dedup
+    // prefix-decidable; bloom/band verdicts are slice-independent;
+    // the replay is absorbed by the curl index and the sink
+    // anti-join), and the corpus-global finish is the same code — so
+    // the mirror IS the p12 mirror
+    "w12_stream_capstone" -> capstoneSql,
+
 
     // d45: the URL pipeline mirrored end to end — synthesize, strip,
     // case-fold, keep min id per canonical url, 3-per-domain quota in
