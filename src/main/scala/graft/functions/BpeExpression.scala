@@ -45,17 +45,25 @@ object ByteAlphabet {
   * so an external engine replaying the same merges assigns the same
   * ids.
   *
-  * `byteLevel = true` is the published GPT-2 scheme: the unit is the
-  * UTF-8 BYTE, mapped through [[ByteAlphabet]] (base vocab exactly
-  * 256), and the text splits into space-ATTACHED chunks (each space
-  * run glues to the following word, a trailing run stands alone) so
-  * whitespace itself is tokenized ('Ġ'-prefixed tokens) and decode is
-  * LOSSLESS over the whole text — where codepoint mode drops spaces
-  * and is lossless at word grain only. The id rule is unchanged
-  * (single mapped char -> its codepoint, merged surface ->
-  * 0x110000 + rank), so byte mode is the same machinery under a
-  * different base segmentation, and real published merge lists (pairs
-  * over the mapped alphabet) plug in as-is. */
+  * `byteLevel = true` is the published GPT-2 byte-level SCHEME — with
+  * a deliberately scoped compatibility claim. What matches GPT-2:
+  * the unit is the UTF-8 BYTE, mapped through [[ByteAlphabet]] (base
+  * vocab exactly 256), and real published merge-list ARTIFACTS (pairs
+  * over the mapped alphabet, vocab.bpe format) plug in as-is. What
+  * does NOT: the pretokenizer. This chunker splits into space-ATTACHED
+  * chunks (each whole space run glues to the following word, a
+  * trailing run stands alone) so whitespace itself is tokenized
+  * ('Ġ'-prefixed tokens) and decode is LOSSLESS over the whole text —
+  * where codepoint mode drops spaces and is lossless at word grain
+  * only. GPT-2's regex pretokenizer instead attaches AT MOST ONE
+  * leading space and splits at letter/digit/punctuation category
+  * boundaries and contractions ('s, 're, …), so encoding real text
+  * through a real vocab.bpe here yields DIFFERENT token sequences
+  * than GPT-2 proper (and ids differ by design anyway — see the id
+  * rule above, not GPT-2's learned vocab ids). The id rule is
+  * unchanged from codepoint mode (single mapped char -> its
+  * codepoint, merged surface -> 0x110000 + rank), so byte mode is the
+  * same machinery under a different base segmentation. */
 final class BpeTables(val merges: Array[(String, String)],
     val byteLevel: Boolean = false) extends Serializable {
   // an EMPTY merge list is legal: encode degenerates to code points and

@@ -757,7 +757,26 @@ object Dedup {
             "scan probe")
       } finally spark.conf.set(key, old)
     }
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Re-assert on the FINAL plan, post-execution: the compile-time
+    // assert above holds for non-adaptive plans, but under AQE (the
+    // session default) reOptimize re-runs stage-preparation rules with
+    // the conf RESTORED — a Spark version that includes
+    // DisableUnnecessaryBucketedScan in queryStagePreparationRules
+    // would drop the just-asserted bucketed scan at execution time,
+    // and the compile-time assert would have passed on a plan the
+    // engine didn't run. This version doesn't (the check passes); if
+    // an upgrade changes that, the probe fails loudly here instead of
+    // silently full-scanning the index.
+    require(df.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"),
+      s"probeBandIndex: the EXECUTED plan against $table lost its " +
+        "bucket pruning (AQE re-optimization re-ran " +
+        "DisableUnnecessaryBucketedScan with the restored conf?) — " +
+        "the probe that just ran full-scanned the index; this Spark " +
+        "version's stage-preparation rules are incompatible with the " +
+        "compile-inside-the-conf-window device")
+    out
   }
 
   /** Catalog-metadata validation shared by every band-index read/
@@ -771,6 +790,7 @@ object Dedup {
   private[graft] def requireBandBucketedTable(
       spark: org.apache.spark.sql.SparkSession, table: String,
       context: String): Int = {
+    restoreInterruptedSwap(spark, table)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
     require(spec.exists(_.bucketColumnNames == Seq("band")),
@@ -778,6 +798,22 @@ object Dedup {
         s"(bucketSpec=$spec) — not a buildBandIndex product; a probe " +
         "against it could not bucket-prune at any scale")
     spec.get.numBuckets
+  }
+
+  /** Self-healing for a [[compactBandIndex]] swap interrupted between
+    * its two renames: the live name is missing but the data survives
+    * in full under `__compact_backup` — rename it back. Called by
+    * every band-index entry point (via [[requireBandBucketedTable]]),
+    * so the first probe/append/compact after the crash restores the
+    * pre-compaction table and the compaction is simply redone. */
+  private def restoreInterruptedSwap(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val backup = ident.copy(table = ident.table + "__compact_backup")
+      .unquotedString
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(backup))
+      spark.sql(s"ALTER TABLE $backup RENAME TO ${ident.unquotedString}")
   }
 
   /** Number of data files currently backing a band-index table — the
@@ -804,13 +840,20 @@ object Dedup {
     * probe cost degrades linearly in DELIVERIES, not in data. This
     * pass rewrites the table coalesced (the f05 rewrite device: same
     * bucket count and hash family read from the catalog, one
-    * task-aligned file per bucket) into a staging table, then
-    * atomically swaps it in under the band lock, so no probe plan
-    * compilation or append interleaves with the swap. (A probe plan
-    * compiled before the swap that is still executing its checkpoint
-    * when the swap lands fails loudly on the dropped files — never
-    * silently wrong — and the single-writer ingest contract makes
-    * that interleaving a caller bug.) When the index has a tombstone
+    * task-aligned file per bucket) into a staging table, then swaps
+    * it in under the band lock, so no probe plan compilation or
+    * append interleaves with the swap. (A probe plan compiled before
+    * the swap that is still executing its checkpoint when the swap
+    * lands fails loudly on the moved files — never silently wrong —
+    * and the single-writer ingest contract makes that interleaving a
+    * caller bug.) The swap is two catalog renames, not atomic: live →
+    * `__compact_backup`, staging → live, then drop the backup — so a
+    * crash at ANY point leaves at least one full copy of the data
+    * (never zero, unlike a drop-then-rename). An interrupted swap is
+    * self-healing: every band-index entry point detects a missing
+    * live table with a surviving backup and renames it back before
+    * proceeding (the compaction itself is then simply redone). When
+    * the index has a tombstone
     * side table ([[ingestResolveNearDups]]'s supersede mechanism),
     * the rewrite also APPLIES it: tombstoned docs' bands are dropped
     * and the tombstone table truncated — deletes cost O(corpus) only
@@ -826,7 +869,13 @@ object Dedup {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val stagingIdent = ident.copy(table = ident.table + "__compact_stage")
     val staging = stagingIdent.unquotedString
+    val backup = ident.copy(table = ident.table + "__compact_backup")
+      .unquotedString
+    // leftovers of a crashed prior compact: the staging rewrite is
+    // redone from scratch, and a backup that survived past its swap
+    // (crash after the stage→live rename, before the drop) is stale
     Similarity.dropTableAndLocation(spark, staging)
+    Similarity.dropTableAndLocation(spark, backup)
     val tomb = tombstoneTable(table)
     val applyTombs = spark.catalog.tableExists(tomb)
     bandConfLock.synchronized {
@@ -853,8 +902,13 @@ object Dedup {
           .write.bucketBy(buckets, "band")
           .mode("overwrite").saveAsTable(staging)
       } finally spark.conf.set(key, old)
-      Similarity.dropTableAndLocation(spark, table)
+      // backup dance (never zero copies): live→backup, stage→live,
+      // drop backup. A crash between the renames strands the data
+      // under the backup name; restoreInterruptedSwap renames it back
+      // at the next entry-point call.
+      spark.sql(s"ALTER TABLE ${ident.unquotedString} RENAME TO $backup")
       spark.sql(s"ALTER TABLE $staging RENAME TO ${ident.unquotedString}")
+      Similarity.dropTableAndLocation(spark, backup)
       if (applyTombs) spark.sql(s"TRUNCATE TABLE $tomb")
     }
     spark.catalog.refreshTable(table)
@@ -894,7 +948,15 @@ object Dedup {
     * `indexScores` must cover every index doc id (`idCol`,
     * `scoreCol`) — it is scanned ONCE, semi-joined by the broadcast
     * batch-proportional verdict pairs, so the corpus-sized side
-    * shuffles nothing. The batch side is micro-batch grain by the
+    * shuffles nothing; a candidate id MISSING from `indexScores`
+    * fails loudly (an uncovered candidate would otherwise vanish
+    * from the pair set, handing the batch doc a vacuous win with the
+    * candidate never tombstoned — a silent contract breach). Scope:
+    * resolution is batch-vs-INDEX only — near-dup pairs WITHIN one
+    * batch are not resolved (both copies append); pre-resolve the
+    * batch with the one-shot d42 pass ([[resolveNearDupsByQuality]])
+    * when within-batch duplicates are possible, or deliver at a grain
+    * that precludes them. The batch side is micro-batch grain by the
     * probe's contract and broadcasts everywhere. The pair frame is
     * eagerly checkpointed before any table mutation (the w05
     * discipline: everything returned or written derives from
@@ -930,6 +992,21 @@ object Dedup {
         Seq("index_id"))
       .select(col(idCol), col("index_id"), col("__bs"), col("__is"))
       .localCheckpoint(true)
+    // coverage guard: every candidate id the probe surfaced must have
+    // come back with a score — the inner join above silently DROPS an
+    // uncovered candidate, which would hand its batch doc a vacuous
+    // win and never tombstone the candidate. Both frames here are
+    // checkpointed batch-proportional rows, so the anti-join is
+    // micro-batch-grain; limit(1) keeps the failure probe driver-cheap.
+    val uncovered = verdicts.select(col("index_id"))
+      .join(pairs.select(col("index_id")), Seq("index_id"), "left_anti")
+      .limit(1).collect()
+    require(uncovered.isEmpty,
+      s"ingestResolveNearDups: index doc id ${uncovered.headOption
+          .map(_.get(0)).getOrElse("")} has no row in indexScores — " +
+        "scores must cover every index doc; an uncovered candidate " +
+        "would be silently dropped from resolution (vacuous batch win, " +
+        "candidate never tombstoned)")
     val beats = col("__bs") > col("__is") ||
       (col("__bs") === col("__is") && col(idCol) < col("index_id"))
     val byDoc = pairs.groupBy(col(idCol))

@@ -477,13 +477,12 @@ object Sampling {
     val repVariants = sides.flatMap(_.collectFirst {
       case r: RepartitionByExpression => r.canonicalized
     }).distinct
-    if (!(sides.size == 2 && repVariants.size == 1)) {
-      repVariants.zipWithIndex.foreach { case (v, i) =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"/tmp/rank_variant_$i.txt"),
-          v.toString.getBytes("UTF-8"))
-      }
-    }
+    // On failure, carry (truncated) canonicalized variant trees in the
+    // message itself — no filesystem side effects from library code.
+    def variantDump: String = repVariants.zipWithIndex.map { case (v, i) =>
+      val s = v.toString
+      s"\n--- variant $i ---\n${s.take(4000)}${if (s.length > 4000) "\n…[truncated]" else ""}"
+    }.mkString
     require(sides.size == 2 && repVariants.size == 1,
       s"rankByValue: the two range-exchange subtrees no longer " +
         s"canonicalize identically (sides=${sides.size}, " +
@@ -493,7 +492,7 @@ object Sampling {
         "persist()ed frame can be cache-substituted on ONE side only " +
         "(seen under non-adaptive planning in p12) — checkpoint the " +
         "score frame before ranking so both subtrees bottom at the " +
-        "same materialized rows")
+        s"same materialized rows.$variantDump")
     (rk, counts)
   }
 

@@ -300,6 +300,92 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == rowsBefore)
   }
 
+  test("compactBandIndex swap: interrupted between renames, the next entry point self-heals") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq((10L, s"alpha beta gamma delta $filler tail"))
+      .toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_swap_crash"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    val before = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simulate the crash window: live→backup happened, stage→live did
+    // not — the live name is gone, the data survives under the backup
+    spark.sql(s"ALTER TABLE $tbl RENAME TO ${tbl}__compact_backup")
+    assert(!spark.catalog.tableExists(tbl))
+    // the next entry point (any probe/append/compact) restores it
+    val after = Dedup.probeBandIndex(spark, tbl, batch, "text", "doc_id",
+        k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before && after.nonEmpty,
+      s"recovered verdicts drifted: $after vs $before")
+    assert(spark.catalog.tableExists(tbl) &&
+      !spark.catalog.tableExists(s"${tbl}__compact_backup"),
+      "recovery must rename the backup back to the live name")
+    // and a redone compaction completes normally on the restored table
+    Dedup.compactBandIndex(spark, tbl)
+    assert(!spark.catalog.tableExists(s"${tbl}__compact_backup"))
+  }
+
+  test("compactBandIndex under load: a probe plan compiled pre-swap fails loudly post-swap") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_swap_load"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    // a reader that compiled (file listing resolved) BEFORE the swap —
+    // the interleaving the single-writer contract forbids
+    val stale = spark.table(tbl).filter(col("band").isNotNull)
+    stale.queryExecution.executedPlan  // force compile + file listing
+    Dedup.compactBandIndex(spark, tbl)
+    // the swap moved and then dropped the files the stale plan holds:
+    // execution must fail loudly (ignoreMissingFiles=false default),
+    // never return silently-wrong rows — the documented failure mode
+    val e = intercept[Exception] { stale.collect() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("does not exist") ||
+        String.valueOf(t.getMessage).contains("FileNotFound")),
+      s"expected a missing-file failure, got: $e")
+    // the table itself is fine for plans compiled after the swap
+    assert(spark.table(tbl).count() == idxDocs.count() * 3)
+  }
+
+  test("ingestResolveNearDups: an index candidate missing from indexScores fails loudly") {
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_resolve_uncovered"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    // scores cover 3 and the batch, but NOT candidate 1 — without the
+    // guard, doc 10 would vacuously win and 1 would never be tombstoned
+    val scores = Seq((3L, 5L), (10L, 9L)).toDF("doc_id", "q")
+    val batch = Seq((10L, s"alpha beta gamma delta $filler tail", 9L))
+      .toDF("doc_id", "text", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestResolveNearDups(spark, tbl, batch, "text", "doc_id",
+        "q", scores, k = 6, bandWidth = 2, buckets = 4)
+    }
+    assert(e.getMessage.contains("no row in indexScores"), e.getMessage)
+    // and nothing mutated: no tombstones, no winner appended
+    assert(spark.table(Dedup.tombstoneTable(tbl)).count() == 0)
+    assert(spark.table(tbl).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("ingestResolveNearDups: better-scored arrival supersedes; worse is dropped") {
     val filler = (0 until 30).map(i => s"w$i").mkString(" ")
     val idxDocs = Seq(
