@@ -743,7 +743,8 @@ object Dedup {
     * execution. */
   private def compileAndPinBucketedScan(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-      table: String, reliable: Boolean): DataFrame = {
+      table: String, reliable: Boolean,
+      context: String = "probeBandIndex"): DataFrame = {
     bandConfLock.synchronized {
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
@@ -751,10 +752,10 @@ object Dedup {
       try {
         val executed = df.queryExecution.executedPlan.toString
         require(executed.contains("SelectedBucketsCount"),
-          s"probeBandIndex: the scan of $table did not bucket-prune — " +
-            "the table must be band-bucketed (a buildBandIndex/" +
-            "appendToBandIndex product); refusing to run a full-index-" +
-            "scan probe")
+          s"$context: the scan of $table did not bucket-prune — " +
+            "the table must be bucketed by its probe key (a " +
+            "buildBandIndex/buildKeyedTable product); refusing to run " +
+            "a full-index-scan probe")
       } finally spark.conf.set(key, old)
     }
     val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
@@ -770,7 +771,7 @@ object Dedup {
     // silently full-scanning the index.
     require(df.queryExecution.executedPlan.toString
         .contains("SelectedBucketsCount"),
-      s"probeBandIndex: the EXECUTED plan against $table lost its " +
+      s"$context: the EXECUTED plan against $table lost its " +
         "bucket pruning (AQE re-optimization re-ran " +
         "DisableUnnecessaryBucketedScan with the restored conf?) — " +
         "the probe that just ran full-scanned the index; this Spark " +
@@ -789,14 +790,21 @@ object Dedup {
     * check). */
   private[graft] def requireBandBucketedTable(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      context: String): Int = {
+      context: String): Int =
+    requireKeyBucketedTable(spark, table, "band", context)
+
+  /** [[requireBandBucketedTable]] generalized to any bucket column —
+    * shared with the keyed side tables ([[buildKeyedTable]]). */
+  private[graft] def requireKeyBucketedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      keyCol: String, context: String): Int = {
     restoreInterruptedSwap(spark, table)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val spec = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
-    require(spec.exists(_.bucketColumnNames == Seq("band")),
-      s"$context: table $table is not band-bucketed " +
-        s"(bucketSpec=$spec) — not a buildBandIndex product; a probe " +
-        "against it could not bucket-prune at any scale")
+    require(spec.exists(_.bucketColumnNames == Seq(keyCol)),
+      s"$context: table $table is not $keyCol-bucketed " +
+        s"(bucketSpec=$spec) — not a buildBandIndex/buildKeyedTable " +
+        "product; a probe against it could not bucket-prune at any scale")
     spec.get.numBuckets
   }
 
@@ -971,7 +979,57 @@ object Dedup {
       table: String, batch: DataFrame, textCol: String, idCol: String,
       scoreCol: String, indexScores: DataFrame, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3, buckets: Int = 32,
-      maxBatchBands: Int = 1 << 20): DataFrame = {
+      maxBatchBands: Int = 1 << 20): DataFrame =
+    resolveAtIngest(spark, table, batch, textCol, idCol, scoreCol,
+      // one corpus-score scan, broadcast-semi-joined by the verdict
+      // pairs — the corpus-sized side shuffles nothing, but IS read
+      // once per call; fine one-shot, per-delivery use wants
+      // [[ingestResolveNearDupsIndexed]]
+      withBatch => indexScores
+        .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
+        .join(broadcast(withBatch), Seq("index_id")),
+      _ => (), k, bandWidth, shingleSize, buckets, maxBatchBands)
+
+  /** [[ingestResolveNearDups]] with the score side PERSISTED — the
+    * per-delivery shape: candidate scores come from bucket-pruned
+    * point lookups of a `scoreTable` built by [[buildKeyedTable]]
+    * (`idCol` key, `scoreCol` payload), and each delivery's winners
+    * are appended to it idempotently ([[appendToKeyedTable]]), so the
+    * table stays complete as the index grows and NO corpus-sized frame
+    * is read at delivery time — cost is O(batch) per micro-batch at
+    * any corpus size, where the frame-argument form re-scans its
+    * corpus-sized `indexScores` once per call. Same policy, same
+    * returned frame, same replay-idempotence (a replayed winner's
+    * score append is absorbed by the key-grain anti-join). */
+  def ingestResolveNearDupsIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, scoreTable: String, k: Int = 6,
+      bandWidth: Int = 2, shingleSize: Int = 3, buckets: Int = 32,
+      maxBatchBands: Int = 1 << 20): DataFrame =
+    resolveAtIngest(spark, table, batch, textCol, idCol, scoreCol,
+      withBatch => {
+        val scored = probeKeyedTable(spark, scoreTable,
+          withBatch.select(col("index_id").as(idCol)), idCol)
+        withBatch.join(
+          broadcast(scored.select(col(idCol).as("index_id"),
+            col(scoreCol).as("__is"))),
+          Seq("index_id"))
+      },
+      winners => appendToKeyedTable(
+        winners.select(col(idCol), col(scoreCol)), scoreTable, idCol),
+      k, bandWidth, shingleSize, buckets, maxBatchBands)
+
+  /** The shared resolve-at-ingest core: `attachScores` turns the
+    * (idCol, index_id, __bs) verdict×batch frame into pairs carrying
+    * `__is` (the candidate's score) — batch-proportional in, batch-
+    * proportional out; `onWinners` runs after the winner append for
+    * score-side maintenance. */
+  private def resolveAtIngest(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, attachScores: DataFrame => DataFrame,
+      onWinners: DataFrame => Unit, k: Int, bandWidth: Int,
+      shingleSize: Int, buckets: Int, maxBatchBands: Int): DataFrame = {
     val tomb = tombstoneTable(table)
     if (!spark.catalog.tableExists(tomb))
       spark.table(table).select(col(idCol)).limit(0)
@@ -980,16 +1038,13 @@ object Dedup {
         k, bandWidth, shingleSize, maxBatchBands)
       .join(spark.table(tomb).select(col(idCol).as("index_id")),
         Seq("index_id"), "left_anti")
-    // one corpus-score scan, broadcast-semi-joined by the verdict
-    // pairs; the per-pair frame checkpoints batch-proportional rows so
+    // the per-pair frame checkpoints batch-proportional rows so
     // resolution, tombstoning, and the winner append all replan from
-    // them (never from indexScores, never from the mutating tables)
-    val pairs = indexScores
-      .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
-      .join(broadcast(verdicts.join(
-          broadcast(batch.select(col(idCol), col(scoreCol).as("__bs"))),
-          Seq(idCol))),
-        Seq("index_id"))
+    // them (never from the score side, never from the mutating tables)
+    val withBatch = verdicts.join(
+      broadcast(batch.select(col(idCol), col(scoreCol).as("__bs"))),
+      Seq(idCol))
+    val pairs = attachScores(withBatch)
       .select(col(idCol), col("index_id"), col("__bs"), col("__is"))
       .localCheckpoint(true)
     // coverage guard: every candidate id the probe surfaced must have
@@ -1034,7 +1089,177 @@ object Dedup {
       Seq(idCol), "left_semi")
     appendToBandIndex(winners, table, textCol, idCol, k, bandWidth,
       shingleSize, buckets, maxBatchBands)
+    onWinners(winners)
     resolved
+  }
+
+  // ---- Key-bucketed side tables: the band-index device generalized
+  // to POINT lookups. A streamed ingest flow must answer corpus-grain
+  // questions ("is this fingerprint already in the corpus?", "what is
+  // index doc X's score?") once per micro-batch; scanning a
+  // corpus-sized frame per delivery makes delivery cost proportional
+  // to the CORPUS, not the batch. Persisting the lookup side as a
+  // catalog table bucketed by the probe key makes every per-batch
+  // lookup a bucket-pruned point probe — the batch's keys enter the
+  // plan as literals, the scan opens only their buckets (asserted,
+  // like probeBandIndex), and delivery cost is O(batch) at any corpus
+  // size. Same lifecycle as the band index: build / idempotent append
+  // / asserted-pruned probe (compaction via the band machinery is not
+  // needed at key grain — appends are anti-joined, so the table never
+  // holds duplicate keys and files stack only per delivery; rewrite
+  // with [[buildKeyedTable]] when file counts matter).
+
+  /** Persist `df` as a catalog table bucketed by `keyCol`, one
+    * task-aligned file per bucket. `df` must be key-distinct (one row
+    * per key — the table is a key-indexed map, and [[probeKeyedTable]]
+    * callers join its payload back at key grain); violations fail
+    * loudly rather than persisting an ambiguous map. */
+  def buildKeyedTable(df: DataFrame, keyCol: String, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    Similarity.dropTableAndLocation(spark, table)
+    // repartition FIRST: the duplicate-key window's required clustering
+    // is then already satisfied (hashpartitioning on keyCol), so the
+    // guard rides the write's own task-alignment exchange — one
+    // shuffle total, and the window preserves the alignment the
+    // bucketed write needs (one file per bucket).
+    val keyed = df.repartition(buckets, col(keyCol))
+      .withColumn("__dup",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))))
+    // the guard rides the KEY column itself (a dropped guard column
+    // would be pruned away, silently skipping the check); the
+    // otherwise branch preserves the value, so alignment holds
+    val guarded = keyed.columns.filter(_ != "__dup").map { c =>
+      if (c == keyCol)
+        when(col("__dup") > 1, raise_error(concat(
+            lit(s"buildKeyedTable: duplicate key in $keyCol: "),
+            col(keyCol).cast("string"),
+            lit(" — the table is a key-indexed map; dedupe upstream"))))
+          .otherwise(col(c)).as(c)
+      else col(c)
+    }
+    keyed.select(guarded.toIndexedSeq: _*)
+      .write
+      .bucketBy(buckets, keyCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Idempotently append `batch` to a [[buildKeyedTable]] table at key
+    * grain: at-least-once delivery, exactly-once table effect, FIRST
+    * writer wins per key (a replayed batch — or a later batch carrying
+    * an already-indexed key — appends nothing for it). The idempotence
+    * check is bucket-pruned point lookups: the batch's keys enter the
+    * plan as literals (bounded by `maxKeys`, loud fail past it), so
+    * the probe opens only the batch's buckets — O(batch) per delivery.
+    * `batch` must be key-distinct (loud fail otherwise): two payloads
+    * for one key in a single delivery has no deterministic winner. */
+  def appendToKeyedTable(batch: DataFrame, table: String, keyCol: String,
+      maxKeys: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val buckets = requireKeyBucketedTable(spark, table, keyCol,
+      "appendToKeyedTable")
+    val b = batch.persist()
+    try {
+      val keyRows = DriverBounded.collectCapped(b.select(col(keyCol)),
+        maxKeys,
+        s"appendToKeyedTable: batch exceeds maxKeys $maxKeys (the " +
+          "batch's keys become planning-time point-lookup literals); " +
+          "split the batch or raise the bound deliberately")
+      val keys = keyRows.map(_.get(0)).toSeq
+      require(keys.distinct.length == keys.length,
+        s"appendToKeyedTable: batch has duplicate $keyCol keys — the " +
+          "table is a key-indexed map and a within-batch duplicate has " +
+          "no deterministic winner; dedupe the batch upstream")
+      if (keys.nonEmpty) {
+        val existing = spark.table(table)
+          .filter(col(keyCol).isin(keys: _*)).select(col(keyCol))
+        val fresh = b.join(existing, Seq(keyCol), "left_anti")
+        bandConfLock.synchronized {
+          val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+          val old = spark.conf.get(key)
+          spark.conf.set(key, "false")
+          try {
+            fresh.repartition(buckets, col(keyCol)).write
+              .bucketBy(buckets, keyCol)
+              .mode("append")
+              .saveAsTable(table)
+          } finally spark.conf.set(key, old)
+        }
+        spark.catalog.refreshTable(table)
+      }
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** Bucket-pruned point lookups against a [[buildKeyedTable]] table:
+    * returns the table rows whose `keyCol` appears in `keys` (any
+    * frame carrying that column; other columns ignored), eagerly
+    * checkpointed so downstream plans derive from batch-proportional
+    * rows, never from the table. The batch's distinct keys become
+    * planning-time literals (bounded by `maxKeys`), the scan is
+    * ASSERTED to bucket-prune and re-asserted on the executed plan
+    * (the probeBandIndex device) — a mis-built table refuses loudly
+    * instead of full-scanning at corpus size. An empty key set probes
+    * nothing and returns an empty frame with the table's schema. */
+  def probeKeyedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, keys: DataFrame, keyCol: String,
+      maxKeys: Int = 1 << 20,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    requireKeyBucketedTable(spark, table, keyCol, "probeKeyedTable")
+    val keyRows = DriverBounded.collectCapped(
+      keys.select(col(keyCol)).distinct(), maxKeys,
+      s"probeKeyedTable: probe key set exceeds maxKeys $maxKeys (keys " +
+        "become planning-time point-lookup literals); split the batch " +
+        "or raise the bound deliberately")
+    val lits = keyRows.map(_.get(0)).toSeq
+    if (lits.isEmpty)
+      spark.table(table).limit(0).localCheckpoint(true)
+    else
+      compileAndPinBucketedScan(spark,
+        spark.table(table).filter(col(keyCol).isin(lits: _*)),
+        table, reliableCheckpoint, "probeKeyedTable")
+  }
+
+  /** Persist a corpus's content-fingerprint set as a key-bucketed
+    * catalog table: one row per distinct `md5(textCol)`, bucketed by
+    * the fingerprint — the exact-membership ground truth the streamed
+    * ingest flows probe per micro-batch ([[exactMembershipViaTable]]).
+    * Unlike the bloom (config-sized, probabilistic, broadcast), this
+    * is the corpus-sized EXACT side — which is why it must be a
+    * bucket-pruned table and never a per-delivery scan. */
+  def buildFingerprintTable(corpus: DataFrame, textCol: String,
+      table: String, buckets: Int = 32): Unit =
+    buildKeyedTable(
+      corpus.select(md5(col(textCol)).as("fp")).distinct(), "fp",
+      table, buckets)
+
+  /** [[exactMembership]] with the verifying side persisted: bloom
+    * probe first (no false negatives, so every true member is a
+    * candidate), then the candidate minority verified by bucket-pruned
+    * point lookups of a [[buildFingerprintTable]] table — the corpus
+    * is never scanned at probe time, so a streamed flow probing once
+    * per micro-batch pays O(batch) per delivery instead of a full
+    * corpus read (the one-shot [[exactMembership]]'s scan amortizes
+    * over a single large batch; per-delivery it does not). Returns the
+    * same (idCol, maybe_member, is_member) frame. */
+  def exactMembershipViaTable(spark: org.apache.spark.sql.SparkSession,
+      fpTable: String, batch: DataFrame, textCol: String, idCol: String,
+      bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val keyed = batch.select(col(idCol), md5(col(textCol)).as("fp"))
+    val probed = probeBloom(keyed, "fp", idCol, bloom, mBits, k)
+    val candidates = probed.filter(col("maybe_member"))
+      .join(keyed, Seq(idCol))
+      .select(col(idCol), col("fp"))
+    val present = probeKeyedTable(spark, fpTable, candidates, "fp")
+    val confirmed = candidates
+      .join(broadcast(present.select(col("fp"))), Seq("fp"))
+      .select(col(idCol)).distinct()
+      .withColumn("is_member", lit(true))
+    probed.join(broadcast(confirmed), Seq(idCol), "left")
+      .select(col(idCol), col("maybe_member"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
   }
 
   /** Bloom-filter membership artifact over a key column (content

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The key-bucketed side-table device (d55): build / idempotent
+  * append / asserted bucket-pruned point probe, and the two streamed
+  * per-delivery lookups it replaces — exact-membership verification
+  * and resolve-at-ingest candidate scores — pinned O(batch): no
+  * corpus FileScan appears in any frame a delivery executes. */
+class KeyedTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDb(): Unit =
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+
+  test("buildKeyedTable + probeKeyedTable: point lookups, empty set, payload intact") {
+    freshDb()
+    val tbl = "graft_keyed.spec_roundtrip"
+    val rows = (0L until 100L).map(i => (s"k$i", i * 10)).toDF("k", "v")
+    Dedup.buildKeyedTable(rows, "k", tbl, buckets = 8)
+    val got = Dedup.probeKeyedTable(spark, tbl,
+        Seq("k3", "k77", "missing").toDF("k"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("k3", 30L), ("k77", 770L)))
+    // empty key set: no probe, empty frame with the table's schema
+    val empty = Dedup.probeKeyedTable(spark, tbl,
+      Seq.empty[String].toDF("k"), "k")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0)
+  }
+
+  test("buildKeyedTable refuses a duplicate key; probe refuses an unbucketed table") {
+    freshDb()
+    val tbl = "graft_keyed.spec_dup"
+    val e = intercept[Exception] {
+      Dedup.buildKeyedTable(Seq(("a", 1), ("a", 2)).toDF("k", "v"),
+        "k", tbl, buckets = 4)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("duplicate key")),
+      s"expected the duplicate-key raise_error, got: $e")
+    // a flat (unbucketed) table with the right columns: the catalog
+    // check refuses before any probe could silently full-scan
+    val flat = "graft_keyed.spec_flat"
+    graft.operators.Similarity.dropTableAndLocation(spark, flat)
+    Seq(("a", 1)).toDF("k", "v").write.saveAsTable(flat)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.probeKeyedTable(spark, flat, Seq("a").toDF("k"), "k")
+    }
+    assert(e2.getMessage.contains("not k-bucketed"), e2.getMessage)
+  }
+
+  test("appendToKeyedTable: first writer wins per key, replay appends nothing, within-batch dup fails") {
+    freshDb()
+    val tbl = "graft_keyed.spec_append"
+    Dedup.buildKeyedTable((0L until 10L).map(i => (s"k$i", i)).toDF("k", "v"),
+      "k", tbl, buckets = 4)
+    // 2 new keys + 1 already-indexed key (carrying a DIFFERENT payload:
+    // first writer wins, the late payload must not replace it)
+    val batch = Seq(("k100", 100L), ("k101", 101L), ("k3", 999L))
+      .toDF("k", "v")
+    Dedup.appendToKeyedTable(batch, tbl, "k")
+    assert(spark.table(tbl).count() == 12)
+    assert(spark.table(tbl).filter(col("k") === "k3")
+      .collect().map(_.getLong(1)).toSeq == Seq(3L),
+      "an already-indexed key must keep its first payload")
+    // replay: exactly-once table effect
+    Dedup.appendToKeyedTable(batch, tbl, "k")
+    assert(spark.table(tbl).count() == 12)
+    // within-batch duplicate key: no deterministic winner — loud fail
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToKeyedTable(Seq(("x", 1L), ("x", 2L)).toDF("k", "v"),
+        tbl, "k")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // an empty batch is a no-op, not an error
+    Dedup.appendToKeyedTable(batch.limit(0), tbl, "k")
+    assert(spark.table(tbl).count() == 12)
+  }
+
+  test("exactMembershipViaTable equals exactMembership; zero corpus FileScans in the probe-side plan") {
+    freshDb()
+    // corpus ON DISK so a corpus FileScan is detectable by path
+    val corpusDir = graft.TestScratch.dir("keyed-corpus")
+    (0L until 40L).map(i => (i, s"corpus doc $i body"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    // batch: 2 exact members, 2 non-members
+    val batch = Seq(
+      (100L, "corpus doc 3 body"), (101L, "corpus doc 17 body"),
+      (102L, "novel one"), (103L, "novel two")).toDF("doc_id", "text")
+    val fpTbl = "graft_keyed.spec_fp"
+    Dedup.buildFingerprintTable(corpus, "text", fpTbl, buckets = 8)
+    val bloom = TextAnalysis.localizeStats(Dedup.buildBloom(
+      corpus.select(md5(col("text")).as("fp")), "fp",
+      mBits = 1 << 12, k = 3))
+    val via = Dedup.exactMembershipViaTable(spark, fpTbl, batch,
+      "text", "doc_id", bloom, mBits = 1 << 12, k = 3)
+    // THE per-delivery pin: the delivered frame's lineage holds NO scan
+    // of the corpus files — membership truth came from bucket-pruned
+    // point lookups of the fingerprint table (asserted inside
+    // probeKeyedTable) plus checkpointed batch-proportional rows
+    val plan = via.queryExecution.executedPlan.toString
+    assert(!plan.contains(corpusDir),
+      s"corpus FileScan leaked into the probe plan:\n$plan")
+    // ... where the one-shot form DOES scan the corpus per call
+    val oneShot = Dedup.exactMembership(corpus, batch, "text", "doc_id",
+      mBits = 1 << 12, k = 3)
+    assert(oneShot.queryExecution.executedPlan.toString.contains(corpusDir),
+      "fixture self-check: the one-shot form should scan the corpus")
+    val a = via.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    val b = oneShot.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(a == b && a.map(_._1) == Set(100L, 101L, 102L, 103L), s"$a vs $b")
+    assert(a.filter(_._3).map(_._1) == Set(100L, 101L))
+  }
+
+  test("ingestResolveNearDupsIndexed equals the frame form and maintains the score table") {
+    freshDb()
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_resolve_indexed"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    val scoreTbl = "graft_keyed.spec_scores"
+    Dedup.buildKeyedTable(Seq((1L, 5L), (3L, 5L)).toDF("doc_id", "q"),
+      "doc_id", scoreTbl, buckets = 4)
+    // 10 beats candidate 1 -> kept, 1 tombstoned; 12 unrelated -> kept
+    val batchA = Seq(
+      (10L, s"alpha beta gamma delta $filler tail", 9L),
+      (12L, (0 until 30).map(i => s"y$i").mkString(" "), 7L))
+      .toDF("doc_id", "text", "q")
+    val rA = Dedup.ingestResolveNearDupsIndexed(spark, tbl, batchA,
+        "text", "doc_id", "q", scoreTbl, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(rA(10L) == ((1L, true, 1L)), s"got ${rA(10L)}")
+    assert(rA(12L) == ((0L, true, 0L)), s"got ${rA(12L)}")
+    // winners' scores were appended — the table stays complete as the
+    // index grows, so the NEXT delivery's candidates are all covered
+    assert(spark.table(scoreTbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 5L), (3L, 5L), (10L, 9L), (12L, 7L)))
+    // a later arrival that near-dups the NEWLY kept winner: its score
+    // comes from the maintained table (a stale score side would fail
+    // the coverage guard here)
+    val batchB = Seq((11L, s"alpha beta gamma delta $filler tail", 2L))
+      .toDF("doc_id", "text", "q")
+    val rB = Dedup.ingestResolveNearDupsIndexed(spark, tbl, batchB,
+        "text", "doc_id", "q", scoreTbl, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(!rB(11L)._2, "worse-scored arrival must be dropped")
+    assert(rB(11L)._1 >= 1L, "live candidate (10) must be seen and scored")
+    // the loser's score never entered the table
+    assert(spark.table(scoreTbl).filter(col("doc_id") === 11L).isEmpty)
+    // replay of batch A: verdicts identical, no table growth anywhere
+    val bandRows = spark.table(tbl).count()
+    val rA2 = Dedup.ingestResolveNearDupsIndexed(spark, tbl, batchA,
+        "text", "doc_id", "q", scoreTbl, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(rA2(10L) && rA2(12L), "replayed winners must win again")
+    assert(spark.table(tbl).count() == bandRows)
+    assert(spark.table(scoreTbl).count() == 4)
+  }
+}
