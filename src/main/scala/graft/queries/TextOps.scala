@@ -684,15 +684,28 @@ object TextOps {
       // the corpus bitmap builds ONCE, localized — every slice probes
       // the same driver-local artifact (production would mergeBloomInto)
       val bloom = TextAnalysis.localizeStats(Dedup.buildBloom(
-        corpus.select(md5(col("text")).as("__key")), "__key",
+        corpus.select(md5(col("text")).as("fp")), "fp",
         mBits = 1 << 16, k = 3))
-      val sink = s"$loc/survivors"
-      batch0.limit(0)
-        .select(col("doc_id"), lit("").as("domain"))
-        .write.mode("overwrite").parquet(sink)
-      val curlIdx = s"$loc/curls"
-      batch0.limit(0).select(lit("").as("curl"))
-        .write.mode("overwrite").parquet(curlIdx)
+      // every per-delivery lookup side PERSISTS as a key-bucketed
+      // table (the d55 device), so a micro-batch reads NO corpus-sized
+      // frame: the bloom's false positives verify against the corpus
+      // FINGERPRINT table (built once, probed bucket-pruned — the old
+      // shape re-derived the marked corpus and scanned it per slice),
+      // cross-slice URL dups probe the CURL table, and first-delivery
+      // accumulation is the keyed append's pruned idempotence on the
+      // SURVIVOR table (the old parquet sinks re-read their whole
+      // accumulation per slice)
+      val sfx = new java.io.File(d).getName.replace('.', '_')
+      val fpTbl = s"graft_keyed.w12fp_$sfx"
+      val sinkTbl = s"graft_keyed.w12s_$sfx"
+      val curlTbl = s"graft_keyed.w12c_$sfx"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildFingerprintTable(corpus, "text", fpTbl, buckets = 8)
+      Dedup.buildKeyedTable(batch0.limit(0)
+          .select(col("doc_id"), lit("").as("domain")),
+        "doc_id", sinkTbl, buckets = 8)
+      Dedup.buildKeyedTable(batch0.limit(0).select(lit("").as("curl")),
+        "curl", curlTbl, buckets = 8)
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
       // documents ids are dense 0..n-1, so n/2 splits the id range
@@ -718,46 +731,41 @@ object TextOps {
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
         val bs = b.sparkSession  // the w08 cloned-session discipline
-        // URL stage: within-slice min-id dedup + cross-slice dups
-        // dropped against the seen-curl index (survivors' curls only —
-        // a within-slice dup shares its keeper's curl, so index grain
+        // URL stage: within-slice min-id dedup, then cross-slice dups
+        // dropped against the seen-curl TABLE — a bucket-pruned point
+        // probe by the slice's curls (survivors' curls only: a
+        // within-slice dup shares its keeper's curl, so index grain
         // is exactly "curl has a keeper already")
-        val s1 = graft.operators.UrlOps.dropUrlDuplicates(
+        val s1all = graft.operators.UrlOps.dropUrlDuplicates(
             b.withColumn("url", syntheticUrlWith(40)), "url", "doc_id")
           .withColumn("domain",
             graft.operators.UrlOps.urlDomain(col("curl")))
-          .join(bs.read.parquet(curlIdx), Seq("curl"), "left_anti")
+        val seen = Dedup.probeKeyedTable(bs, curlTbl,
+          s1all.select(col("curl")), "curl")
+        val s1 = s1all
+          .join(broadcast(seen.select(col("curl"))), Seq("curl"),
+            "left_anti")
           .persist()
         s1.count()
-        // bloom stage: probe the shared bitmap, settle false positives
-        // by the broadcast-candidate verifying join vs the corpus
-        val keyed = s1.select(col("doc_id"), md5(col("text")).as("__key"))
-        val cand = Dedup.probeBloom(keyed, "__key", "doc_id", bloom,
-            mBits = 1 << 16, k = 3)
-          .filter(col("maybe_member"))
-          .join(keyed, Seq("doc_id")).select("doc_id", "__key")
-        val (_, corpusB, _) = capstoneFixture(bs, d)
-        val members = corpusB.select(md5(col("text")).as("__key"))
-          .join(broadcast(cand), Seq("__key"))
-          .select("doc_id").distinct()
-        val s2 = s1.join(members, Seq("doc_id"), "left_anti")
+        // bloom stage: probe the shared bitmap, settle the candidate
+        // minority against the fingerprint table — bucket-pruned point
+        // lookups, never a corpus scan (the old shape re-derived the
+        // marked corpus per slice and read it whole)
+        val mem = Dedup.exactMembershipViaTable(bs, fpTbl, s1, "text",
+          "doc_id", bloom, mBits = 1 << 16, k = 3)
+        val s2 = s1.join(mem.filter(col("is_member")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
         // band stage vs the corpus index
         val nd = Dedup.probeBandIndex(bs, tbl, s2, "text", "doc_id",
           k = 6, bandWidth = 2)
         val s3 = s2.join(nd.select("doc_id").distinct(), Seq("doc_id"),
           "left_anti").select("doc_id", "domain")
-        // idempotent accumulation (verdicts first, then the curl index)
-        val fresh = s3.join(bs.read.parquet(sink).select("doc_id"),
-          Seq("doc_id"), "left_anti").persist()
-        fresh.count()
-        fresh.write.mode("append").parquet(sink)
-        fresh.unpersist()
-        val newCurls = s1.select("curl").distinct()
-          .join(bs.read.parquet(curlIdx), Seq("curl"), "left_anti")
-          .persist()
-        newCurls.count()
-        newCurls.write.mode("append").parquet(curlIdx)
-        newCurls.unpersist()
+        // idempotent accumulation via the keyed appends' bucket-pruned
+        // anti-joins (verdicts first, then the curl index; each append
+        // persists + materializes its batch before writing)
+        Dedup.appendToKeyedTable(s3, sinkTbl, "doc_id")
+        Dedup.appendToKeyedTable(s1.select(col("curl")).distinct(),
+          curlTbl, "curl")
         s1.unpersist()
         ()
       }.trigger(Trigger.AvailableNow()).start()
@@ -766,8 +774,10 @@ object TextOps {
       require(batches == 3,
         s"w12 expected 3 non-empty micro-batches (2 slices + replay), " +
           s"saw $batches")
+      // the appends refreshed the CLONED sessions' caches only (w08)
+      s.catalog.refreshTable(sinkTbl)
       capstoneFinish(s, d, marked,
-        s.read.parquet(sink).localCheckpoint(true))
+        s.table(sinkTbl).localCheckpoint(true))
     }),
 
     // URL/domain-grain curation: canonicalize (scheme/host lowercase,
@@ -815,6 +825,47 @@ object TextOps {
       val (corpus, batch) = bloomFixture(Tables.documents(s, d))
       Dedup.exactMembership(corpus, batch, "text", "doc_id",
         mBits = 1 << 16, k = 3)
+    }),
+
+    // d49's verify side PERSISTED (d55): the corpus fingerprint set
+    // lives as a key-bucketed catalog table, and the bloom's candidate
+    // minority is settled by bucket-pruned point lookups (asserted,
+    // checkpointed) instead of a per-call corpus scan — the
+    // per-DELIVERY shape the streamed flows (w10/w11/w12) run on,
+    // where the one-shot d49 amortizes its corpus read over a single
+    // large batch. Output identical to d49 (same fixture, same bloom,
+    // same truth — the oracle IS the d49 mirror); the gate
+    // additionally exercises the table lifecycle in-engine: the
+    // batch's fingerprints fold in idempotently (growth = exactly the
+    // non-member keys, replay appends nothing), and a post-append
+    // probe confirms every batch doc a member.
+    "d55_fingerprint_membership" -> ((s, d) => {
+      val (corpus, batch) = bloomFixture(Tables.documents(s, d))
+      val tbl = "graft_keyed.d55_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildFingerprintTable(corpus, "text", tbl, buckets = 8)
+      val bloom = graft.operators.TextAnalysis.localizeStats(
+        Dedup.buildBloom(corpus.select(md5(col("text")).as("fp")), "fp",
+          mBits = 1 << 16, k = 3))
+      // pin the verdicts BEFORE the lifecycle exercise mutates the table
+      val out = Dedup.exactMembershipViaTable(s, tbl, batch, "text",
+        "doc_id", bloom, mBits = 1 << 16, k = 3).localCheckpoint(true)
+      val batchFps = batch.select(md5(col("text")).as("fp")).distinct()
+        .localCheckpoint(true)
+      val present =
+        Dedup.probeKeyedTable(s, tbl, batchFps, "fp").count()
+      val before = s.table(tbl).count()
+      Dedup.appendToKeyedTable(batchFps, tbl, "fp")
+      require(s.table(tbl).count() == before + batchFps.count() - present,
+        "d55: append growth must be exactly the non-member keys")
+      Dedup.appendToKeyedTable(batchFps, tbl, "fp")
+      require(s.table(tbl).count() == before + batchFps.count() - present,
+        "d55: replayed append must contribute nothing")
+      require(Dedup.probeKeyedTable(s, tbl, batchFps, "fp").count()
+          == batchFps.count(),
+        "d55: every batch fingerprint must probe present post-append")
+      out
     }),
 
     // BPE round-trip (d50): every distinct corpus word encodes
@@ -997,15 +1048,23 @@ object TextOps {
       import org.apache.spark.sql.streaming.Trigger
       val loc = graft.sources.Scratch.dir("w10", d)
       val (corpus, batchAll) = bloomFixture(Tables.documents(s, d))
-      // Scratch.dir wipes on entry: fresh artifact + sink per run
+      // Scratch.dir wipes on entry: fresh artifact per run
       val bloomPath = s"$loc/bloom"
-      val sink = s"$loc/verdicts"
       Dedup.mergeBloomInto(bloomPath,
         corpus.select(md5(col("text")).as("__key")), "__key",
         mBits = 1 << 16, k = 3)
-      batchAll.limit(0)
-        .select(col("doc_id"), lit(false).as("maybe_member"))
-        .write.mode("overwrite").parquet(sink)
+      // the verdict sink is a doc_id-bucketed keyed table: the
+      // first-delivery-wins accumulation IS appendToKeyedTable's
+      // idempotence, whose existence check is bucket-pruned by the
+      // batch's ids — O(batch) per delivery, where the old parquet
+      // sink's anti-join re-READ the whole accumulated sink per slice
+      // (delivery cost ∝ corpus once the sink has absorbed it)
+      val sinkTbl = "graft_keyed.w10_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildKeyedTable(batchAll.limit(0)
+          .select(col("doc_id"), lit(false).as("maybe_member")),
+        "doc_id", sinkTbl, buckets = 8)
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
       val mt0 = System.currentTimeMillis() - 3600000L
@@ -1033,14 +1092,10 @@ object TextOps {
         // the batch arrived, not including the batch itself
         val probed = Dedup.probeBloom(keyed, "__key", "doc_id",
             bs.read.parquet(bloomPath), mBits = 1 << 16, k = 3)
-          .join(bs.read.parquet(sink).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-        // materialize before appending (the w05 discipline): the plan
-        // reads both paths the writes below extend/replace
-        val vC = probed.persist()
-        vC.count()
-        vC.write.mode("append").parquet(sink)
-        vC.unpersist()
+        // first-delivery verdicts: the keyed append's bucket-pruned
+        // anti-join (it persists + materializes the batch internally
+        // before writing — the w05 discipline is the device's own)
+        Dedup.appendToKeyedTable(probed, sinkTbl, "doc_id")
         Dedup.mergeBloomInto(bloomPath, keyed, "__key",
           mBits = 1 << 16, k = 3)
       }.trigger(Trigger.AvailableNow()).start()
@@ -1059,7 +1114,9 @@ object TextOps {
       require(streamed.exceptAll(oneShot).isEmpty
           && oneShot.exceptAll(streamed).isEmpty,
         "w10: streamed bloom diverged from the one-shot bitmap")
-      s.read.parquet(sink)
+      // the appends refreshed the CLONED sessions' caches only (w08)
+      s.catalog.refreshTable(sinkTbl)
+      s.table(sinkTbl)
     }),
 
     // d52's resolve-at-ingest flow STREAMED (the w08 device): the
@@ -1091,11 +1148,24 @@ object TextOps {
       Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
         k = 6, bandWidth = 2, buckets = 8)
       val idxDocs = idxSet.count()
-      val sink = s"$loc/resolved"
-      batchAll.limit(0)
-        .select(col("doc_id"), lit(0L).as("n_candidates"),
-          lit(true).as("kept"), lit(0L).as("n_superseded"))
-        .write.mode("overwrite").parquet(sink)
+      // the score side PERSISTED (the d55 device): seeded with the
+      // index docs' scores, maintained by the operator itself (each
+      // delivery's winners append idempotently) — so each micro-batch
+      // looks its candidates' scores up bucket-pruned instead of
+      // scanning a corpus-sized score frame per delivery; the verdict
+      // sink is a keyed table for the same reason (the accumulation
+      // anti-join was a full sink read per slice)
+      val scoreTbl = "graft_keyed.w11s_" +
+        new java.io.File(d).getName.replace('.', '_')
+      val sinkTbl = "graft_keyed.w11_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildKeyedTable(idxSet.select(col("doc_id"), score.as("q")),
+        "doc_id", scoreTbl, buckets = 8)
+      Dedup.buildKeyedTable(batchAll.limit(0)
+          .select(col("doc_id"), lit(0L).as("n_candidates"),
+            lit(true).as("kept"), lit(0L).as("n_superseded")),
+        "doc_id", sinkTbl, buckets = 8)
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
       val mt0 = System.currentTimeMillis() - 3600000L
@@ -1119,20 +1189,14 @@ object TextOps {
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
         val bs = b.sparkSession  // the w08 cloned-session discipline
-        val scores = Tables.documents(bs, d)
-          .select(col("doc_id"), score.as("q"))
-        val resolved = Dedup.ingestResolveNearDups(bs, tbl,
-          b.withColumn("q", score), "text", "doc_id", "q", scores,
+        // candidate scores come back bucket-pruned from the score
+        // table; NO corpus-sized frame is read in this delivery
+        val resolved = Dedup.ingestResolveNearDupsIndexed(bs, tbl,
+          b.withColumn("q", score), "text", "doc_id", "q", scoreTbl,
           k = 6, bandWidth = 2, buckets = 8)
-        // first-delivery verdicts only; resolved is already
-        // checkpointed, so only the sink path is read while written
-        val fresh = resolved
-          .join(bs.read.parquet(sink).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-          .persist()
-        fresh.count()
-        fresh.write.mode("append").parquet(sink)
-        fresh.unpersist()
+        // first-delivery verdicts: the keyed append's bucket-pruned
+        // idempotence (resolved is checkpointed by the operator)
+        Dedup.appendToKeyedTable(resolved, sinkTbl, "doc_id")
         ()
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1141,7 +1205,8 @@ object TextOps {
         s"w11 expected 3 non-empty micro-batches (2 slices + replay), " +
           s"saw $batches")
       s.catalog.refreshTable(tbl)
-      val out = s.read.parquet(sink)
+      s.catalog.refreshTable(sinkTbl)
+      val out = s.table(sinkTbl)
       val kept = out.filter(col("kept")).count()
       require(s.table(tbl).count() == (idxDocs + kept) * 3,
         "w11: index must hold 3 bands per index doc + per kept batch " +
@@ -1389,6 +1454,45 @@ object TextOps {
       .select("doc_id", "text")
     (docs.filter(col("doc_id") % 4 =!= 0), batch)
   }
+
+  /** The d49/d55 shared mirror: the bloom bitmap bit for bit (same
+    * salted md5 cells, 32-bit words via bit_or, k-of-k hit rule), the
+    * exact verifying membership as ground truth. d55 settles the
+    * candidates against the persisted fingerprint table instead of a
+    * corpus scan, but computes the same truth, so both keys mirror to
+    * this one query. */
+  private def bloomMembershipSql: String =
+    s"""WITH corpus AS MATERIALIZED (SELECT md5(text) AS key
+           FROM documents WHERE doc_id % 4 <> 0),
+         bk AS MATERIALIZED (SELECT d.doc_id,
+             md5(CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
+               THEN n.text ELSE d.text END) AS key
+           FROM documents d LEFT JOIN documents n
+             ON n.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 4 = 0),
+         bf AS MATERIALIZED (SELECT h // 32 AS word,
+             bit_or(1::BIGINT << (h % 32)::INT) AS bits
+           FROM (SELECT unnest([
+               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
+             ]) AS h FROM corpus) GROUP BY 1),
+         pc AS (SELECT doc_id, unnest([
+               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
+               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
+             ]) AS h FROM bk),
+         hit AS (SELECT doc_id,
+             sum(CASE WHEN (coalesce(bits, 0)
+                 & (1::BIGINT << (h % 32)::INT)) <> 0
+               THEN 1 ELSE 0 END) = 3 AS maybe_member
+           FROM pc LEFT JOIN bf ON pc.h // 32 = bf.word
+           GROUP BY 1),
+         conf AS (SELECT DISTINCT bk.doc_id
+           FROM bk JOIN corpus ON bk.key = corpus.key)
+         SELECT hit.doc_id, maybe_member,
+           conf.doc_id IS NOT NULL AS is_member
+         FROM hit LEFT JOIN conf ON hit.doc_id = conf.doc_id"""
 
   /** The d48/p11 shared oracle CTEs: the synthetic link graph and 8
     * unrolled integer PageRank rounds, ending in `pr8(n, r)`. */
@@ -2254,38 +2358,13 @@ object TextOps {
     // d49: the bloom bitmap mirrored bit for bit — same salted md5
     // cells, 32-bit words via bit_or, k-of-k hit rule, then the exact
     // verifying join as ground truth
-    "d49_bloom_membership" ->
-      s"""WITH corpus AS MATERIALIZED (SELECT md5(text) AS key
-           FROM documents WHERE doc_id % 4 <> 0),
-         bk AS MATERIALIZED (SELECT d.doc_id,
-             md5(CASE WHEN d.doc_id % 8 = 0 AND n.text IS NOT NULL
-               THEN n.text ELSE d.text END) AS key
-           FROM documents d LEFT JOIN documents n
-             ON n.doc_id = d.doc_id + 1
-           WHERE d.doc_id % 4 = 0),
-         bf AS MATERIALIZED (SELECT h // 32 AS word,
-             bit_or(1::BIGINT << (h % 32)::INT) AS bits
-           FROM (SELECT unnest([
-               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
-               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
-               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
-             ]) AS h FROM corpus) GROUP BY 1),
-         pc AS (SELECT doc_id, unnest([
-               ('0x' || substr(md5('0' || key), 1, 12))::BIGINT % 65536,
-               ('0x' || substr(md5('1' || key), 1, 12))::BIGINT % 65536,
-               ('0x' || substr(md5('2' || key), 1, 12))::BIGINT % 65536
-             ]) AS h FROM bk),
-         hit AS (SELECT doc_id,
-             sum(CASE WHEN (coalesce(bits, 0)
-                 & (1::BIGINT << (h % 32)::INT)) <> 0
-               THEN 1 ELSE 0 END) = 3 AS maybe_member
-           FROM pc LEFT JOIN bf ON pc.h // 32 = bf.word
-           GROUP BY 1),
-         conf AS (SELECT DISTINCT bk.doc_id
-           FROM bk JOIN corpus ON bk.key = corpus.key)
-         SELECT hit.doc_id, maybe_member,
-           conf.doc_id IS NOT NULL AS is_member
-         FROM hit LEFT JOIN conf ON hit.doc_id = conf.doc_id""",
+    "d49_bloom_membership" -> bloomMembershipSql,
+
+    // d55: identical verdicts by construction — the engine settles the
+    // candidates against the persisted fingerprint table instead of a
+    // corpus scan, but the truth (key ∈ corpus fingerprint set) is the
+    // same; the mirror need not model the table at all
+    "d55_fingerprint_membership" -> bloomMembershipSql,
 
     // d48: the same 8 unrolled integer PageRank rounds — floor
     // division everywhere, so ranks match bit for bit
