@@ -242,7 +242,7 @@ final class BpeTables(val merges: Array[(String, String)],
     * the training loop's view of the current segmentation. Cached
     * separately from the id cache. */
   private val segCache = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  private def segmentWord(word: String): Array[String] = {
+  private[graft] def segmentWord(word: String): Array[String] = {
     val cached = segCache.get(word)
     if (cached != null) return cached
     var toks = baseTokens(word)

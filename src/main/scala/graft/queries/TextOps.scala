@@ -1219,6 +1219,96 @@ object TextOps {
       out
     }),
 
+    // Incremental LM-stats maintenance STREAMED (w13): w09's nightly
+    // scoring rebuilds lmStats from scratch each night because counts
+    // are additive but NOT replay-idempotent (the bloom's OR absorbs a
+    // redelivery by algebra; a count doubles) — the StatsStore closes
+    // that: each micro-batch writes its config-sized partial to an
+    // immutable delivery-keyed partition (layout-absorbed replay),
+    // compaction folds partials into one base with the absorbed ids
+    // manifested (manifest-absorbed replay), and the rollup equals the
+    // one-shot stats bit for bit — the oracle mirrors the one-shot
+    // transition counts directly. The corpus arrives as three
+    // doc_id % 3 slices plus a REPLAY of slice 0 (the w08 device);
+    // delivery identity is content-keyed (the slice's residue class —
+    // production's file/partition key), since the streaming batchId
+    // numbers a redelivered file as a fresh batch.
+    "w13_stream_lm_stats" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w13", d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val store = s"$loc/lmstore"
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0L, 1L, 2L).map(i =>
+          (docs.filter(col("doc_id") % 3 === i), s"slice-$i"))
+        :+ (docs.filter(col("doc_id") % 3 === 0L), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+        // content-keyed delivery identity: the slice's residue class
+        val sl = graft.operators.DriverBounded.collectCapped(
+          b.select((col("doc_id") % 3).as("s")).distinct(), 4,
+          "w13: slice classes exceed bound")
+        require(sl.length == 1,
+          s"w13: each delivery must be one slice, saw ${sl.length} classes")
+        graft.operators.StatsStore.writeDelivery(store,
+          s"slice${sl(0).getLong(0)}",
+          graft.operators.TextAnalysis.lmStats(b, "text",
+            ctxBuckets = 1024, pairBuckets = 16384))
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w13 expected 4 non-empty micro-batches (3 slices + replay), " +
+          s"saw $batches")
+      graft.operators.StatsStore.compact(s, store, Seq("kind", "bucket"))
+      // POST-compaction replay: the partition is gone — the manifest
+      // must absorb it (this is exactly the double-count hazard)
+      graft.operators.StatsStore.writeDelivery(store, "slice0",
+        graft.operators.TextAnalysis.lmStats(
+          docs.filter(col("doc_id") % 3 === 0L), "text",
+          ctxBuckets = 1024, pairBuckets = 16384))
+      graft.operators.StatsStore.readStats(s, store, Seq("kind", "bucket"))
+    }),
+
+    // Incremental NB-stats maintenance (d56): the d47 classifier's
+    // training counts maintained by the same store, one-shot form —
+    // the labeled slice folds in as two halves, each half replayed
+    // once (one before compaction, absorbed by layout; one after,
+    // absorbed by the manifest), and the rollup must equal the
+    // one-shot nbStats artifact the d47 mirror computes (tstat rows
+    // plus the bucket = -1 prior row).
+    "d56_nb_stats_incremental" -> ((s, d) => {
+      val marked = markedDocs(Tables.documents(s, d))
+      val train = marked.filter(col("doc_id") % 5 === 0)
+        .withColumn("pos", col("doc_id") % 10 === 0)
+      val store = graft.sources.Scratch.dir("d56", d) + "/nbstore"
+      def half(i: Int) = train.filter(col("doc_id") % 10 === i * 5)
+      // halves by doc_id % 10: residue 0 (the positives) and 5
+      def stats(i: Int) = graft.operators.TextAnalysis.nbStats(
+        half(i), "text", "pos", buckets = 4096)
+      graft.operators.StatsStore.writeDelivery(store, "halfA", stats(0))
+      graft.operators.StatsStore.writeDelivery(store, "halfB", stats(1))
+      graft.operators.StatsStore.writeDelivery(store, "halfA", stats(0))
+      graft.operators.StatsStore.compact(s, store, Seq("bucket"))
+      graft.operators.StatsStore.writeDelivery(store, "halfB", stats(1))
+      graft.operators.StatsStore.readStats(s, store, Seq("bucket"))
+    }),
+
     // Streaming curation end to end (the capstone): the p08 corpus
     // arrives as four ASCENDING-doc_id slices plus a REPLAY of slice 1
     // (the w05 convention); each micro-batch runs the Gopher gate and
@@ -2434,6 +2524,53 @@ object TextOps {
            coalesce(cc.n, 0)::BIGINT AS n_prior_candidates
          FROM (SELECT DISTINCT doc_id FROM banded WHERE is_batch) bd
          LEFT JOIN cc USING (doc_id)""",
+
+    // w13: the one-shot transition bucket counts over the WHOLE corpus
+    // — if any slice were lost, double-counted on replay, or
+    // mis-compacted, the counts diverge; hash-match IS the
+    // stream+replay-equals-one-shot proof (the w08/w10 device)
+    "w13_stream_lm_stats" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents),
+         trn AS (SELECT array_to_string(tk[i:i+0], ' ') AS a, tk[i+1] AS b
+           FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+             FROM t))
+         SELECT 'ctx' AS kind,
+           ('0x' || substr(md5(a), 1, 12))::BIGINT % 1024 AS bucket,
+           count(*)::BIGINT AS cnt
+         FROM trn GROUP BY 2
+         UNION ALL
+         SELECT 'pair' AS kind,
+           ('0x' || substr(md5(a || ' ' || b), 1, 12))::BIGINT % 16384
+             AS bucket,
+           count(*)::BIGINT AS cnt
+         FROM trn GROUP BY 2""",
+
+    // d56: the d47 mirror's training counts as-is (token rows + the
+    // bucket = -1 prior row) — the incrementally maintained artifact
+    // must equal the one-shot nbStats
+    "d56_nb_stats_incremental" ->
+      s"""WITH mk AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN text || ' hqmarker hqmarker'
+             WHEN doc_id % 5 = 0 THEN text || ' junkmarker junkmarker'
+             WHEN doc_id % 7 = 0 THEN text || ' hqmarker'
+             ELSE text END AS text
+         FROM documents),
+         trt AS (SELECT doc_id % 10 = 0 AS pos,
+             unnest(string_split(text, ' ')) AS t
+           FROM mk WHERE doc_id % 5 = 0),
+         tstat AS (SELECT
+             ('0x' || substr(md5(t), 1, 12))::BIGINT % 4096 AS bucket,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+             sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS n_neg
+           FROM trt GROUP BY 1),
+         dstat AS (SELECT
+             sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS dp,
+             sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS dn
+           FROM mk WHERE doc_id % 5 = 0)
+         SELECT bucket, n_pos, n_neg FROM tstat
+         UNION ALL
+         SELECT -1::BIGINT AS bucket, dp AS n_pos, dn AS n_neg FROM dstat""",
 
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->

@@ -288,6 +288,71 @@ class BpeSpec extends AnyFunSuite {
       rootMsg(e).contains("alphabet"), rootMsg(e))
   }
 
+  test("incremental trainer A/B: identical merges to the distributed loop, both modes") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // codepoint mode, the d39 gate shape
+    val a = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8)
+    val b = TextAnalysis.trainBpeMergesIncremental(docs, "text",
+      numMerges = 8)
+    assert(b == a, s"codepoint A/B diverged:\n  dist=$a\n  incr=$b")
+    // byte mode, the d54 gate shape ('Ġ'-prefixed whitespace merges)
+    val ab = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8,
+      byteLevel = true)
+    val bb = TextAnalysis.trainBpeMergesIncremental(docs, "text",
+      numMerges = 8, byteLevel = true)
+    assert(bb == ab, s"byte A/B diverged:\n  dist=$ab\n  incr=$bb")
+    // continuation from a base list (the published resume shape)
+    val a2 = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 4,
+      base = a.take(4))
+    val b2 = TextAnalysis.trainBpeMergesIncremental(docs, "text",
+      numMerges = 4, base = a.take(4))
+    assert(b2 == a2 && b2.take(4) == a.take(4),
+      s"base-resumed A/B diverged:\n  dist=$a2\n  incr=$b2")
+    // and the vocab cap fails loudly, never truncates silently
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMergesIncremental(docs, "text",
+        numMerges = 1, maxVocab = 2)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
+
+  test("vocab.bpe file round-trip: published format parses and encodes identically") {
+    val dir = graft.TestScratch.dir("vocab-bpe")
+    val path = s"$dir/vocab.bpe"
+    // the published artifact layout: version header + 'lhs rhs' lines
+    val content = "#version: 0.2\n" +
+      TextAnalysis.gpt2ByteMergesPrefix
+        .map { case (l, r) => s"$l $r" }.mkString("\n") + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      content.getBytes("UTF-8"))
+    val loaded = TextAnalysis.loadMergeFile(spark, path)
+    assert(loaded == TextAnalysis.gpt2ByteMergesPrefix,
+      s"parsed merges diverged: $loaded")
+    // the loaded FILE artifact drives byte mode exactly like the
+    // inline fixture: same ids, lossless whole-text round-trip
+    val docs = Seq((1L, "that the sun is hot"), (2L, "  spaced   text "))
+      .toDF("doc_id", "text")
+    val viaFile = TextAnalysis.bpeEncode(docs, "text", loaded,
+      byteLevel = true).select("doc_id", "bpe_ids")
+      .as[(Long, Seq[Int])].collect().toMap
+    val viaInline = TextAnalysis.bpeEncode(docs, "text",
+      TextAnalysis.gpt2ByteMergesPrefix, byteLevel = true)
+      .select("doc_id", "bpe_ids").as[(Long, Seq[Int])].collect().toMap
+    assert(viaFile == viaInline)
+    val rt = TextAnalysis.bpeDecode(
+        TextAnalysis.bpeEncode(docs, "text", loaded, byteLevel = true),
+        "bpe_ids", loaded, byteLevel = true)
+      .select("text", "decoded").as[(String, String)].collect()
+    rt.foreach { case (t, d) => assert(d == t, s"'$t' -> '$d'") }
+    // malformed lines fail loudly, never parse as a truncated artifact
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "#version: 0.2\na b\nbroken\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.loadMergeFile(spark, path)
+    }
+    assert(e.getMessage.contains("not a 'lhs rhs' pair"), e.getMessage)
+  }
+
   test("the d37 plan is narrow: zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.queries.TextOps.queries("d37_bpe_encode")(
