@@ -964,12 +964,16 @@ object TextOps {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
       Dedup.buildBandIndex(idxSet, "text", "doc_id", tbl,
         k = 6, bandWidth = 2, buckets = 8)
-      // seed the accumulating verdict sink (overwrite: same-session
-      // re-runs must not inherit the previous run's rows)
-      val sink = s"$loc/verdicts"
-      batchAll.limit(0)
-        .select(col("doc_id"), lit(0L).as("n_prior_candidates"))
-        .write.mode("overwrite").parquet(sink)
+      // the accumulating verdict sink is a doc_id-bucketed keyed
+      // table (the d55 device): first-delivery accumulation is the
+      // keyed append's bucket-pruned idempotence, not a full sink
+      // re-read per slice
+      val sinkTbl = "graft_keyed.w08_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildKeyedTable(batchAll.limit(0)
+          .select(col("doc_id"), lit(0L).as("n_prior_candidates")),
+        "doc_id", sinkTbl, buckets = 8)
       // three slices in doc_id % 3 order + slice 0 redelivered last
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
@@ -1010,14 +1014,9 @@ object TextOps {
           .join(counts, Seq("doc_id"), "left")
           .withColumn("n_prior_candidates",
             coalesce(col("n_prior_candidates"), lit(0L)))
-          .join(bs.read.parquet(sink).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-        // materialize before appending: the plan reads both paths the
-        // appends extend (the w05 discipline)
-        val vC = verdicts.persist()
-        vC.count()
-        vC.write.mode("append").parquet(sink)
-        vC.unpersist()
+        // first-delivery verdicts: the keyed append's bucket-pruned
+        // idempotence (it persists + materializes before writing)
+        Dedup.appendToKeyedTable(verdicts, sinkTbl, "doc_id")
         Dedup.appendToBandIndex(b, tbl, "text", "doc_id",
           k = 6, bandWidth = 2, buckets = 8)
       }.trigger(Trigger.AvailableNow()).start()
@@ -1031,7 +1030,8 @@ object TextOps {
       s.catalog.refreshTable(tbl)
       require(s.table(tbl).count() == planted.count() * 3,
         "w08: replayed slice was re-appended or a slice was dropped")
-      s.read.parquet(sink)
+      s.catalog.refreshTable(sinkTbl)
+      s.table(sinkTbl)
     }),
 
     // d49's ingest flow STREAMED: the corpus bitmap persists once,
@@ -1351,40 +1351,47 @@ object TextOps {
       slices.zipWithIndex.foreach { case (df, i) =>
         writeSlice(df, s"slice-$i", mt0 + i * 60000L) }
       writeSlice(slices(1), "slice-4-replay", mt0 + 4 * 60000L)
-      // seed the accumulating clean table and line-hash index
-      // (overwrite: same-session re-runs start fresh)
-      val cleanPath = s"$loc/clean"
-      val idxPath = s"$loc/lineidx"
-      planted.limit(0)
-        .select(col("doc_id"), col("text").as("clean_text"))
-        .write.mode("overwrite").parquet(cleanPath)
-      planted.limit(0).select(md5(col("text")).as("line_hash"))
-        .write.mode("overwrite").parquet(idxPath)
+      // the accumulating clean table and line-hash index are keyed
+      // tables (the d55 device): the strip probes the line index
+      // bucket-pruned by THIS slice's hashes — exactly the
+      // "persist the index bucketed on line_hash" production shape
+      // the stripDuplicatedLinesVsIndex scaladoc prescribes — and
+      // both accumulations are the keyed append's idempotence, so no
+      // corpus-sized frame is read per delivery
+      val sfx = new java.io.File(d).getName.replace('.', '_')
+      val cleanTbl = s"graft_keyed.w09c_$sfx"
+      val lineTbl = s"graft_keyed.w09l_$sfx"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+      Dedup.buildKeyedTable(planted.limit(0)
+          .select(col("doc_id"), col("text").as("clean_text")),
+        "doc_id", cleanTbl, buckets = 8)
+      Dedup.buildKeyedTable(planted.limit(0)
+          .select(md5(col("text")).as("line_hash")),
+        "line_hash", lineTbl, buckets = 8)
       val stream = s.readStream.schema(planted.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
         val bs = b.sparkSession
         val kept = TextAnalysis.gopherQualityKept(b, "text")
-        val curIdx = bs.read.parquet(idxPath)
+        val batchHashes = Dedup.lineHashes(kept, "text")
+          .localCheckpoint(true)
+        // the slice's seen-lines: a bucket-pruned point probe — only
+        // index entries matching THIS slice's hashes can strip, so
+        // the probed subset is semantics-preserving
+        val seen = Dedup.probeKeyedTable(bs, lineTbl, batchHashes,
+          "line_hash")
         val stripped = Dedup.stripDuplicatedLinesVsIndex(
-          kept, "text", "doc_id", curIdx)
+          kept, "text", "doc_id", seen)
         val untouched = kept
           .join(stripped.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text").as("clean_text"))
         val clean = untouched.unionByName(
-            stripped.filter(col("clean_text") =!= "")
-              .select(col("doc_id"), col("clean_text")))
-          .join(bs.read.parquet(cleanPath).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-        val newHashes = Dedup.lineHashes(kept, "text")
-          .join(curIdx, Seq("line_hash"), "left_anti")
-        // materialize BOTH before appending (the w05 discipline: the
-        // plans read the very paths the appends extend)
-        val cC = clean.persist(); val hC = newHashes.persist()
-        cC.count(); hC.count()
-        cC.write.mode("append").parquet(cleanPath)
-        hC.write.mode("append").parquet(idxPath)
-        cC.unpersist(); hC.unpersist()
+          stripped.filter(col("clean_text") =!= "")
+            .select(col("doc_id"), col("clean_text")))
+        // idempotent accumulation via the keyed appends' bucket-pruned
+        // anti-joins (each persists + materializes before writing)
+        Dedup.appendToKeyedTable(clean, cleanTbl, "doc_id")
+        Dedup.appendToKeyedTable(batchHashes, lineTbl, "line_hash")
         ()
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1392,8 +1399,9 @@ object TextOps {
       require(batches == 5,
         s"w09 expected 5 non-empty micro-batches (4 slices + replay), " +
           s"saw $batches")
+      s.catalog.refreshTable(cleanTbl)
       graft.operators.Pipeline.webCurationFinish(
-        s.read.parquet(cleanPath), "doc_id", col("doc_id") % 97 === 0)
+        s.table(cleanTbl), "doc_id", col("doc_id") % 97 === 0)
     }),
 
     // BPE-count sequence packing: the d37 encode's real token counts
