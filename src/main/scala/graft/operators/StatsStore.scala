@@ -70,11 +70,19 @@ object StatsStore {
       s"StatsStore: delivery id '$id' is reserved")
   }
 
+  /** The manifest is delivery-grain — bounded by deliveries ever
+    * compacted, not by data; the cap makes a runaway (a caller
+    * generating unbounded distinct delivery ids) loud instead of a
+    * silent driver OOM. */
   private def absorbedIds(spark: SparkSession, path: String): Set[String] = {
     val dir = absorbedDir(path)
     if (!fsOf(spark, dir).exists(dir)) Set.empty
-    else spark.read.parquet(dir.toString)
-      .collect().map(_.getString(0)).toSet
+    else DriverBounded.collectCapped(
+      spark.read.parquet(dir.toString).distinct(), 1 << 22,
+      s"StatsStore: absorbed-delivery manifest at $dir exceeds 2^22 " +
+        "ids — delivery ids must be batch-grain (dates, file names), " +
+        "not row-grain")
+      .map(_.getString(0)).toSet
   }
 
   /** Visible delivery partitions currently on disk. */

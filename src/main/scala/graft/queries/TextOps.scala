@@ -359,6 +359,35 @@ object TextOps {
         ctxBuckets = 1024, pairBuckets = 16384)
     }),
 
+    // d38's scoring driven by INCREMENTALLY maintained stats (p14):
+    // the in-domain train slice folds into a StatsStore as two
+    // delivery halves (one replayed before compaction — absorbed by
+    // layout — and one after — absorbed by the manifest), and the
+    // store's ROLLUP, not a fresh training scan, feeds the scorer.
+    // Perplexities hash-match the one-shot d38 mirror verbatim: the
+    // nightly rebuild is now a per-delivery constant plus a
+    // config-sized rollup read, with the scorer none the wiser (the
+    // bucket/order metadata rides the store round-trip and validates
+    // as usual).
+    "p14_incremental_lm_scoring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 97 === 0)
+      val store = graft.sources.Scratch.dir("p14", d) + "/lmstore"
+      def halfStats(i: Int) = graft.operators.TextAnalysis.lmStats(
+        train.filter(col("doc_id") % 2 === i), "text",
+        ctxBuckets = 1024, pairBuckets = 16384)
+      graft.operators.StatsStore.writeDelivery(store, "even", halfStats(0))
+      graft.operators.StatsStore.writeDelivery(store, "odd", halfStats(1))
+      graft.operators.StatsStore.writeDelivery(store, "even", halfStats(0))
+      graft.operators.StatsStore.compact(s, store, Seq("kind", "bucket"))
+      graft.operators.StatsStore.writeDelivery(store, "odd", halfStats(1))
+      val stats = TextAnalysis.localizeStats(
+        graft.operators.StatsStore.readStats(s, store,
+          Seq("kind", "bucket")))
+      TextAnalysis.lmPerplexity(docs, "text", "doc_id", stats,
+        ctxBuckets = 1024, pairBuckets = 16384)
+    }),
+
     // The same LM at order 3 (two-token contexts) — the knob CCNet's
     // published 5-gram KenLM turns; same integer quantized-log2 chain,
     // bigger context space.
@@ -2582,6 +2611,12 @@ object TextOps {
 
     // d38: the shared nll chain's final frame, as-is
     "d38_lm_perplexity" ->
+      s"WITH ${lmNllSql(1024, 16384)} SELECT * FROM ppl",
+
+    // p14: identical scoring by construction — the engine's stats
+    // come from the store's rollup (halves + replays + compaction),
+    // but the counts are the same, so the mirror IS d38's
+    "p14_incremental_lm_scoring" ->
       s"WITH ${lmNllSql(1024, 16384)} SELECT * FROM ppl",
 
     // d43: the same chain at order 3
