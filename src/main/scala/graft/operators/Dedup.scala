@@ -824,9 +824,9 @@ object Dedup {
       spark.sql(s"ALTER TABLE $backup RENAME TO ${ident.unquotedString}")
   }
 
-  /** Number of data files currently backing a band-index table — the
-    * quantity [[compactBandIndex]] exists to bound. Hidden files
-    * (`_SUCCESS`, dotfiles) excluded. */
+  /** Number of data files currently backing a band-index or keyed
+    * table — the quantity [[compactBandIndex]]/[[compactKeyedTable]]
+    * exist to bound. Hidden files (`_SUCCESS`, dotfiles) excluded. */
   def bandIndexFileCount(spark: org.apache.spark.sql.SparkSession,
       table: String): Int = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -874,6 +874,46 @@ object Dedup {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val buckets = requireBandBucketedTable(spark, table, "compactBandIndex")
+    val tomb = tombstoneTable(table)
+    val applyTombs = spark.catalog.tableExists(tomb)
+    compactBucketedTable(spark, table, "band", buckets,
+      rows =>
+        if (applyTombs) {
+          val idName = bandIndexIdColumn(spark, table)
+          rows.join(spark.table(tomb).select(col(idName)), Seq(idName),
+            "left_anti")
+        } else rows,
+      () => if (applyTombs) { spark.sql(s"TRUNCATE TABLE $tomb"); () })
+  }
+
+  /** [[compactBandIndex]]'s rewrite for a [[buildKeyedTable]] side
+    * table — same degradation, same fix: every [[appendToKeyedTable]]
+    * delivery writes its own task-aligned file set, so after N
+    * deliveries a probe's bucket-pruned point lookup opens N files
+    * per probed bucket and probe cost grows linearly in DELIVERIES.
+    * Row-neutral (keyed tables have no tombstone side — appends are
+    * anti-joined, so there is nothing to delete), idempotent, same
+    * backup dance and self-healing swap. Run it on the fingerprint/
+    * score/sink tables the streamed flows maintain, on the same
+    * schedule the band index compacts. */
+  def compactKeyedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCol: String): Unit = {
+    val buckets = requireKeyBucketedTable(spark, table, keyCol,
+      "compactKeyedTable")
+    compactBucketedTable(spark, table, keyCol, buckets,
+      identity, () => ())
+  }
+
+  /** The shared zero-shuffle compaction core: rewrite `table` (its
+    * rows through `transform` — the band index's tombstone apply)
+    * coalesced to one task-aligned file per bucket into a staging
+    * table, swap it in under the band lock via the never-zero-copies
+    * backup dance, then run `afterSwap` (the tombstone truncate)
+    * still under the lock. */
+  private def compactBucketedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      bucketCol: String, buckets: Int,
+      transform: DataFrame => DataFrame, afterSwap: () => Unit): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val stagingIdent = ident.copy(table = ident.table + "__compact_stage")
     val staging = stagingIdent.unquotedString
@@ -884,30 +924,24 @@ object Dedup {
     // (crash after the stage→live rename, before the drop) is stale
     Similarity.dropTableAndLocation(spark, staging)
     Similarity.dropTableAndLocation(spark, backup)
-    val tomb = tombstoneTable(table)
-    val applyTombs = spark.catalog.tableExists(tomb)
     bandConfLock.synchronized {
-      val idName = bandIndexIdColumn(spark, table)
-      val rows =
-        if (applyTombs)
-          spark.table(table).join(
-            spark.table(tomb).select(col(idName)), Seq(idName), "left_anti")
-        else spark.table(table)
+      val rows = transform(spark.table(table))
       // Force the bucketed scan for the rewrite: the scan then claims
-      // HashPartitioning(band, buckets), the repartition below elides,
-      // and each task reads ONE bucket's file sets and writes its one
-      // replacement file — a zero-shuffle, per-bucket-parallel rewrite.
-      // Left to the default heuristic, DisableUnnecessaryBucketedScan
-      // drops the bucketed read AFTER the repartition was already
-      // elided against its claimed partitioning, and the write tasks
-      // hold arbitrary bucket mixtures — compaction would then GROW
-      // the file count it exists to bound.
+      // HashPartitioning(bucketCol, buckets), the repartition below
+      // elides, and each task reads ONE bucket's file sets and writes
+      // its one replacement file — a zero-shuffle, per-bucket-parallel
+      // rewrite. Left to the default heuristic,
+      // DisableUnnecessaryBucketedScan drops the bucketed read AFTER
+      // the repartition was already elided against its claimed
+      // partitioning, and the write tasks hold arbitrary bucket
+      // mixtures — compaction would then GROW the file count it
+      // exists to bound.
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
       spark.conf.set(key, "false")
       try {
-        rows.repartition(buckets, col("band"))
-          .write.bucketBy(buckets, "band")
+        rows.repartition(buckets, col(bucketCol))
+          .write.bucketBy(buckets, bucketCol)
           .mode("overwrite").saveAsTable(staging)
       } finally spark.conf.set(key, old)
       // backup dance (never zero copies): live→backup, stage→live,
@@ -917,7 +951,7 @@ object Dedup {
       spark.sql(s"ALTER TABLE ${ident.unquotedString} RENAME TO $backup")
       spark.sql(s"ALTER TABLE $staging RENAME TO ${ident.unquotedString}")
       Similarity.dropTableAndLocation(spark, backup)
-      if (applyTombs) spark.sql(s"TRUNCATE TABLE $tomb")
+      afterSwap()
     }
     spark.catalog.refreshTable(table)
   }

@@ -894,6 +894,20 @@ object TextOps {
       require(Dedup.probeKeyedTable(s, tbl, batchFps, "fp").count()
           == batchFps.count(),
         "d55: every batch fingerprint must probe present post-append")
+      // compaction: the delivery stacked its own file set — the
+      // zero-shuffle rewrite folds back to one file per bucket,
+      // row-neutral, probes unchanged
+      require(Dedup.bandIndexFileCount(s, tbl) > 8,
+        "d55: the append should have stacked a second file set")
+      val rowsBefore = s.table(tbl).count()
+      Dedup.compactKeyedTable(s, tbl, "fp")
+      require(Dedup.bandIndexFileCount(s, tbl) <= 8,
+        "d55: compaction must leave at most one file per bucket")
+      require(s.table(tbl).count() == rowsBefore,
+        "d55: keyed compaction must be row-neutral")
+      require(Dedup.probeKeyedTable(s, tbl, batchFps, "fp").count()
+          == batchFps.count(),
+        "d55: probes must be unchanged after compaction")
       out
     }),
 

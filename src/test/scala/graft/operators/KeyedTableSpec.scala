@@ -83,6 +83,37 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 12)
   }
 
+  test("compactKeyedTable: one file per bucket, row-neutral, probes unchanged, idempotent") {
+    freshDb()
+    val tbl = "graft_keyed.spec_compact"
+    Dedup.buildKeyedTable((0L until 40L).map(i => (s"k$i", i)).toDF("k", "v"),
+      "k", tbl, buckets = 4)
+    Dedup.appendToKeyedTable(
+      (100L until 120L).map(i => (s"k$i", i)).toDF("k", "v"), tbl, "k")
+    Dedup.appendToKeyedTable(
+      (200L until 220L).map(i => (s"k$i", i)).toDF("k", "v"), tbl, "k")
+    val probeKeys = Seq("k3", "k105", "k210", "nope").toDF("k")
+    val before = Dedup.probeKeyedTable(spark, tbl, probeKeys, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(Dedup.bandIndexFileCount(spark, tbl) > 4,
+      "three deliveries should stack file sets")
+    val rows = spark.table(tbl).count()
+    Dedup.compactKeyedTable(spark, tbl, "k")
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4,
+      "compaction must leave at most one file per bucket")
+    assert(spark.table(tbl).count() == rows,
+      "keyed compaction must be row-neutral")
+    val after = Dedup.probeKeyedTable(spark, tbl, probeKeys, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before && after.size == 3,
+      s"probes drifted: $after vs $before")
+    // idempotent; and the table still accepts pruned appends after
+    Dedup.compactKeyedTable(spark, tbl, "k")
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4)
+    Dedup.appendToKeyedTable(Seq(("k300", 300L)).toDF("k", "v"), tbl, "k")
+    assert(spark.table(tbl).count() == rows + 1)
+  }
+
   test("exactMembershipViaTable equals exactMembership; zero corpus FileScans in the probe-side plan") {
     freshDb()
     // corpus ON DISK so a corpus FileScan is detectable by path
