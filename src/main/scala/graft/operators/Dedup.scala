@@ -1277,12 +1277,17 @@ object Dedup {
     * per micro-batch pays O(batch) per delivery instead of a full
     * corpus read (the one-shot [[exactMembership]]'s scan amortizes
     * over a single large batch; per-delivery it does not). Returns the
-    * same (idCol, maybe_member, is_member) frame. */
+    * same (idCol, maybe_member, is_member) frame. The bloom verdict
+    * is referenced twice (candidate derivation + the final join), so
+    * it checkpoints eagerly — batch-grain — instead of re-running the
+    * probe rollups per consumer (the double-pass the one-shot form
+    * documents and leaves to its callers). */
   def exactMembershipViaTable(spark: org.apache.spark.sql.SparkSession,
       fpTable: String, batch: DataFrame, textCol: String, idCol: String,
       bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
     val keyed = batch.select(col(idCol), md5(col(textCol)).as("fp"))
     val probed = probeBloom(keyed, "fp", idCol, bloom, mBits, k)
+      .localCheckpoint(true)
     val candidates = probed.filter(col("maybe_member"))
       .join(keyed, Seq(idCol))
       .select(col(idCol), col("fp"))

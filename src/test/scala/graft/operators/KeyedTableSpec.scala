@@ -152,6 +152,66 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(a.filter(_._3).map(_._1) == Set(100L, 101L))
   }
 
+  test("probeKeyedTable reliable-checkpoint hatch: same rows, reliable storage") {
+    freshDb()
+    val tbl = "graft_keyed.spec_reliable"
+    Dedup.buildKeyedTable((0L until 20L).map(i => (s"k$i", i)).toDF("k", "v"),
+      "k", tbl, buckets = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-keyed-chk").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val keys = Seq("k1", "k7").toDF("k")
+    val got = Dedup.probeKeyedTable(spark, tbl, keys, "k",
+        reliableCheckpoint = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("k1", 1L), ("k7", 7L)))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty,
+      "reliableCheckpoint=true must write through the checkpoint dir")
+  }
+
+  test("within-batch near-dups: the documented d42 pre-resolve composes with the indexed resolve") {
+    freshDb()
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq((1L, s"alpha beta gamma delta $filler"))
+      .toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_prebatch"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    val scoreTbl = "graft_keyed.spec_prebatch_scores"
+    Dedup.buildKeyedTable(Seq((1L, 5L)).toDF("doc_id", "q"),
+      "doc_id", scoreTbl, buckets = 4)
+    // the batch carries its OWN near-dup pair (20 vs 21, 20 better) —
+    // the scope the operator documents as unresolved: pre-resolve with
+    // the one-shot d42 pass, then ingest only the representatives
+    val batch = Seq(
+      (20L, s"alpha beta gamma delta $filler tail", 9L),
+      (21L, s"alpha beta gamma delta $filler tail more", 3L))
+      .toDF("doc_id", "text", "q")
+    val pre = Dedup.resolveNearDupsByQuality(batch,
+      Dedup.nearDupGroups(Dedup.lshCandidatePairs(
+        batch, "text", "doc_id", k = 6, bandWidth = 2)),
+      "doc_id", "q")
+    val dropped = pre.filter(!col("keep")).select("doc_id")
+    val reps = batch.join(dropped, Seq("doc_id"), "left_anti")
+    assert(reps.select("doc_id").as[Long].collect().toSet == Set(20L),
+      "the d42 pass must keep the better-scored within-batch copy")
+    val r = Dedup.ingestResolveNearDupsIndexed(spark, tbl, reps, "text",
+        "doc_id", "q", scoreTbl, k = 6, bandWidth = 2, buckets = 4)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r == Map(20L -> true),
+      "the surviving representative resolves against the index alone")
+    assert(spark.table(Dedup.tombstoneTable(tbl))
+      .as[Long].collect().toSet == Set(1L),
+      "the superseded index doc must be tombstoned")
+    Dedup.compactBandIndex(spark, tbl)  // applies the tombstone
+    assert(spark.table(tbl).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(20L),
+      "index holds the winner; candidate 1 removed, 21 never entered")
+  }
+
   test("ingestResolveNearDupsIndexed equals the frame form and maintains the score table") {
     freshDb()
     val filler = (0 until 30).map(i => s"w$i").mkString(" ")
