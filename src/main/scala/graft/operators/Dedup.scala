@@ -1163,10 +1163,18 @@ object Dedup {
           .partitionBy(col(keyCol))))
     // the guard rides the KEY column itself (a dropped guard column
     // would be pruned away, silently skipping the check); the
-    // otherwise branch preserves the value, so alignment holds
+    // otherwise branch preserves the value, so alignment holds. A
+    // NULL key is rejected with the duplicates: isin(literals) never
+    // matches null, so a null-keyed row could neither be probed nor
+    // absorb its own replay — it would be dead weight that re-appends
+    // forever.
     val guarded = keyed.columns.filter(_ != "__dup").map { c =>
       if (c == keyCol)
-        when(col("__dup") > 1, raise_error(concat(
+        when(col(keyCol).isNull, raise_error(lit(
+            s"buildKeyedTable: null key in $keyCol — a null-keyed row " +
+              "can never be probed (isin never matches null); filter " +
+              "or key-derive upstream")))
+          .when(col("__dup") > 1, raise_error(concat(
             lit(s"buildKeyedTable: duplicate key in $keyCol: "),
             col(keyCol).cast("string"),
             lit(" — the table is a key-indexed map; dedupe upstream"))))
@@ -1203,6 +1211,11 @@ object Dedup {
           "batch's keys become planning-time point-lookup literals); " +
           "split the batch or raise the bound deliberately")
       val keys = keyRows.map(_.get(0)).toSeq
+      require(!keys.contains(null),
+        s"appendToKeyedTable: null $keyCol key in the batch — the " +
+          "idempotence anti-join never matches null, so a null-keyed " +
+          "row would re-append on every redelivery; filter or " +
+          "key-derive upstream")
       require(keys.distinct.length == keys.length,
         s"appendToKeyedTable: batch has duplicate $keyCol keys — the " +
           "table is a key-indexed map and a within-batch duplicate has " +
@@ -1248,6 +1261,11 @@ object Dedup {
         "become planning-time point-lookup literals); split the batch " +
         "or raise the bound deliberately")
     val lits = keyRows.map(_.get(0)).toSeq
+    require(!lits.contains(null),
+      s"probeKeyedTable: null $keyCol in the probe key set — " +
+        "isin(literals) never matches null, so a null probe would " +
+        "silently come back absent; filter nulls (or treat them as " +
+        "known-absent) at the caller, explicitly")
     if (lits.isEmpty)
       spark.table(table).limit(0).localCheckpoint(true)
     else

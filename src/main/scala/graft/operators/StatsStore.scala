@@ -133,6 +133,10 @@ object StatsStore {
   def writeDelivery(path: String, deliveryId: String,
       stats: DataFrame): Unit = {
     requireDeliveryId(deliveryId)
+    require(!stats.columns.contains("delivery_id"),
+      "StatsStore: the stats frame must not carry a delivery_id " +
+        "column — that name is the store's partition key (the value " +
+        "comes from the directory name at read time)")
     val spark = stats.sparkSession
     completeInterruptedCompact(spark, path)
     val dir = partDir(path, deliveryId)

@@ -81,6 +81,28 @@ class KeyedTableSpec extends AnyFunSuite {
     // an empty batch is a no-op, not an error
     Dedup.appendToKeyedTable(batch.limit(0), tbl, "k")
     assert(spark.table(tbl).count() == 12)
+    // null keys fail loudly EVERYWHERE: the idempotence anti-join and
+    // isin probes never match null, so a null-keyed row would
+    // re-append on every redelivery and probe silently absent
+    val withNull = Seq((Option.empty[String], 1L), (Some("ok"), 2L))
+      .toDF("k", "v")
+    val en = intercept[IllegalArgumentException] {
+      Dedup.appendToKeyedTable(withNull, tbl, "k")
+    }
+    assert(en.getMessage.contains("null"), en.getMessage)
+    val ep = intercept[IllegalArgumentException] {
+      Dedup.probeKeyedTable(spark, tbl, withNull.select("k"), "k")
+    }
+    assert(ep.getMessage.contains("null"), ep.getMessage)
+    val eb = intercept[Exception] {
+      Dedup.buildKeyedTable(withNull, "k", "graft_keyed.spec_nullbuild",
+        buckets = 4)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(eb).exists(t =>
+        String.valueOf(t.getMessage).contains("null key")),
+      s"expected the null-key raise_error, got: $eb")
   }
 
   test("compactKeyedTable: one file per bucket, row-neutral, probes unchanged, idempotent") {
