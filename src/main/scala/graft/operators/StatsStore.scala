@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
   * point completes an interrupted compact (the rolled base supersedes
   * exactly the manifest-listed partitions it absorbed; partitions
   * delivered after the crash are untouched), so no crash point loses
-  * or double-counts a delivery. Single-writer, like every graft
-  * maintenance pass. */
+  * or double-counts a delivery. The `_SUCCESS` marker is the
+  * committed/crashed boundary EVERYWHERE: [[writeDelivery]] redoes an
+  * uncommitted partition, and [[readStats]]/[[compact]] skip it — a
+  * crashed write is invisible until its redelivery heals it, never
+  * summed partially and never absorbed into the manifest (absorption
+  * would suppress the healing redelivery: permanent silent loss).
+  * Single-writer, like every graft maintenance pass. */
 object StatsStore {
 
   /** The compacted partition's delivery id. */
@@ -53,6 +58,9 @@ object StatsStore {
 
   private def absorbedDir(path: String) =
     new org.apache.hadoop.fs.Path(path, "_absorbed")
+
+  private def absorbedTmp(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_absorbed_tmp")
 
   private def committed(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean =
@@ -85,14 +93,22 @@ object StatsStore {
       .map(_.getString(0)).toSet
   }
 
-  /** Visible delivery partitions currently on disk. */
-  private def partitionIds(spark: SparkSession, path: String): Seq[String] = {
+  /** Delivery partitions currently on disk. `committedOnly` keeps
+    * only directories with a `_SUCCESS` marker — a directory WITHOUT
+    * one is a crashed [[writeDelivery]] (the write job never
+    * committed) whose healing redelivery will redo it whole; summing
+    * or absorbing its partial files would turn the crash into a
+    * silent permanent undercount, so [[readStats]] and [[compact]]
+    * must both skip it. */
+  private def partitionIds(spark: SparkSession, path: String,
+      committedOnly: Boolean): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("delivery_id="))
+      .filter(st => !committedOnly || committed(fs, st.getPath))
       .map(_.getPath.getName.stripPrefix("delivery_id="))
   }
 
@@ -103,6 +119,7 @@ object StatsStore {
     * promote the stage. Called by every entry point. */
   private def completeInterruptedCompact(spark: SparkSession,
       path: String): Unit = {
+    completeInterruptedManifestFold(spark, path)
     val tmp = tmpBase(path)
     val fs = fsOf(spark, tmp)
     if (fs.exists(tmp) && committed(fs, tmp)) {
@@ -110,7 +127,7 @@ object StatsStore {
       // the staged rollup summed everything visible when it was built:
       // the manifest-listed partitions AND the old base — delete both;
       // deliveries that landed after the crash are neither, and survive
-      partitionIds(spark, path)
+      partitionIds(spark, path, committedOnly = false)
         .filter(id => absorbed.contains(id) || id == BasePartition)
         .foreach { id => fs.delete(partDir(path, id), true); () }
       fs.rename(tmp, partDir(path, BasePartition))
@@ -118,6 +135,29 @@ object StatsStore {
     } else if (fs.exists(tmp)) {
       // an UNcommitted stage is a crashed rewrite that absorbed
       // nothing — discard it; the partitions are all still live
+      fs.delete(tmp, true)
+      ()
+    }
+  }
+
+  /** Self-healing for a manifest fold ([[compact]]'s final step)
+    * interrupted between its staged rewrite committing and the swap:
+    * a COMMITTED `_absorbed_tmp` holds the full id set (it was read
+    * from the live manifest, which nothing appends to outside
+    * [[compact]] — single-writer), so it supersedes the live
+    * directory; an uncommitted one is a crashed rewrite that absorbed
+    * nothing and is discarded. Either way exactly one full copy of
+    * the manifest survives every crash point. */
+  private def completeInterruptedManifestFold(spark: SparkSession,
+      path: String): Unit = {
+    val tmp = absorbedTmp(path)
+    val fs = fsOf(spark, tmp)
+    if (fs.exists(tmp) && committed(fs, tmp)) {
+      val live = absorbedDir(path)
+      if (fs.exists(live)) { fs.delete(live, true); () }
+      fs.rename(tmp, live)
+      ()
+    } else if (fs.exists(tmp)) {
       fs.delete(tmp, true)
       ()
     }
@@ -152,12 +192,24 @@ object StatsStore {
     * `keyCols` grain. Count-column metadata (the bucket/order config
     * the scorers validate) is re-attached from the stored schema, so
     * the rollup drops into [[TextAnalysis.nbScore]]/lmPerplexity
-    * exactly like a one-shot artifact. Reading an empty store fails
-    * loudly (no schema to infer — write a delivery first). */
+    * exactly like a one-shot artifact. Only COMMITTED partitions are
+    * summed: a directory without `_SUCCESS` is a crashed
+    * [[writeDelivery]] whose partial files must not leak into the
+    * rollup — the healing redelivery will redo it whole, and until
+    * then the store reads as if that delivery never arrived (the
+    * at-least-once contract's consistent view). Reading a store with
+    * no committed delivery fails loudly (no schema to infer — write a
+    * delivery first). */
   def readStats(spark: SparkSession, path: String,
       keyCols: Seq[String]): DataFrame = {
     completeInterruptedCompact(spark, path)
-    val raw = spark.read.parquet(path).drop("delivery_id")
+    val ids = partitionIds(spark, path, committedOnly = true)
+    require(ids.nonEmpty,
+      s"StatsStore at $path has no committed delivery partition — " +
+        "write a delivery first (a dir without _SUCCESS is a crashed " +
+        "write awaiting its redelivery, not data)")
+    val raw = spark.read
+      .parquet(ids.map(id => partDir(path, id).toString): _*)
     val sums = raw.schema.fields.filterNot(f => keyCols.contains(f.name))
     require(sums.nonEmpty && sums.forall(_.dataType.isInstanceOf[
         org.apache.spark.sql.types.NumericType]),
@@ -169,17 +221,24 @@ object StatsStore {
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** Fold every partition into one `__base__` partition, recording
-    * the absorbed delivery ids in the hidden manifest FIRST (a crash
-    * at any later point leaves the store readable and replay-safe —
-    * see [[completeInterruptedCompact]]), staging the rollup through
-    * a hidden directory so readers never see base and partials
-    * together. Idempotent; read cost drops back to one config-sized
-    * partition. */
+  /** Fold every COMMITTED partition into one `__base__` partition,
+    * recording the absorbed delivery ids in the hidden manifest FIRST
+    * (a crash at any later point leaves the store readable and
+    * replay-safe — see [[completeInterruptedCompact]]), staging the
+    * rollup through a hidden directory so readers never see base and
+    * partials together. An UNCOMMITTED partition (a crashed
+    * [[writeDelivery]]) is skipped entirely — absorbing it would
+    * manifest its id with zero/partial rows and permanently suppress
+    * the healing redelivery, silently losing the delivery; skipped,
+    * it sits inert until the redelivery redoes it. Idempotent; read
+    * cost drops back to one config-sized partition. The manifest is
+    * then folded to a single file (it grows one file per compact
+    * otherwise, read at every [[writeDelivery]]) via its own staged,
+    * self-healing swap. */
   def compact(spark: SparkSession, path: String,
       keyCols: Seq[String]): Unit = {
     completeInterruptedCompact(spark, path)
-    val ids = partitionIds(spark, path)
+    val ids = partitionIds(spark, path, committedOnly = true)
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     // the rollup is config-sized by grain (the localizeStats
     // discipline): materialize it BEFORE any delete
@@ -191,5 +250,14 @@ object StatsStore {
     val tmp = tmpBase(path)
     rolled.write.mode("overwrite").parquet(tmp.toString)
     completeInterruptedCompact(spark, path)
+    // manifest fold: one delivery-grain file replaces the
+    // one-file-per-compact accumulation. The staged rewrite holds the
+    // full id set before the live directory is touched, so every
+    // crash point leaves one complete copy (heal: see
+    // completeInterruptedManifestFold).
+    absorbedIds(spark, path).toSeq.toDF("delivery_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(absorbedTmp(path).toString)
+    completeInterruptedManifestFold(spark, path)
   }
 }

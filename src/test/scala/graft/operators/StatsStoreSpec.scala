@@ -121,4 +121,72 @@ class StatsStoreSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == oneShot)
   }
+
+  test("crashed delivery is never summed or absorbed: crash -> compact -> redeliver equals one-shot") {
+    val p = dir()
+    StatsStore.writeDelivery(p, "d1", statsOf("a" -> 1L))
+    // crash d2 mid-write: partial part files visible, job never
+    // committed (no _SUCCESS) — the r18 verdict's lead finding
+    val d2 = new org.apache.hadoop.fs.Path(s"$p/delivery_id=d2")
+    val fs = d2.getFileSystem(spark.sessionState.newHadoopConf())
+    statsOf("a" -> 999L).write.parquet(d2.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(d2, "_SUCCESS"), false)
+    // the crashed partial must be invisible to the rollup
+    assert(read(p) == Map("a" -> 1L),
+      "readStats must skip an uncommitted (crashed) delivery partition")
+    // compact BEFORE the redelivery: the crash ordering that used to
+    // absorb the partial and suppress the heal forever
+    StatsStore.compact(spark, p, Seq("k"))
+    assert(read(p) == Map("a" -> 1L))
+    assert(fs.exists(d2),
+      "compact must leave the crashed partition for its redelivery")
+    val manifested = spark.read.parquet(s"$p/_absorbed")
+      .collect().map(_.getString(0)).toSet
+    assert(!manifested.contains("d2"),
+      "compact must never manifest an uncommitted delivery id")
+    // the healing redelivery redoes the crashed write whole
+    StatsStore.writeDelivery(p, "d2", statsOf("a" -> 2L, "b" -> 3L))
+    assert(read(p) == Map("a" -> 3L, "b" -> 3L),
+      "the redelivery must heal the crashed write — rollup equals one-shot")
+    StatsStore.compact(spark, p, Seq("k"))
+    assert(read(p) == Map("a" -> 3L, "b" -> 3L))
+  }
+
+  test("manifest folds to one file per compact; interrupted folds self-heal") {
+    val p = dir()
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestFiles(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/_absorbed"))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    def manifestIds(): Set[String] =
+      spark.read.parquet(s"$p/_absorbed").collect()
+        .map(_.getString(0)).toSet
+    // three compact cycles: without the fold the manifest holds one
+    // file per compact; with it, always exactly one
+    for (i <- 1 to 3) {
+      StatsStore.writeDelivery(p, s"d$i", statsOf("a" -> i.toLong))
+      StatsStore.compact(spark, p, Seq("k"))
+      assert(manifestFiles() == 1,
+        s"after compact $i the manifest must be one file, got ${manifestFiles()}")
+    }
+    assert(manifestIds() == Set("d1", "d2", "d3"))
+    assert(read(p) == Map("a" -> 6L))
+    // window A: fold crashed with a COMMITTED stage (full set), live
+    // still present — any entry promotes the stage
+    manifestIds().toSeq.toDF("delivery_id").coalesce(1)
+      .write.parquet(s"$p/_absorbed_tmp")
+    StatsStore.writeDelivery(p, "d2", statsOf("a" -> 999L)) // replay: absorbed
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_absorbed_tmp")),
+      "a committed fold stage must be promoted on the next entry")
+    assert(manifestIds() == Set("d1", "d2", "d3") && read(p) == Map("a" -> 6L))
+    // window B: an UNCOMMITTED fold stage is a crashed rewrite —
+    // discarded, live manifest untouched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/_absorbed_tmp"))
+    assert(read(p) == Map("a" -> 6L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_absorbed_tmp")),
+      "an uncommitted fold stage must be discarded")
+    assert(manifestIds() == Set("d1", "d2", "d3"))
+  }
 }
