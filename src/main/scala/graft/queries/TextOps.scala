@@ -1134,7 +1134,7 @@ object TextOps {
         // probe BEFORE merging: the verdict reflects the artifact as
         // the batch arrived, not including the batch itself
         val probed = Dedup.probeBloom(keyed, "__key", "doc_id",
-            bs.read.parquet(bloomPath), mBits = 1 << 16, k = 3)
+            Dedup.loadBloom(bs, bloomPath), mBits = 1 << 16, k = 3)
         // first-delivery verdicts: the keyed append's bucket-pruned
         // anti-join (it persists + materializes the batch internally
         // before writing — the w05 discipline is the device's own)
@@ -1153,7 +1153,7 @@ object TextOps {
         Dedup.buildBloom(corpus.select(md5(col("text")).as("__key"))
           .unionByName(batchAll.select(md5(col("text")).as("__key"))),
           "__key", mBits = 1 << 16, k = 3))
-      val streamed = s.read.parquet(bloomPath)
+      val streamed = Dedup.loadBloom(s, bloomPath)
       require(streamed.exceptAll(oneShot).isEmpty
           && oneShot.exceptAll(streamed).isEmpty,
         "w10: streamed bloom diverged from the one-shot bitmap")

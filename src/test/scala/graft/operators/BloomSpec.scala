@@ -144,6 +144,46 @@ class BloomSpec extends AnyFunSuite {
     assert(e.getMessage.contains("was built with"), e.getMessage)
   }
 
+  test("mergeBloomInto staging: every swap crash window heals with zero lost bits") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomswap").toString
+    val path = s"$dir/bf"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    val a = Seq("x", "y").toDF("k")
+    val b = Seq("y", "z").toDF("k")
+    Dedup.mergeBloomInto(path, a, "k", 1 << 10, 2)
+    Dedup.mergeBloomInto(path, b, "k", 1 << 10, 2)
+    val want = bits(spark.read.parquet(path))
+    // window 1: crash BETWEEN the live delete and the stage rename —
+    // live gone, committed stage holds the full merged bitmap.
+    // Simulate by renaming live to the stage name.
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__stage"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // a probe-side load heals it: the committed stage is promoted
+    assert(bits(Dedup.loadBloom(spark, path)) == want,
+      "loadBloom must promote a committed stage when live is gone")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__stage")))
+    // window 2: crash BEFORE the swap began — a committed stage next
+    // to an intact live. The stage is a crashed merge; discarded, and
+    // the redelivered merge redoes it (OR-idempotent).
+    spark.read.parquet(path).write.parquet(path + "__stage")
+    Dedup.mergeBloomInto(path, b, "k", 1 << 10, 2) // the redelivery
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__stage")),
+      "a pre-swap stage next to a live artifact must be discarded")
+    assert(bits(spark.read.parquet(path)) == want)
+    // window 3: an UNCOMMITTED stage (no _SUCCESS) next to live —
+    // crashed mid-write, discarded
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__stage"))
+    assert(bits(Dedup.loadBloom(spark, path)) == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__stage")))
+    // at no point above did the merged bitmap regress: the artifact
+    // still equals the incremental union
+    assert(bits(spark.read.parquet(path)) == want)
+  }
+
   test("probe plan: bitmap broadcasts, two batch-grain exchanges, no corpus scan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = (0 until 100).map(i => s"key-$i").toDF("k")
