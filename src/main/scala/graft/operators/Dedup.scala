@@ -684,9 +684,17 @@ object Dedup {
       bandWidth, shingleSize, maxBatchBands, "appendToBandIndex")
     try {
       val (bandedDf, bands, ids) = (banded._1, banded._2, banded._3)
-      val existing = spark.table(table)
-        .filter(col("band").isin(bands: _*) && col(idCol).isin(ids: _*))
-        .select(col(idCol))
+      // same pinning as the probe: the idempotence lookup must
+      // bucket-prune (asserted) and is checkpointed so the anti-join
+      // derives from batch-proportional rows, not from the table
+      // being appended to
+      val existing =
+        if (bands.isEmpty) bandedDf.select(col(idCol)).limit(0)
+        else compileAndPinBucketedScan(spark,
+          spark.table(table)
+            .filter(col("band").isin(bands: _*) && col(idCol).isin(ids: _*))
+            .select(col(idCol)),
+          table, reliable = false, "appendToBandIndex")
       val fresh = bandedDf.join(existing, Seq(idCol), "left_anti")
         .select(col(idCol), col("band"))
       bandConfLock.synchronized {
@@ -813,16 +821,26 @@ object Dedup {
     * in full under `__compact_backup` — rename it back. Called by
     * every band-index entry point (via [[requireBandBucketedTable]]),
     * so the first probe/append/compact after the crash restores the
-    * pre-compaction table and the compaction is simply redone. */
+    * pre-compaction table and the compaction is simply redone. Runs
+    * under the band lock: a reader entry point racing a LIVE
+    * compaction's two-rename window would otherwise see the
+    * moved-away live table and rename the backup back, making the
+    * compactor's staging→live rename fail and orphaning the staging
+    * table — the lock serializes the heal against the swap it heals
+    * (the single-writer contract makes that race a caller bug, but
+    * the heal must not widen the surface it exists to close). */
   private def restoreInterruptedSwap(
-      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val backup = ident.copy(table = ident.table + "__compact_backup")
-      .unquotedString
-    if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(backup))
-      spark.sql(s"ALTER TABLE $backup RENAME TO ${ident.unquotedString}")
-  }
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    bandConfLock.synchronized {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val backup = ident.copy(table = ident.table + "__compact_backup")
+        .unquotedString
+      if (!spark.catalog.tableExists(table) &&
+          spark.catalog.tableExists(backup)) {
+        spark.sql(s"ALTER TABLE $backup RENAME TO ${ident.unquotedString}")
+        ()
+      }
+    }
 
   /** Number of data files currently backing a band-index or keyed
     * table — the quantity [[compactBandIndex]]/[[compactKeyedTable]]
@@ -1022,7 +1040,8 @@ object Dedup {
       withBatch => indexScores
         .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
         .join(broadcast(withBatch), Seq("index_id")),
-      _ => (), k, bandWidth, shingleSize, buckets, maxBatchBands)
+      _ => (), "the indexScores frame argument",
+      k, bandWidth, shingleSize, buckets, maxBatchBands)
 
   /** [[ingestResolveNearDups]] with the score side PERSISTED — the
     * per-delivery shape: candidate scores come from bucket-pruned
@@ -1052,18 +1071,23 @@ object Dedup {
       },
       winners => appendToKeyedTable(
         winners.select(col(idCol), col(scoreCol)), scoreTable, idCol),
+      s"the persisted score table $scoreTable",
       k, bandWidth, shingleSize, buckets, maxBatchBands)
 
   /** The shared resolve-at-ingest core: `attachScores` turns the
     * (idCol, index_id, __bs) verdict×batch frame into pairs carrying
     * `__is` (the candidate's score) — batch-proportional in, batch-
     * proportional out; `onWinners` runs after the winner append for
-    * score-side maintenance. */
+    * score-side maintenance. `scoreSource` names the caller's score
+    * side in the coverage-guard failure, so incident triage reads
+    * which side actually lacked the candidate's score (the frame
+    * argument vs the persisted score table). */
   private def resolveAtIngest(spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, textCol: String, idCol: String,
       scoreCol: String, attachScores: DataFrame => DataFrame,
-      onWinners: DataFrame => Unit, k: Int, bandWidth: Int,
-      shingleSize: Int, buckets: Int, maxBatchBands: Int): DataFrame = {
+      onWinners: DataFrame => Unit, scoreSource: String, k: Int,
+      bandWidth: Int, shingleSize: Int, buckets: Int,
+      maxBatchBands: Int): DataFrame = {
     val tomb = tombstoneTable(table)
     if (!spark.catalog.tableExists(tomb))
       spark.table(table).select(col(idCol)).limit(0)
@@ -1092,7 +1116,7 @@ object Dedup {
       .limit(1).collect()
     require(uncovered.isEmpty,
       s"ingestResolveNearDups: index doc id ${uncovered.headOption
-          .map(_.get(0)).getOrElse("")} has no row in indexScores — " +
+          .map(_.get(0)).getOrElse("")} has no row in $scoreSource — " +
         "scores must cover every index doc; an uncovered candidate " +
         "would be silently dropped from resolution (vacuous batch win, " +
         "candidate never tombstoned)")
@@ -1221,8 +1245,16 @@ object Dedup {
           "table is a key-indexed map and a within-batch duplicate has " +
           "no deterministic winner; dedupe the batch upstream")
       if (keys.nonEmpty) {
-        val existing = spark.table(table)
-          .filter(col(keyCol).isin(keys: _*)).select(col(keyCol))
+        // the idempotence check is compiled and ASSERTED to
+        // bucket-prune exactly like a probe (and checkpointed, so the
+        // anti-join below derives from batch-proportional rows, never
+        // from the table the append is about to extend) — a plan that
+        // failed to prune would silently full-scan the table once per
+        // delivery
+        val existing = compileAndPinBucketedScan(spark,
+          spark.table(table).filter(col(keyCol).isin(keys: _*))
+            .select(col(keyCol)),
+          table, reliable = false, "appendToKeyedTable")
         val fresh = b.join(existing, Seq(keyCol), "left_anti")
         bandConfLock.synchronized {
           val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

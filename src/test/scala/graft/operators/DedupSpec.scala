@@ -379,7 +379,8 @@ class DedupSpec extends AnyFunSuite {
       Dedup.ingestResolveNearDups(spark, tbl, batch, "text", "doc_id",
         "q", scores, k = 6, bandWidth = 2, buckets = 4)
     }
-    assert(e.getMessage.contains("no row in indexScores"), e.getMessage)
+    assert(e.getMessage.contains("no row in the indexScores frame argument"),
+      e.getMessage)
     // and nothing mutated: no tombstones, no winner appended
     assert(spark.table(Dedup.tombstoneTable(tbl)).count() == 0)
     assert(spark.table(tbl).select("doc_id").distinct()

@@ -285,4 +285,29 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == bandRows)
     assert(spark.table(scoreTbl).count() == 4)
   }
+
+  test("indexed coverage guard names the score TABLE, not the frame argument") {
+    freshDb()
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler")).toDF("doc_id", "text")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
+    val tbl = "graft_bandidx.spec_resolve_idx_uncov"
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    // the score table is MISSING candidate 1's score: the guard must
+    // name the persisted-table path so triage looks at the right side
+    val scoreTbl = "graft_keyed.spec_scores_uncov"
+    Dedup.buildKeyedTable(Seq((99L, 1L)).toDF("doc_id", "q"),
+      "doc_id", scoreTbl, buckets = 4)
+    val batch = Seq((10L, s"alpha beta gamma delta $filler tail", 9L))
+      .toDF("doc_id", "text", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestResolveNearDupsIndexed(spark, tbl, batch, "text",
+        "doc_id", "q", scoreTbl, k = 6, bandWidth = 2, buckets = 4)
+    }
+    assert(e.getMessage.contains(
+        s"no row in the persisted score table $scoreTbl"),
+      e.getMessage)
+  }
 }
