@@ -1276,34 +1276,120 @@ object Dedup {
     * returns the table rows whose `keyCol` appears in `keys` (any
     * frame carrying that column; other columns ignored), eagerly
     * checkpointed so downstream plans derive from batch-proportional
-    * rows, never from the table. The batch's distinct keys become
-    * planning-time literals (bounded by `maxKeys`), the scan is
-    * ASSERTED to bucket-prune and re-asserted on the executed plan
-    * (the probeBandIndex device) — a mis-built table refuses loudly
-    * instead of full-scanning at corpus size. An empty key set probes
-    * nothing and returns an empty frame with the table's schema. */
+    * rows, never from the table.
+    *
+    * Two plan forms, chosen by the probe's distinct key count:
+    *
+    *  - '''Literal form''' (≤ `joinFormThreshold` keys — the
+    *    micro-batch norm): the keys become planning-time literals,
+    *    the scan is ASSERTED to bucket-prune and re-asserted on the
+    *    executed plan (the probeBandIndex device) — a mis-built table
+    *    refuses loudly instead of full-scanning at corpus size. The
+    *    loud `maxKeys` cap applies to this form only (it bounds the
+    *    driver materialization and the plan's literal count).
+    *  - '''Join form''' (above the threshold): a million-literal
+    *    `isin` would bloat planning time and driver memory, so the
+    *    probe switches to a bucket-ALIGNED join — the key frame
+    *    repartitions to the TABLE's own (bucket-count, key) layout,
+    *    the forced bucketed scan claims that exact partitioning, and
+    *    the table side joins with ZERO exchange (asserted on the
+    *    executed plan: no shuffle above the table's scan). No file
+    *    pruning — the trade is one full bucketed read with no
+    *    corpus-side shuffle versus an unboundedly large plan — and no
+    *    driver hop at all: the keys never leave the cluster.
+    *
+    * Both forms return identical rows (spec-pinned at the threshold
+    * boundary). An empty key set probes nothing and returns an empty
+    * frame with the table's schema. */
   def probeKeyedTable(spark: org.apache.spark.sql.SparkSession,
       table: String, keys: DataFrame, keyCol: String,
       maxKeys: Int = 1 << 20,
-      reliableCheckpoint: Boolean = false): DataFrame = {
-    requireKeyBucketedTable(spark, table, keyCol, "probeKeyedTable")
-    val keyRows = DriverBounded.collectCapped(
-      keys.select(col(keyCol)).distinct(), maxKeys,
-      s"probeKeyedTable: probe key set exceeds maxKeys $maxKeys (keys " +
-        "become planning-time point-lookup literals); split the batch " +
-        "or raise the bound deliberately")
-    val lits = keyRows.map(_.get(0)).toSeq
-    require(!lits.contains(null),
-      s"probeKeyedTable: null $keyCol in the probe key set — " +
-        "isin(literals) never matches null, so a null probe would " +
-        "silently come back absent; filter nulls (or treat them as " +
+      reliableCheckpoint: Boolean = false,
+      joinFormThreshold: Int = 1 << 16): DataFrame = {
+    val buckets = requireKeyBucketedTable(spark, table, keyCol,
+      "probeKeyedTable")
+    val distinctKeys = keys.select(col(keyCol)).distinct()
+    // form decision, driver-bounded by construction: fetch at most
+    // threshold+1 rows — never the whole key set
+    val headRows = distinctKeys.limit(joinFormThreshold + 1).collect()
+    if (headRows.length > joinFormThreshold)
+      probeKeyedTableViaJoin(spark, table, distinctKeys, keyCol,
+        buckets, reliableCheckpoint)
+    else {
+      val lits = headRows.map(_.get(0)).toSeq
+      require(lits.size <= maxKeys,
+        s"probeKeyedTable: probe key set exceeds maxKeys $maxKeys (keys " +
+          "become planning-time point-lookup literals); split the batch, " +
+          "raise the bound deliberately, or lower joinFormThreshold to " +
+          "take the join form")
+      require(!lits.contains(null),
+        s"probeKeyedTable: null $keyCol in the probe key set — " +
+          "isin(literals) never matches null, so a null probe would " +
+          "silently come back absent; filter nulls (or treat them as " +
+          "known-absent) at the caller, explicitly")
+      if (lits.isEmpty)
+        spark.table(table).limit(0).localCheckpoint(true)
+      else
+        compileAndPinBucketedScan(spark,
+          spark.table(table).filter(col(keyCol).isin(lits: _*)),
+          table, reliableCheckpoint, "probeKeyedTable")
+    }
+  }
+
+  /** The join form of [[probeKeyedTable]]: table left-semi-joined by
+    * the key frame repartitioned to the table's own bucketing. The
+    * bucketed scan is forced (same conf window as every other
+    * band-device compile) so it claims HashPartitioning(keyCol,
+    * buckets) and the join needs no table-side exchange; the executed
+    * plan is asserted to have NO shuffle above the table's scan —
+    * cost is one bucketed read of the table plus one batch-side
+    * shuffle, at any key count. */
+  private def probeKeyedTableViaJoin(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      distinctKeys: DataFrame, keyCol: String, buckets: Int,
+      reliable: Boolean): DataFrame = {
+    val nullProbe = distinctKeys.filter(col(keyCol).isNull)
+      .limit(1).collect()
+    require(nullProbe.isEmpty,
+      s"probeKeyedTable: null $keyCol in the probe key set — an " +
+        "equi-join never matches null, so a null probe would silently " +
+        "come back absent; filter nulls (or treat them as " +
         "known-absent) at the caller, explicitly")
-    if (lits.isEmpty)
-      spark.table(table).limit(0).localCheckpoint(true)
-    else
-      compileAndPinBucketedScan(spark,
-        spark.table(table).filter(col(keyCol).isin(lits: _*)),
-        table, reliableCheckpoint, "probeKeyedTable")
+    val joined = spark.table(table).join(
+      distinctKeys.repartition(buckets, col(keyCol)).hint("shuffle_hash"),
+      Seq(keyCol), "left_semi")
+    val out = bandConfLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try {
+        joined.queryExecution.executedPlan // compile inside the window
+        if (reliable) joined.checkpoint(true)
+        else joined.localCheckpoint(true)
+      } finally spark.conf.set(key, old)
+    }
+    // assert on the FINAL (post-AQE) plan: no shuffle may sit above
+    // the table's scan — if the forced bucketed scan was dropped at
+    // stage preparation, the table side would re-shuffle at corpus
+    // size, exactly the cost this form exists to avoid
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val nodes = graft.plans.PlanWalk
+      .flatten(joined.queryExecution.executedPlan)
+    val shuffledTableSide = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if graft.plans.PlanWalk.flatten(e.child).exists {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table == ident.table)
+            case _ => false
+          } => e
+    }
+    require(shuffledTableSide.isEmpty,
+      s"probeKeyedTable (join form): the executed plan shuffles the " +
+        s"table side of $table — the bucketed scan's partitioning " +
+        "claim was lost (stage-preparation rules dropped the forced " +
+        "bucketed scan?); the probe that just ran re-shuffled the " +
+        "table at corpus size")
+    out
   }
 
   /** Persist a corpus's content-fingerprint set as a key-bucketed

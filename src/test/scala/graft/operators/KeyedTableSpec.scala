@@ -286,6 +286,40 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(spark.table(scoreTbl).count() == 4)
   }
 
+  test("probe join form above the literal threshold: identical rows at the boundary, nulls refused") {
+    freshDb()
+    val tbl = "graft_keyed.spec_joinform"
+    val rows = (0 until 50).map(i => (s"k$i", i.toLong))
+    Dedup.buildKeyedTable(rows.toDF("k", "v"), "k", tbl, buckets = 4)
+    val wantKeys = (0 until 20).map(i => s"k${i * 2}")
+    val probeKeys = wantKeys.toDF("k")
+    val expect = rows.filter(r => wantKeys.contains(r._1)).toSet
+    def got(threshold: Int): Set[(String, Long)] =
+      Dedup.probeKeyedTable(spark, tbl, probeKeys, "k",
+          joinFormThreshold = threshold)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // threshold boundary: n == threshold stays on the literal form,
+    // n == threshold + 1 switches to the bucket-aligned join — the
+    // rows must be identical either side (the join form additionally
+    // self-asserts zero table-side exchange on its executed plan)
+    assert(got(20) == expect, "literal form at n == threshold")
+    assert(got(19) == expect, "join form at n == threshold + 1")
+    assert(got(1) == expect, "join form well past the threshold")
+    // a probe key absent from the table returns nothing, both forms
+    val misses = Seq("nope1", "nope2").toDF("k")
+    assert(Dedup.probeKeyedTable(spark, tbl, misses, "k",
+      joinFormThreshold = 1).collect().isEmpty)
+    // null keys refuse loudly in the join form too (an equi-join
+    // never matches null — the probe would silently come back absent)
+    val withNull = probeKeys.unionByName(Seq[String](null).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeKeyedTable(spark, tbl, withNull, "k",
+        joinFormThreshold = 3)
+    }
+    assert(e.getMessage.contains("null k in the probe key set"),
+      e.getMessage)
+  }
+
   test("indexed coverage guard names the score TABLE, not the frame argument") {
     freshDb()
     val filler = (0 until 30).map(i => s"w$i").mkString(" ")
