@@ -1128,6 +1128,7 @@ object TextOps {
         }
       val stream = s.readStream.schema(batchAll.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
+      val sliceNo = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
         val bs = b.sparkSession
         val keyed = b.select(col("doc_id"), md5(col("text")).as("__key"))
@@ -1141,6 +1142,19 @@ object TextOps {
         Dedup.appendToKeyedTable(probed, sinkTbl, "doc_id")
         Dedup.mergeBloomInto(bloomPath, keyed, "__key",
           mBits = 1 << 16, k = 3)
+        // compaction UNDER LIVE TRAFFIC, keyed grain (the d51 story at
+        // the point-lookup grain): after the second slice, rewrite the
+        // sink back to one file per bucket mid-stream — the remaining
+        // slice + replay then probe, append to, and finally read the
+        // COMPACTED table, and the gate's oracle must not move
+        if (sliceNo.incrementAndGet() == 2) {
+          val before = Dedup.bandIndexFileCount(bs, sinkTbl)
+          Dedup.compactKeyedTable(bs, sinkTbl, "doc_id")
+          val after = Dedup.bandIndexFileCount(bs, sinkTbl)
+          require(after > 0 && after <= 8 && after <= before,
+            s"w10: mid-stream keyed compaction must bound the sink to " +
+              s"one file per bucket (before=$before, after=$after)")
+        }
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0)
