@@ -302,9 +302,28 @@ object Pipeline {
   def webCurationFinish(clean: DataFrame, idCol: String,
       targetFilter: Column, ctxBuckets: Int = 1024,
       pairBuckets: Int = 16384, seqLen: Int = 512,
+      bucketSize: Long = 1L << 20): DataFrame =
+    webCurationFinishFromStats(clean, idCol,
+      TextAnalysis.localizeStats(TextAnalysis.lmStats(
+        clean.filter(targetFilter), "clean_text", ctxBuckets,
+        pairBuckets)),
+      ctxBuckets, pairBuckets, seqLen, bucketSize)
+
+  /** [[webCurationFinish]] with the LM stats artifact supplied by the
+    * caller instead of trained in place — the incremental-maintenance
+    * shape: a streamed ingest that writes each delivery's
+    * config-sized lmStats partial to a [[StatsStore]] hands the
+    * store's ROLLUP here, and the nightly finish pays a config-sized
+    * rollup read instead of re-scanning the accumulated clean corpus
+    * for training (the w14 gate; p14 proves the rollup drops into the
+    * scorer hash-identically to a one-shot artifact). `stats` must be
+    * localized ([[TextAnalysis.localizeStats]]) — the scorer joins it
+    * twice, and a lazy rollup would re-run its aggregation per
+    * join. */
+  def webCurationFinishFromStats(clean: DataFrame, idCol: String,
+      stats: DataFrame, ctxBuckets: Int = 1024,
+      pairBuckets: Int = 16384, seqLen: Int = 512,
       bucketSize: Long = 1L << 20): DataFrame = {
-    val stats = TextAnalysis.localizeStats(TextAnalysis.lmStats(
-      clean.filter(targetFilter), "clean_text", ctxBuckets, pairBuckets))
     val scores = TextAnalysis.lmPerplexity(clean, "clean_text", idCol,
       stats, ctxBuckets, pairBuckets)
     val bands = Sampling.scoreBandSplit(scores, "ppl_q", idCol)

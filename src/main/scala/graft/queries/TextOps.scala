@@ -1375,91 +1375,22 @@ object TextOps {
     // hashes idempotently; the corpus-global finish (LM score -> CCNet
     // selection -> pack) runs once the stream drains. Equal to the
     // one-shot p08 by construction — the oracle IS the p08 mirror.
-    "w09_stream_curation" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val loc = graft.sources.Scratch.dir("w09", d)
-      val planted = Tables.documents(s, d).withColumn("text",
-        when(col("doc_id") % 50 === 0,
-          concat(lit("subscribe to our newsletter\ncookie policy\n"),
-            col("text"))).otherwise(col("text")))
-        .select("doc_id", "text")
-      val n = planted.count()
-      val bounds = Seq(n / 4, n / 2, 3 * n / 4)
-      val slices = Seq(
-        planted.filter(col("doc_id") < bounds(0)),
-        planted.filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1)),
-        planted.filter(col("doc_id") >= bounds(1) && col("doc_id") < bounds(2)),
-        planted.filter(col("doc_id") >= bounds(2)))
-      val feed = s"$loc/feed"
-      new java.io.File(feed).mkdirs()
-      val mt0 = System.currentTimeMillis() - 3600000L
-      def writeSlice(df: DataFrame, name: String, mt: Long): Unit = {
-        val tmp = s"$loc/tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(s"$feed/$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(mt)
-        ()
-      }
-      slices.zipWithIndex.foreach { case (df, i) =>
-        writeSlice(df, s"slice-$i", mt0 + i * 60000L) }
-      writeSlice(slices(1), "slice-4-replay", mt0 + 4 * 60000L)
-      // the accumulating clean table and line-hash index are keyed
-      // tables (the d55 device): the strip probes the line index
-      // bucket-pruned by THIS slice's hashes — exactly the
-      // "persist the index bucketed on line_hash" production shape
-      // the stripDuplicatedLinesVsIndex scaladoc prescribes — and
-      // both accumulations are the keyed append's idempotence, so no
-      // corpus-sized frame is read per delivery
-      val sfx = new java.io.File(d).getName.replace('.', '_')
-      val cleanTbl = s"graft_keyed.w09c_$sfx"
-      val lineTbl = s"graft_keyed.w09l_$sfx"
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
-      Dedup.buildKeyedTable(planted.limit(0)
-          .select(col("doc_id"), col("text").as("clean_text")),
-        "doc_id", cleanTbl, buckets = 8)
-      Dedup.buildKeyedTable(planted.limit(0)
-          .select(md5(col("text")).as("line_hash")),
-        "line_hash", lineTbl, buckets = 8)
-      val stream = s.readStream.schema(planted.schema)
-        .option("maxFilesPerTrigger", 1).parquet(feed)
-      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
-        val bs = b.sparkSession
-        val kept = TextAnalysis.gopherQualityKept(b, "text")
-        val batchHashes = Dedup.lineHashes(kept, "text")
-          .localCheckpoint(true)
-        // the slice's seen-lines: a bucket-pruned point probe — only
-        // index entries matching THIS slice's hashes can strip, so
-        // the probed subset is semantics-preserving
-        val seen = Dedup.probeKeyedTable(bs, lineTbl, batchHashes,
-          "line_hash")
-        val stripped = Dedup.stripDuplicatedLinesVsIndex(
-          kept, "text", "doc_id", seen)
-        val untouched = kept
-          .join(stripped.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("text").as("clean_text"))
-        val clean = untouched.unionByName(
-          stripped.filter(col("clean_text") =!= "")
-            .select(col("doc_id"), col("clean_text")))
-        // idempotent accumulation via the keyed appends' bucket-pruned
-        // anti-joins (each persists + materializes before writing)
-        Dedup.appendToKeyedTable(clean, cleanTbl, "doc_id")
-        Dedup.appendToKeyedTable(batchHashes, lineTbl, "line_hash")
-        ()
-      }.trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val batches = q.recentProgress.count(_.numInputRows > 0)
-      require(batches == 5,
-        s"w09 expected 5 non-empty micro-batches (4 slices + replay), " +
-          s"saw $batches")
-      s.catalog.refreshTable(cleanTbl)
-      graft.operators.Pipeline.webCurationFinish(
-        s.table(cleanTbl), "doc_id", col("doc_id") % 97 === 0)
-    }),
+    "w09_stream_curation" -> ((s, d) =>
+      streamedWebCuration(s, d, "w09", maintainLmStats = false)),
+
+    // w09 with the corpus-global finish's LM TRAINING made incremental
+    // (w14): each micro-batch also writes the config-sized lmStats
+    // partial of its clean in-domain rows to a StatsStore keyed by the
+    // slice's content identity (the doc_id quartile — production's
+    // file/partition key), so the nightly finish pays one config-sized
+    // rollup read instead of re-scanning the accumulated clean corpus
+    // for training. Partials over the first-writer rows sum to exactly
+    // the one-shot training counts (slices are doc_id-disjoint; the
+    // replayed slice's write is absorbed at delivery grain), p14
+    // proves the rollup drops into the scorer hash-identically, and
+    // the oracle IS the unchanged p08 mirror.
+    "w14_stream_stats_curation" -> ((s, d) =>
+      streamedWebCuration(s, d, "w14", maintainLmStats = true)),
 
     // BPE-count sequence packing: the d37 encode's real token counts
     // feeding the d16 two-level prefix-sum packing — pack boundaries
@@ -1943,6 +1874,141 @@ object TextOps {
     * the w09 split between incremental ingest and the periodic
     * corpus-global finish, applied to the full modern stack. `s3`
     * must be checkpointed/materialized (both callers ensure it). */
+  /** The streamed web-curation flow shared by w09 and w14: four
+    * ascending-doc_id slices plus a replay of slice 1, each
+    * micro-batch running the Gopher gate and the incremental line
+    * dedup against the accumulated line-hash index, appending clean
+    * rows and new hashes idempotently (the d55 keyed-table device —
+    * no corpus-sized frame is read per delivery). With
+    * `maintainLmStats` (w14), each batch ALSO writes the config-sized
+    * lmStats partial of its clean in-domain rows to a [[StatsStore]]
+    * under the slice's content identity (its doc_id quartile —
+    * production's file/partition key; the streaming batchId would
+    * number a redelivered file as a fresh batch), and the
+    * corpus-global finish scores from the store's rollup instead of
+    * re-scanning the accumulated clean table for training. Equal to
+    * the one-shot p08 by construction either way — partials over
+    * first-writer rows sum to exactly the one-shot training counts
+    * because the slices are doc_id-disjoint and the replayed slice's
+    * write is absorbed at delivery grain. */
+  private def streamedWebCuration(s: SparkSession, d: String,
+      tag: String, maintainLmStats: Boolean): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val loc = graft.sources.Scratch.dir(tag, d)
+    val lmStore = s"$loc/lmstore"
+    val planted = Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") % 50 === 0,
+        concat(lit("subscribe to our newsletter\ncookie policy\n"),
+          col("text"))).otherwise(col("text")))
+      .select("doc_id", "text")
+    val n = planted.count()
+    val bounds = Seq(n / 4, n / 2, 3 * n / 4)
+    val slices = Seq(
+      planted.filter(col("doc_id") < bounds(0)),
+      planted.filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1)),
+      planted.filter(col("doc_id") >= bounds(1) && col("doc_id") < bounds(2)),
+      planted.filter(col("doc_id") >= bounds(2)))
+    val feed = s"$loc/feed"
+    new java.io.File(feed).mkdirs()
+    val mt0 = System.currentTimeMillis() - 3600000L
+    def writeSlice(df: DataFrame, name: String, mt: Long): Unit = {
+      val tmp = s"$loc/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$feed/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mt)
+      ()
+    }
+    slices.zipWithIndex.foreach { case (df, i) =>
+      writeSlice(df, s"slice-$i", mt0 + i * 60000L) }
+    writeSlice(slices(1), "slice-4-replay", mt0 + 4 * 60000L)
+    // the accumulating clean table and line-hash index are keyed
+    // tables (the d55 device): the strip probes the line index
+    // bucket-pruned by THIS slice's hashes — exactly the
+    // "persist the index bucketed on line_hash" production shape
+    // the stripDuplicatedLinesVsIndex scaladoc prescribes — and
+    // both accumulations are the keyed append's idempotence, so no
+    // corpus-sized frame is read per delivery
+    val sfx = new java.io.File(d).getName.replace('.', '_')
+    val cleanTbl = s"graft_keyed.${tag}c_$sfx"
+    val lineTbl = s"graft_keyed.${tag}l_$sfx"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_keyed")
+    Dedup.buildKeyedTable(planted.limit(0)
+        .select(col("doc_id"), col("text").as("clean_text")),
+      "doc_id", cleanTbl, buckets = 8)
+    Dedup.buildKeyedTable(planted.limit(0)
+        .select(md5(col("text")).as("line_hash")),
+      "line_hash", lineTbl, buckets = 8)
+    val stream = s.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
+      val bs = b.sparkSession
+      val kept = TextAnalysis.gopherQualityKept(b, "text")
+      val batchHashes = Dedup.lineHashes(kept, "text")
+        .localCheckpoint(true)
+      // the slice's seen-lines: a bucket-pruned point probe — only
+      // index entries matching THIS slice's hashes can strip, so
+      // the probed subset is semantics-preserving
+      val seen = Dedup.probeKeyedTable(bs, lineTbl, batchHashes,
+        "line_hash")
+      val stripped = Dedup.stripDuplicatedLinesVsIndex(
+        kept, "text", "doc_id", seen)
+      val untouched = kept
+        .join(stripped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text").as("clean_text"))
+      val clean = untouched.unionByName(
+        stripped.filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text")))
+      // idempotent accumulation via the keyed appends' bucket-pruned
+      // anti-joins (each persists + materializes before writing)
+      Dedup.appendToKeyedTable(clean, cleanTbl, "doc_id")
+      Dedup.appendToKeyedTable(batchHashes, lineTbl, "line_hash")
+      if (maintainLmStats) {
+        // content-keyed delivery identity: the slice's quartile class
+        val cls = graft.operators.DriverBounded.collectCapped(
+          b.select(when(col("doc_id") < bounds(0), 0)
+            .when(col("doc_id") < bounds(1), 1)
+            .when(col("doc_id") < bounds(2), 2)
+            .otherwise(3).as("s")).distinct(), 5,
+          s"$tag: slice classes exceed bound")
+        require(cls.length == 1,
+          s"$tag: each delivery must be one slice, saw ${cls.length}")
+        // the partial replans from the CHECKPOINTED probe rows (the
+        // w05 discipline), so the hash append above cannot bleed into
+        // this batch's own strip verdicts; a replayed slice is
+        // absorbed at delivery grain before the frame ever evaluates
+        graft.operators.StatsStore.writeDelivery(lmStore,
+          s"slice${cls(0).getInt(0)}",
+          TextAnalysis.lmStats(
+            clean.filter(col("doc_id") % 97 === 0), "clean_text",
+            ctxBuckets = 1024, pairBuckets = 16384))
+      }
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    require(batches == 5,
+      s"$tag expected 5 non-empty micro-batches (4 slices + replay), " +
+        s"saw $batches")
+    s.catalog.refreshTable(cleanTbl)
+    if (maintainLmStats) {
+      // fold the partials, then score from the ROLLUP — the finish
+      // never re-scans the clean corpus for training
+      graft.operators.StatsStore.compact(s, lmStore, Seq("kind", "bucket"))
+      val rolled = TextAnalysis.localizeStats(
+        graft.operators.StatsStore.readStats(s, lmStore,
+          Seq("kind", "bucket")))
+      graft.operators.Pipeline.webCurationFinishFromStats(
+        s.table(cleanTbl), "doc_id", rolled)
+    } else
+      graft.operators.Pipeline.webCurationFinish(
+        s.table(cleanTbl), "doc_id", col("doc_id") % 97 === 0)
+  }
+
   private def capstoneFinish(s: SparkSession, d: String,
       marked: DataFrame, s3: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -2298,9 +2364,15 @@ object TextOps {
     // prefix-decidable), and the corpus-global finish runs after the
     // stream drains — so the one-shot mirror is the oracle verbatim.
     "w09_stream_curation" -> webRecipeSql,
+
+    // w14: same flow with the finish's LM training maintained
+    // incrementally (per-slice lmStats partials rolled up by the
+    // StatsStore) — the rollup is count-identical to the one-shot
+    // training scan, so the mirror is again the p08 SQL verbatim.
+    "w14_stream_stats_curation" -> webRecipeSql,
   ) ++ oracleSqlRest
 
-  /** The p08/w09 shared one-shot mirror. */
+  /** The p08/w09/w14 shared one-shot mirror. */
   private def webRecipeSql: String =
       s"""WITH RECURSIVE pd AS (SELECT doc_id,
            CASE WHEN doc_id % 50 = 0 THEN
