@@ -1025,6 +1025,14 @@ object Dedup {
     * winner finds its candidates tombstoned and itself appended (both
     * appends anti-joined), a replayed loser loses again.
     *
+    * Per-delivery cost note: the tombstone side table is read twice
+    * per delivery (the verdict filter and the tombstone append's own
+    * anti-join). It is TOMBSTONE-grain — superseded docs awaiting the
+    * next [[compactBandIndex]], which truncates it — so the
+    * compaction CADENCE is what bounds those two reads, not the
+    * corpus; schedule compaction accordingly on high-supersede
+    * workloads.
+    *
     * Returns one row per batch doc:
     * (idCol, n_candidates, kept, n_superseded). */
   def ingestResolveNearDups(spark: org.apache.spark.sql.SparkSession,
