@@ -1224,46 +1224,90 @@ object Dedup {
   /** Idempotently append `batch` to a [[buildKeyedTable]] table at key
     * grain: at-least-once delivery, exactly-once table effect, FIRST
     * writer wins per key (a replayed batch — or a later batch carrying
-    * an already-indexed key — appends nothing for it). The idempotence
-    * check is bucket-pruned point lookups: the batch's keys enter the
-    * plan as literals (bounded by `maxKeys`, loud fail past it), so
-    * the probe opens only the batch's buckets — O(batch) per delivery.
-    * `batch` must be key-distinct (loud fail otherwise): two payloads
-    * for one key in a single delivery has no deterministic winner. */
+    * an already-indexed key — appends nothing for it). `batch` must be
+    * key-distinct and null-free on `keyCol` (loud fail otherwise: two
+    * payloads for one key in a single delivery has no deterministic
+    * winner, and a null key can never match the idempotence check so
+    * it would re-append on every redelivery).
+    *
+    * The idempotence check mirrors [[probeKeyedTable]]'s two forms:
+    * at micro-batch sizes (≤ `joinFormThreshold` distinct keys) it is
+    * bucket-pruned point lookups — the batch's keys enter the plan as
+    * literals (bounded by `maxKeys`, loud fail past it), the scan
+    * asserted to prune, so the check opens only the batch's buckets —
+    * and above the threshold (a backfill-sized delivery) it switches
+    * to the bucket-aligned join form with every validation pushed to
+    * the cluster: no driver hop, no literal plan, zero table-side
+    * exchange, and the same first-writer-wins effect. */
   def appendToKeyedTable(batch: DataFrame, table: String, keyCol: String,
-      maxKeys: Int = 1 << 20): Unit = {
+      maxKeys: Int = 1 << 20, joinFormThreshold: Int = 1 << 16): Unit = {
     val spark = batch.sparkSession
     val buckets = requireKeyBucketedTable(spark, table, keyCol,
       "appendToKeyedTable")
     val b = batch.persist()
     try {
-      val keyRows = DriverBounded.collectCapped(b.select(col(keyCol)),
-        maxKeys,
-        s"appendToKeyedTable: batch exceeds maxKeys $maxKeys (the " +
-          "batch's keys become planning-time point-lookup literals); " +
-          "split the batch or raise the bound deliberately")
-      val keys = keyRows.map(_.get(0)).toSeq
-      require(!keys.contains(null),
-        s"appendToKeyedTable: null $keyCol key in the batch — the " +
-          "idempotence anti-join never matches null, so a null-keyed " +
-          "row would re-append on every redelivery; filter or " +
-          "key-derive upstream")
-      require(keys.distinct.length == keys.length,
-        s"appendToKeyedTable: batch has duplicate $keyCol keys — the " +
-          "table is a key-indexed map and a within-batch duplicate has " +
-          "no deterministic winner; dedupe the batch upstream")
-      if (keys.nonEmpty) {
-        // the idempotence check is compiled and ASSERTED to
-        // bucket-prune exactly like a probe (and checkpointed, so the
-        // anti-join below derives from batch-proportional rows, never
-        // from the table the append is about to extend) — a plan that
-        // failed to prune would silently full-scan the table once per
-        // delivery
-        val existing = compileAndPinBucketedScan(spark,
-          spark.table(table).filter(col(keyCol).isin(keys: _*))
-            .select(col(keyCol)),
-          table, reliable = false, "appendToKeyedTable")
-        val fresh = b.join(existing, Seq(keyCol), "left_anti")
+      // form decision, driver-bounded by construction (the literal
+      // path re-uses these rows as its key list)
+      val headRows = b.select(col(keyCol))
+        .limit(joinFormThreshold + 1).collect()
+      val existing: Option[DataFrame] =
+        if (headRows.length > joinFormThreshold) {
+          // JOIN FORM: validations run distributed (limit(1) failure
+          // probes — driver-cheap), the existence check is the probe's
+          // bucket-aligned join, and nothing batch-sized ever lands on
+          // the driver
+          val nullKey = b.filter(col(keyCol).isNull).limit(1).collect()
+          require(nullKey.isEmpty,
+            s"appendToKeyedTable: null $keyCol key in the batch — the " +
+              "idempotence anti-join never matches null, so a " +
+              "null-keyed row would re-append on every redelivery; " +
+              "filter or key-derive upstream")
+          val dup = b.groupBy(col(keyCol))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .limit(1).collect()
+          require(dup.isEmpty,
+            s"appendToKeyedTable: batch has duplicate $keyCol keys " +
+              s"(e.g. ${dup.headOption.map(_.get(0)).getOrElse("")}) — " +
+              "the table is a key-indexed map and a within-batch " +
+              "duplicate has no deterministic winner; dedupe the batch " +
+              "upstream")
+          Some(probeKeyedTableViaJoin(spark, table,
+              b.select(col(keyCol)).distinct(), keyCol, buckets,
+              reliable = false)
+            .select(col(keyCol)))
+        } else {
+          val keys = headRows.map(_.get(0)).toSeq
+          require(keys.size <= maxKeys,
+            s"appendToKeyedTable: batch exceeds maxKeys $maxKeys (the " +
+              "batch's keys become planning-time point-lookup " +
+              "literals); split the batch, raise the bound " +
+              "deliberately, or lower joinFormThreshold to take the " +
+              "join form")
+          require(!keys.contains(null),
+            s"appendToKeyedTable: null $keyCol key in the batch — the " +
+              "idempotence anti-join never matches null, so a " +
+              "null-keyed row would re-append on every redelivery; " +
+              "filter or key-derive upstream")
+          require(keys.distinct.length == keys.length,
+            s"appendToKeyedTable: batch has duplicate $keyCol keys — " +
+              "the table is a key-indexed map and a within-batch " +
+              "duplicate has no deterministic winner; dedupe the batch " +
+              "upstream")
+          if (keys.isEmpty) None
+          else
+            // the idempotence check is compiled and ASSERTED to
+            // bucket-prune exactly like a probe (and checkpointed, so
+            // the anti-join below derives from batch-proportional
+            // rows, never from the table the append is about to
+            // extend) — a plan that failed to prune would silently
+            // full-scan the table once per delivery
+            Some(compileAndPinBucketedScan(spark,
+              spark.table(table).filter(col(keyCol).isin(keys: _*))
+                .select(col(keyCol)),
+              table, reliable = false, "appendToKeyedTable"))
+        }
+      existing.foreach { ex =>
+        val fresh = b.join(ex, Seq(keyCol), "left_anti")
         bandConfLock.synchronized {
           val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
           val old = spark.conf.get(key)

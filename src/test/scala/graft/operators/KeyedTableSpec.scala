@@ -320,6 +320,41 @@ class KeyedTableSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("append join form above the literal threshold: first writer still wins, validations distributed") {
+    freshDb()
+    val tbl = "graft_keyed.spec_joinform_append"
+    Dedup.buildKeyedTable(Seq(("k0", 0L)).toDF("k", "v"), "k", tbl,
+      buckets = 4)
+    val batch = (0 until 10).map(i => (s"k$i", i.toLong + 100))
+      .toDF("k", "v")
+    // 10 rows > threshold 5 -> the bucket-aligned join form; the
+    // pre-existing k0 must keep its first-writer payload
+    Dedup.appendToKeyedTable(batch, tbl, "k", joinFormThreshold = 5)
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size == 10 && got("k0") == 0L && got("k5") == 105L,
+      s"join-form append must anti-join existing keys, got $got")
+    // replay in the join form appends nothing
+    Dedup.appendToKeyedTable(batch, tbl, "k", joinFormThreshold = 5)
+    assert(spark.table(tbl).count() == 10)
+    // within-batch duplicates and null keys refuse loudly in the join
+    // form too (validated distributed — no driver hop)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.appendToKeyedTable(
+        Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("k", "v"), tbl, "k",
+        joinFormThreshold = 1)
+    }
+    assert(e1.getMessage.contains("duplicate k keys"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToKeyedTable(
+        Seq((null: String, 1L), ("z", 2L)).toDF("k", "v"), tbl, "k",
+        joinFormThreshold = 1)
+    }
+    assert(e2.getMessage.contains("null k key"), e2.getMessage)
+    // neither failed append mutated the table
+    assert(spark.table(tbl).count() == 10)
+  }
+
   test("indexed coverage guard names the score TABLE, not the frame argument") {
     freshDb()
     val filler = (0 until 30).map(i => s"w$i").mkString(" ")
