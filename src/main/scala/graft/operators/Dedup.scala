@@ -1410,16 +1410,21 @@ object Dedup {
     val joined = spark.table(table).join(
       distinctKeys.repartition(buckets, col(keyCol)).hint("shuffle_hash"),
       Seq(keyCol), "left_semi")
-    val out = bandConfLock.synchronized {
+    bandConfLock.synchronized {
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val old = spark.conf.get(key)
       spark.conf.set(key, "false")
-      try {
-        joined.queryExecution.executedPlan // compile inside the window
-        if (reliable) joined.checkpoint(true)
-        else joined.localCheckpoint(true)
-      } finally spark.conf.set(key, old)
+      // compile inside the window only — executedPlan is a cached
+      // lazy val on this QueryExecution, so the checkpoint below
+      // (OUTSIDE the lock, like compileAndPinBucketedScan) merely
+      // executes the already-compiled plan: concurrent appends never
+      // serialize behind this probe's execution
+      try { joined.queryExecution.executedPlan; () }
+      finally spark.conf.set(key, old)
     }
+    val out =
+      if (reliable) joined.checkpoint(true)
+      else joined.localCheckpoint(true)
     // assert on the FINAL (post-AQE) plan: no shuffle may sit above
     // the table's scan — if the forced bucketed scan was dropped at
     // stage preparation, the table side would re-shuffle at corpus
