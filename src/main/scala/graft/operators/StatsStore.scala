@@ -112,6 +112,13 @@ object StatsStore {
       .map(_.getPath.getName.stripPrefix("delivery_id="))
   }
 
+  /** Committed delivery partitions currently visible to readers — the
+    * observability hook mid-stream gates assert on: [[compact]] leaves
+    * exactly [[BasePartition]], a manifest-absorbed redelivery never
+    * reappears, and a crashed (uncommitted) write is not listed. */
+  def visibleDeliveryIds(spark: SparkSession, path: String): Seq[String] =
+    partitionIds(spark, path, committedOnly = true)
+
   /** Self-healing for a [[compact]] interrupted after its staged base
     * committed: the staged rollup supersedes exactly the manifest-
     * listed partitions it absorbed — delete those (deliveries that

@@ -1886,11 +1886,16 @@ object TextOps {
     * production's file/partition key; the streaming batchId would
     * number a redelivered file as a fresh batch), and the
     * corpus-global finish scores from the store's rollup instead of
-    * re-scanning the accumulated clean table for training. Equal to
-    * the one-shot p08 by construction either way — partials over
+    * re-scanning the accumulated clean table for training. The store
+    * is additionally compacted UNDER LIVE TRAFFIC after the third
+    * delivery — deliberately BEFORE the replay arrives, so the
+    * redelivery's partition marker is gone and only the `_absorbed`
+    * manifest can (and must) suppress it; the gate asserts the store
+    * holds exactly base + the post-compact delivery afterwards. Equal
+    * to the one-shot p08 by construction either way — partials over
     * first-writer rows sum to exactly the one-shot training counts
     * because the slices are doc_id-disjoint and the replayed slice's
-    * write is absorbed at delivery grain. */
+    * write is absorbed at delivery grain (marker or manifest). */
   private def streamedWebCuration(s: SparkSession, d: String,
       tag: String, maintainLmStats: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -1945,6 +1950,7 @@ object TextOps {
       "line_hash", lineTbl, buckets = 8)
     val stream = s.readStream.schema(planted.schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
+    val lmDeliveries = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
       val bs = b.sparkSession
       val kept = TextAnalysis.gopherQualityKept(b, "text")
@@ -1986,6 +1992,21 @@ object TextOps {
           TextAnalysis.lmStats(
             clean.filter(col("doc_id") % 97 === 0), "clean_text",
             ctxBuckets = 1024, pairBuckets = 16384))
+        // compact the store UNDER LIVE TRAFFIC after the third
+        // delivery — the production cadence, and the ordering the
+        // `_absorbed` manifest exists for: slice 1's partial is folded
+        // away BEFORE its replay arrives, so the redelivery must be
+        // absorbed at the manifest, not the (gone) partition marker
+        if (lmDeliveries.incrementAndGet() == 3) {
+          graft.operators.StatsStore.compact(bs, lmStore,
+            Seq("kind", "bucket"))
+          val visible = graft.operators.StatsStore
+            .visibleDeliveryIds(bs, lmStore).toSet
+          require(visible ==
+              Set(graft.operators.StatsStore.BasePartition),
+            s"$tag: mid-stream compact must fold the three delivered " +
+              s"partials into the base partition alone, saw $visible")
+        }
       }
       ()
     }.trigger(Trigger.AvailableNow()).start()
@@ -1996,6 +2017,17 @@ object TextOps {
         s"saw $batches")
     s.catalog.refreshTable(cleanTbl)
     if (maintainLmStats) {
+      // the replayed slice arrived AFTER the mid-stream compact folded
+      // its partition away: only the manifest could absorb it, and the
+      // store must show base + the one post-compact delivery — a
+      // re-written slice1 here means the redelivery double-counted
+      val postStream = graft.operators.StatsStore
+        .visibleDeliveryIds(s, lmStore).toSet
+      require(postStream ==
+          Set(graft.operators.StatsStore.BasePartition, "slice3"),
+        s"$tag: expected the compacted base plus slice3 only (the " +
+          s"replayed slice1 manifest-absorbed, never re-written), " +
+          s"saw $postStream")
       // fold the partials, then score from the ROLLUP — the finish
       // never re-scans the clean corpus for training
       graft.operators.StatsStore.compact(s, lmStore, Seq("kind", "bucket"))
