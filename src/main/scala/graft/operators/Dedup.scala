@@ -1170,16 +1170,25 @@ object Dedup {
   // plan as literals, the scan opens only their buckets (asserted,
   // like probeBandIndex), and delivery cost is O(batch) at any corpus
   // size. Same lifecycle as the band index: build / idempotent append
-  // / asserted-pruned probe (compaction via the band machinery is not
-  // needed at key grain — appends are anti-joined, so the table never
-  // holds duplicate keys and files stack only per delivery; rewrite
-  // with [[buildKeyedTable]] when file counts matter).
+  // / asserted-pruned probe / zero-shuffle compaction
+  // ([[compactKeyedTable]] — appends are anti-joined so there is
+  // never a duplicate key to resolve, but each delivery stacks its
+  // own file set and probe cost grows linearly in deliveries until
+  // the rewrite folds each bucket back to one file).
 
   /** Persist `df` as a catalog table bucketed by `keyCol`, one
     * task-aligned file per bucket. `df` must be key-distinct (one row
     * per key — the table is a key-indexed map, and [[probeKeyedTable]]
     * callers join its payload back at key grain); violations fail
-    * loudly rather than persisting an ambiguous map. */
+    * loudly rather than persisting an ambiguous map.
+    *
+    * Size `buckets` for the CORPUS, not the batch: the literal probe
+    * form prunes to the batch's buckets regardless, but the join form
+    * (a backfill-sized probe or append) inherits its parallelism from
+    * the table's bucket count — the key frame repartitions to exactly
+    * `buckets` partitions, so a 32-bucket table caps a billion-key
+    * backfill at 32 join tasks. At 100 TB build with thousands of
+    * buckets; the default 32 is the local-mode test shape. */
   def buildKeyedTable(df: DataFrame, keyCol: String, table: String,
       buckets: Int = 32): Unit = {
     val spark = df.sparkSession
