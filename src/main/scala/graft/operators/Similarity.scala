@@ -425,6 +425,25 @@ object Similarity {
 
   private val appendConfLock = new Object
 
+  /** Fold a [[buildIvfIndex]] table back to one file per bucket —
+    * the third grain of the compaction story (band index, keyed side
+    * table, IVF index): every [[appendToIvfIndex]] delivery writes
+    * its own task-aligned file set, so after N deliveries a probe's
+    * bucket scan opens N files per bucket and probe cost degrades
+    * linearly in DELIVERIES, not data. The index is cid-bucketed with
+    * MANY rows per cid (a partition of the corpus, not a keyed map),
+    * which the shared rewrite core does not care about: the rewrite
+    * is row-neutral identity, zero-shuffle (the forced bucketed scan
+    * claims the table's own partitioning, so each task reads one
+    * bucket's file sets and writes its one replacement file), swapped
+    * in via the never-zero-copies backup dance, idempotent, and
+    * self-healing at every band/keyed/IVF entry point. Single-writer,
+    * like every graft maintenance pass: run it BETWEEN deliveries
+    * (the w07 gate does, mid-stream), never concurrent with one. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Dedup.compactKeyedTable(spark, table, "cid")
+
   /** [[appendToIvfIndex]]'s idempotence join, exposed for plan pinning:
     * batch rows not yet in the index, via bucket-pruned point lookups
     * (the knnPqRefineIndexed pattern — the batch's keys become

@@ -134,11 +134,13 @@ object VectorOps {
     // Streaming IVF index maintenance, driver-verified end to end: the
     // index is built on HALF the corpus, the remainder streams through
     // readStream -> foreachBatch -> appendToIvfIndex in three
-    // micro-batch slices PLUS a replayed slice (at-least-once), and
-    // the PERSISTED table is probed — results must hash-match the
+    // micro-batch slices PLUS a replayed slice (at-least-once), with
+    // the index COMPACTED mid-stream after the second slice, and the
+    // PERSISTED table is probed — results must hash-match the
     // one-shot e02 oracle exactly: the streamed index equals the
-    // one-shot index, and the replay added nothing (the (cid, id)
-    // bucket-pruned idempotence check).
+    // one-shot index, the replay added nothing (the (cid, id)
+    // bucket-pruned idempotence check, probing INTO the compacted
+    // files), and the compaction moved no rows.
     "w07_ivf_stream_append" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val loc = graft.sources.Scratch.dir("w07", d)
@@ -173,10 +175,26 @@ object VectorOps {
         }
       val stream = s.readStream.schema(rest.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
+      val sliceNo = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
         Similarity.appendToIvfIndex(
           Similarity.withNorm(batch, "vec_id", "embedding"),
           tbl, cents, "vec_id", buckets = 4)
+        // compaction UNDER LIVE TRAFFIC at the IVF grain (the d51/w10
+        // story for the third artifact): after the second slice,
+        // rewrite the index back to one file per bucket mid-stream —
+        // slice 2 then appends AGAINST the compacted table, and the
+        // replayed slice's (cid, id) idempotence lookups must find
+        // slice 0's rows INSIDE the compacted files (append nothing)
+        if (sliceNo.incrementAndGet() == 2) {
+          val bs = batch.sparkSession
+          val before = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          Similarity.compactIvfIndex(bs, tbl)
+          val after = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          require(after > 0 && after <= 4 && after <= before,
+            s"w07: mid-stream IVF compaction must bound the index to " +
+              s"one file per bucket (before=$before, after=$after)")
+        }
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0)

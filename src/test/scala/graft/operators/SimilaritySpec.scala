@@ -451,4 +451,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed === oneShot)
     assert(probed.nonEmpty)
   }
+
+  test("compactIvfIndex: one file per bucket, row-neutral, probes unchanged, appends absorbed after") {
+    // the third grain of the compaction story: append deliveries stack
+    // file sets per bucket; the rewrite folds them back, moves no rows,
+    // and the (cid, id) idempotence lookups must find pre-compaction
+    // rows INSIDE the compacted files (a replay still appends nothing)
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_compact"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    val prefix = base.filter(col("vec_id") < 300)
+    val batch1 = base.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val batch2 = base.filter(col("vec_id") >= 400)
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(prefix, cents, "vec_id"), tbl, buckets = 4)
+    Similarity.appendToIvfIndex(batch1, tbl, cents, "vec_id", buckets = 4)
+    Similarity.appendToIvfIndex(batch2, tbl, cents, "vec_id", buckets = 4)
+    assert(Dedup.bandIndexFileCount(spark, tbl) > 4,
+      "three deliveries should stack file sets")
+    val rows = spark.table(tbl).count()
+    val before = Similarity.probeIvfIndex(spark, tbl,
+        col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Similarity.compactIvfIndex(spark, tbl)
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4,
+      "compaction must leave at most one file per bucket")
+    assert(spark.table(tbl).count() === rows,
+      "IVF compaction must be row-neutral")
+    val after = Similarity.probeIvfIndex(spark, tbl,
+        col("vec_id") < 5, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after === before && after.nonEmpty,
+      s"probes drifted across compaction")
+    // a replay against the COMPACTED table is still absorbed, and a
+    // genuinely new append still lands; compaction is idempotent
+    Similarity.appendToIvfIndex(batch1, tbl, cents, "vec_id", buckets = 4)
+    assert(spark.table(tbl).count() === rows,
+      "replayed batch must be absorbed by lookups into compacted files")
+    Similarity.compactIvfIndex(spark, tbl)
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4)
+    assert(spark.table(tbl).count() === rows)
+  }
 }
