@@ -360,10 +360,36 @@ object Similarity {
     assigned.sparkSession.catalog.refreshTable(table)
   }
 
-  /** Probe a persisted IVF index for one query vector set. */
+  /** Probe a persisted IVF index for one query vector set drawn FROM
+    * the index (query-by-id: `queryIds` selects index rows). External
+    * vectors — the serving path — go through
+    * [[probeIvfIndexExternal]]. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       queryIds: Column, idCol: String, k: Int): DataFrame =
     knnIvf(spark.table(table), queryIds, idCol, k)
+
+  /** Probe a persisted IVF index with EXTERNAL query vectors — the
+    * serving path: the queries are not (or need not be) in the index.
+    * `queries` is any [[withNorm]] projection keyed by `idCol`; each
+    * query is assigned to its max-cosine centroid against the SAME
+    * fixed codebook the index was built with (pass a different one and
+    * the probe silently scans the wrong buckets — the codebook is part
+    * of the index's identity, exactly like [[appendToIvfIndex]]), then
+    * ranked against that bucket's members only. Scale shape: the
+    * assignment is the zero-shuffle argmax and the probe side is
+    * broadcast, so the corpus is read once and never shuffled. An
+    * index row whose id equals a query id is excluded from that
+    * query's candidates (the knnIvf self-exclusion contract — it makes
+    * re-sending a known-corpus vector return its true neighbors, not
+    * itself); keep external id spaces disjoint from the corpus's. */
+  def probeIvfIndexExternal(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, centroids: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val q = assignToCentroids(queries, centroids, idCol)
+      .select(col(idCol).as("qid"), col("cid").as("qcid"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    knnProbe(spark.table(table), q, idCol, k)
+  }
 
   /** Incrementally extend a persisted [[buildIvfIndex]] table with new
     * vectors — the streaming half of index maintenance (wire a

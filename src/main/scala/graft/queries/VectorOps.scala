@@ -77,6 +77,27 @@ object VectorOps {
         prefixDims = 16, shortlist = 50)
     }),
 
+    // EXTERNAL-vector serving probe of a PERSISTED IVF index: the
+    // index holds ONLY vec_id >= NQ; the first NQ vectors play
+    // external queries — held OUT of the index and assigned to their
+    // centroid bucket at probe time against the same fixed codebook
+    // the index was built with. The path a deployed index actually
+    // serves (query vectors arrive from outside the corpus), which
+    // query-by-id probeIvfIndex cannot express.
+    "e13_knn_ivf_external" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val tbl = "graft_vecstore.e13_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildIvfIndex(
+        Similarity.assignToCentroids(
+          base.filter(col("vec_id") >= NQ), cents, "vec_id"),
+        tbl, buckets = 4)
+      Similarity.probeIvfIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K)
+    }),
+
     // Multi-probe sign-LSH ANN: each query also scans every Hamming-1
     // bucket, closing e03's boundary-recall gap (a bucket with < k
     // members no longer truncates the query's top-k).
@@ -390,6 +411,23 @@ object VectorOps {
          sims AS (SELECT q.qid, a.vec_id,
            list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
            FROM assigned a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    // e13: the e02 shape with the corpus/query SPLIT — the index side
+    // holds only vec_id >= NQ (the engine's persisted table), the
+    // query side the held-out first NQ, assigned against the same
+    // codebook (centroidsSql samples the full embeddings table in
+    // both engines — the codebook is configuration, not membership)
+    "e13_knn_ivf_external" ->
+      s"""WITH $ivfAssignCtes,
+         idx AS (SELECT vec_id, cid, v, nrm FROM assigned
+           WHERE vec_id >= $NQ),
+         q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
+           FROM assigned WHERE vec_id < $NQ),
+         sims AS (SELECT q.qid, a.vec_id,
+           list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
+           FROM idx a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",

@@ -452,6 +452,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("probeIvfIndexExternal: id-invariant serving probes; self-exclusion only on id collision") {
+    // the serving path: vectors from OUTSIDE the corpus probe the
+    // persisted index (value equality vs DuckDB is the e13 gate; this
+    // pins the API contract the gate cannot see)
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_external"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(base.filter(col("vec_id") >= 10), cents,
+        "vec_id"), tbl, buckets = 4)
+    val heldOut = base.filter(col("vec_id") < 10)
+    val got = Similarity.probeIvfIndexExternal(spark, tbl, heldOut, cents,
+        "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(q >= 0L && q < 10L)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks must be contiguous from 1")
+      assert(rs.forall(_._2 >= 10L),
+        s"query $q: neighbors must come from the index, not the queries")
+    }
+    // id-invariance: the same vectors under shifted external ids must
+    // return the same neighbor sets — the probe serves VECTORS, ids
+    // are just labels (no accidental coupling to the corpus id space)
+    val shifted = heldOut.withColumn("vec_id", col("vec_id") + 100000L)
+    val got2 = Similarity.probeIvfIndexExternal(spark, tbl, shifted, cents,
+        "vec_id", 3)
+      .collect().map(r => (r.getLong(0) - 100000L, r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got2 == got.toSet, "shifting external ids changed results")
+    // re-sending a KNOWN corpus vector: with its corpus id the index
+    // copy is excluded (true neighbors, not itself); with a fresh id
+    // its own copy returns at rank 1 (cosine 1 beats everything)
+    val known = base.filter(col("vec_id") === 42)
+    val ownId = Similarity.probeIvfIndexExternal(spark, tbl, known, cents,
+        "vec_id", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(!ownId.map(_._1).contains(42L),
+      "a query re-sent under its corpus id must not return itself")
+    val freshId = Similarity.probeIvfIndexExternal(spark, tbl,
+        known.withColumn("vec_id", lit(999999L)), cents, "vec_id", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(freshId.find(_._2 == 1).map(_._1).contains(42L),
+      s"an external copy of corpus vector 42 must rank it first, got " +
+        freshId.mkString(","))
+  }
+
   test("compactIvfIndex: one file per bucket, row-neutral, probes unchanged, appends absorbed after") {
     // the third grain of the compaction story: append deliveries stack
     // file sets per bucket; the rewrite folds them back, moves no rows,
