@@ -749,7 +749,7 @@ object Dedup {
     * the probe job. Concurrent same-session queries plan with their
     * own conf, and appendToBandIndex never serializes behind probe
     * execution. */
-  private def compileAndPinBucketedScan(
+  private[graft] def compileAndPinBucketedScan(
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       table: String, reliable: Boolean,
       context: String = "probeBandIndex"): DataFrame = {

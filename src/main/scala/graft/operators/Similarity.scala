@@ -375,20 +375,50 @@ object Similarity {
     * fixed codebook the index was built with (pass a different one and
     * the probe silently scans the wrong buckets — the codebook is part
     * of the index's identity, exactly like [[appendToIvfIndex]]), then
-    * ranked against that bucket's members only. Scale shape: the
-    * assignment is the zero-shuffle argmax and the probe side is
-    * broadcast, so the corpus is read once and never shuffled. An
-    * index row whose id equals a query id is excluded from that
-    * query's candidates (the knnIvf self-exclusion contract — it makes
-    * re-sending a known-corpus vector return its true neighbors, not
-    * itself); keep external id spaces disjoint from the corpus's. */
+    * ranked against that bucket's members only.
+    *
+    * Scale shape: the assignment is the zero-shuffle argmax, the probe
+    * side is broadcast, and the index scan BUCKET-PRUNES to the
+    * queries' centroid buckets — the probed cid set is collected
+    * (provably configuration-bounded: at most the codebook size, the
+    * maxCentroids contract) and re-enters the plan as literals, so
+    * probe cost is proportional to the PROBED buckets, never the
+    * index (the probeBandIndex device: compiled inside the conf
+    * window, `SelectedBucketsCount` asserted at compile time and on
+    * the executed plan, and the Q×k verdict rows eagerly checkpointed
+    * so derived plans never re-read the index). An index row whose id
+    * equals a query id is excluded from that query's candidates (the
+    * knnIvf self-exclusion contract — it makes re-sending a
+    * known-corpus vector return its true neighbors, not itself); keep
+    * external id spaces disjoint from the corpus's. */
   def probeIvfIndexExternal(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, centroids: DataFrame,
       idCol: String, k: Int): DataFrame = {
+    Dedup.requireKeyBucketedTable(spark, table, "cid",
+      "probeIvfIndexExternal")
+    // persisted: two consumers (the cid collect and the probe join) —
+    // the pruned buckets must be exactly the buckets the join's
+    // probe rows were assigned to, so the assignment runs once
     val q = assignToCentroids(queries, centroids, idCol)
       .select(col(idCol).as("qid"), col("cid").as("qcid"),
-        col("v").as("qv"), col("nrm").as("qn"))
-    knnProbe(spark.table(table), q, idCol, k)
+        col("v").as("qv"), col("nrm").as("qn")).persist()
+    try {
+      val cids = DriverBounded.collectCapped(
+        q.select(col("qcid")).distinct(), 1 << 16,
+        "probeIvfIndexExternal: probed centroid set exceeds 2^16 — " +
+          "the codebook is configuration-sized by the maxCentroids " +
+          "contract, so this is not a buildIvfIndex codebook")
+        .map(_.get(0)).toSeq
+      if (cids.isEmpty)
+        // no queries: nothing to probe, empty verdicts
+        knnProbe(spark.table(table).limit(0), q, idCol, k)
+          .localCheckpoint(true)
+      else
+        Dedup.compileAndPinBucketedScan(spark,
+          knnProbe(spark.table(table).filter(col("cid").isin(cids: _*)),
+            q, idCol, k),
+          table, reliable = false, "probeIvfIndexExternal")
+    } finally { q.unpersist(blocking = false); () }
   }
 
   /** Incrementally extend a persisted [[buildIvfIndex]] table with new
