@@ -805,9 +805,24 @@ object Similarity {
         s"shortlist exceeds maxCandidates $maxCandidates (a driver-side " +
         "collect + In-literal predicate); raise maxCandidates deliberately " +
         "or use the lazy knnMatryoshka for large batches")
+    matryoshkaShortlistRerank(spark, store, q, idCol, k, shortlist,
+      maxCandidates, "knnMatryoshkaIndexed")
+  }
+
+  /** The shared two-stage tail of [[knnMatryoshkaIndexed]] and
+    * [[probeVectorStoreExternal]]: prefix-cosine shortlist over the
+    * store's narrow (id, vt, nt) columns, Q×shortlist candidate hop
+    * (bounded, the serving contract), exact full-dimension rerank over
+    * In(id) point lookups that bucket-prune at planning time. `q`
+    * carries (qid, qv, qn, qvt, qnt) — from the store itself (the id
+    * form) or from an external frame (the serving form). */
+  private def matryoshkaShortlistRerank(
+      spark: org.apache.spark.sql.SparkSession, store: DataFrame,
+      q: DataFrame, idCol: String, k: Int, shortlist: Int,
+      maxCandidates: Int, context: String): DataFrame = {
     val cands = matryoshkaShortlistFrame(store, q, idCol, shortlist)
     val candRows = DriverBounded.collectCapped(cands, maxCandidates,
-      s"knnMatryoshkaIndexed: candidate pairs exceed maxCandidates $maxCandidates")
+      s"$context: candidate pairs exceed maxCandidates $maxCandidates")
     val ids = candRows.map(_.get(1)).distinct.toSeq
     val candsDf = spark.createDataFrame(
       java.util.Arrays.asList(candRows: _*), cands.schema)
@@ -820,6 +835,54 @@ object Similarity {
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Two-stage Matryoshka retrieval with EXTERNAL query vectors — the
+    * serving path for a [[buildVectorStore]] table with persisted
+    * prefix columns: the queries (any [[withNorm]] projection keyed by
+    * `idCol` — a query encoder's output, not store rows) are sliced to
+    * the STORE's own prefix width at probe time, prefix-cosine
+    * shortlisted against the narrow (id, vt, nt) scan, and exactly
+    * reranked over bucket-pruned In(id) point lookups — identical
+    * plan shape and bounds to [[knnMatryoshkaIndexed]], with the
+    * query side arriving from outside. The prefix width is read from
+    * the store itself (one limit(1) row), so a store built with a
+    * different `prefixDims` cannot silently mis-slice the queries. A
+    * store row whose id equals a query id is excluded from that
+    * query's candidates (the shortlist's self-exclusion contract);
+    * keep external id spaces disjoint from the store's. */
+  def probeVectorStoreExternal(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, k: Int,
+      shortlist: Int, maxCandidates: Int = 1 << 20): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank truncates")
+    graft.functions.GraftFunctions.register(spark)
+    val store = spark.table(table)
+    require(store.columns.contains("vt") && store.columns.contains("nt"),
+      s"probeVectorStoreExternal: $table has no persisted prefix " +
+        "columns — build the store with buildVectorStore(..., " +
+        "prefixDims = d)")
+    val prefixDims = store.select(size(col("vt"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(prefixDims > 0,
+      s"probeVectorStoreExternal: $table is empty — no prefix width " +
+        "to slice external queries to")
+    val maxQueries = maxCandidates / shortlist
+    require(maxQueries > 0,
+      s"probeVectorStoreExternal: shortlist $shortlist exceeds " +
+        s"maxCandidates $maxCandidates — even one query would overflow " +
+        "the candidate bound; raise maxCandidates deliberately")
+    val q = queries
+      .withColumn("qvt", slice(col("v"), 1, prefixDims))
+      .select(col(idCol).as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("qvt"),
+        sqrt(dot(col("qvt"), col("qvt"))).as("qnt"))
+    require(!DriverBounded.exceeds(q, maxQueries),
+      s"probeVectorStoreExternal: more than $maxQueries queries x " +
+        s"$shortlist shortlist exceeds maxCandidates $maxCandidates; " +
+        "raise maxCandidates deliberately or split the serving batch")
+    matryoshkaShortlistRerank(spark, store, q, idCol, k, shortlist,
+      maxCandidates, "probeVectorStoreExternal")
   }
 
   /** Two-stage retrieval against a persisted [[buildVectorStore]]

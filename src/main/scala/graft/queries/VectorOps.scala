@@ -98,6 +98,24 @@ object VectorOps {
         base.filter(col("vec_id") < NQ), cents, "vec_id", K)
     }),
 
+    // EXTERNAL-vector serving probe of the persisted Matryoshka
+    // vector store (the e13 story for the second index family): the
+    // store holds only vec_id >= NQ with 16-dim persisted prefix
+    // columns; the held-out first NQ arrive as external queries,
+    // sliced to the STORE's own prefix width at probe time,
+    // prefix-shortlisted against the narrow (id, vt, nt) scan, and
+    // exactly reranked over bucket-pruned In(id) point lookups.
+    "e14_knn_store_external" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val tbl = "graft_vecstore.e14_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildVectorStore(base.filter(col("vec_id") >= NQ),
+        "vec_id", tbl, buckets = 8, prefixDims = 16)
+      Similarity.probeVectorStoreExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), "vec_id", K, shortlist = 50)
+    }),
+
     // Multi-probe sign-LSH ANN: each query also scans every Hamming-1
     // bucket, closing e03's boundary-recall gap (a bucket with < k
     // members no longer truncates the query's top-k).
@@ -383,6 +401,32 @@ object VectorOps {
          t AS (SELECT q.qid, e2.vec_id, e2.v, e2.nrm, q.qv, q.qn,
              list_dot_product(e2.vt, q.qvt) / (e2.nt * q.qnt) AS tsim
            FROM e2 JOIN q ON e2.vec_id <> q.qid),
+         sl AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY tsim DESC, vec_id ASC) AS srank FROM t),
+         rr AS (SELECT qid, vec_id,
+             list_dot_product(v, qv) / (nrm * qn) AS sim
+           FROM sl WHERE srank <= 50),
+         ranked AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, vec_id ASC) AS rank FROM rr)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked
+         WHERE rank <= $K""",
+    // e14: the e12 shape with the corpus/query SPLIT — the store side
+    // holds only vec_id >= NQ (the engine's persisted prefix-column
+    // table), the query side the held-out first NQ, sliced to the
+    // same 16-dim prefix in both engines
+    "e14_knn_store_external" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm,
+           list_transform(embedding[1:16], x -> x::DOUBLE) AS vt
+           FROM embeddings),
+         e2 AS (SELECT vec_id, v, nrm, vt,
+           sqrt(list_dot_product(vt, vt)) AS nt FROM e),
+         st AS (SELECT vec_id, v, nrm, vt, nt FROM e2 WHERE vec_id >= $NQ),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
+           FROM e2 WHERE vec_id < $NQ),
+         t AS (SELECT q.qid, st.vec_id, st.v, st.nrm, q.qv, q.qn,
+             list_dot_product(st.vt, q.qvt) / (st.nt * q.qnt) AS tsim
+           FROM st JOIN q ON st.vec_id <> q.qid),
          sl AS (SELECT *, row_number() OVER (PARTITION BY qid
              ORDER BY tsim DESC, vec_id ASC) AS srank FROM t),
          rr AS (SELECT qid, vec_id,

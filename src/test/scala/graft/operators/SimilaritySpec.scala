@@ -500,6 +500,53 @@ class SimilaritySpec extends AnyFunSuite {
         freshId.mkString(","))
   }
 
+  test("probeVectorStoreExternal: serving probes slice to the store's prefix; refuses a prefixless store") {
+    // value equality vs DuckDB is the e14 gate; this pins the API
+    // contract: external ids are labels (shift-invariant), a re-sent
+    // known vector under a fresh id returns its own copy at rank 1,
+    // and the prefix width comes from the STORE (a mismatched
+    // prefixDims cannot silently mis-slice the queries)
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.store_external"
+    Similarity.buildVectorStore(base.filter(col("vec_id") >= 10),
+      "vec_id", tbl, buckets = 4, prefixDims = 16)
+    val heldOut = base.filter(col("vec_id") < 10)
+    val got = Similarity.probeVectorStoreExternal(spark, tbl, heldOut,
+        "vec_id", k = 3, shortlist = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(q >= 0L && q < 10L)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+      assert(rs.forall(_._2 >= 10L),
+        s"query $q: neighbors must come from the store")
+    }
+    val shifted = heldOut.withColumn("vec_id", col("vec_id") + 100000L)
+    val got2 = Similarity.probeVectorStoreExternal(spark, tbl, shifted,
+        "vec_id", k = 3, shortlist = 25)
+      .collect().map(r => (r.getLong(0) - 100000L, r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got2 == got.toSet, "shifting external ids changed results")
+    val known = base.filter(col("vec_id") === 42)
+      .withColumn("vec_id", lit(999999L))
+    val freshId = Similarity.probeVectorStoreExternal(spark, tbl, known,
+        "vec_id", k = 3, shortlist = 25)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(freshId.find(_._2 == 1).map(_._1).contains(42L),
+      s"an external copy of store vector 42 must rank it first, got " +
+        freshId.mkString(","))
+    // a store built WITHOUT prefix columns refuses loudly
+    val flat = "sim_idx.store_noprefix"
+    Similarity.buildVectorStore(base.filter(col("vec_id") >= 10),
+      "vec_id", flat, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeVectorStoreExternal(spark, flat, heldOut,
+        "vec_id", k = 3, shortlist = 25)
+    }
+    assert(e.getMessage.contains("no persisted prefix columns"),
+      e.getMessage)
+  }
+
   test("compactIvfIndex: one file per bucket, row-neutral, probes unchanged, appends absorbed after") {
     // the third grain of the compaction story: append deliveries stack
     // file sets per bucket; the rewrite folds them back, moves no rows,
