@@ -396,6 +396,20 @@ object Similarity {
       idCol: String, k: Int): DataFrame = {
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probeIvfIndexExternal")
+    // loud dim guard (see probeVectorStoreExternal): a wrong-width
+    // external query would null every similarity — both its centroid
+    // assignment and its in-bucket ranking — and silently return
+    // arbitrary "neighbors"; refuse before any job runs
+    val idxDim = spark.table(table).select(size(col("v")))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val badDim =
+      if (idxDim == 0) Array.empty[org.apache.spark.sql.Row]
+      else queries.filter(size(col("v")) =!= idxDim).limit(1).collect()
+    require(badDim.isEmpty,
+      s"probeIvfIndexExternal: an external query's vector width " +
+        s"differs from the index's ($idxDim) — its similarities would " +
+        "all be null and the returned neighbors meaningless; encode " +
+        "serving queries with the index's embedding dimension")
     // persisted: two consumers (the cid collect and the probe join) —
     // the pruned buckets must be exactly the buckets the join's
     // probe rows were assigned to, so the assignment runs once
@@ -862,11 +876,25 @@ object Similarity {
       s"probeVectorStoreExternal: $table has no persisted prefix " +
         "columns — build the store with buildVectorStore(..., " +
         "prefixDims = d)")
-    val prefixDims = store.select(size(col("vt"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    val head = store.select(size(col("vt")), size(col("v")))
+      .limit(1).collect()
+    val prefixDims = head.headOption.map(_.getInt(0)).getOrElse(0)
     require(prefixDims > 0,
       s"probeVectorStoreExternal: $table is empty — no prefix width " +
         "to slice external queries to")
+    val storeDim = head.head.getInt(1)
+    // loud dim guard: graft_dot yields NULL on mismatched lengths (the
+    // engine-wide zip_with convention — benign for a few bad CORPUS
+    // rows, which sink below every real similarity), but an external
+    // query of the wrong width would null EVERY candidate's similarity
+    // and silently return arbitrary "neighbors" ranked by tiebreak
+    val badDim = queries.filter(size(col("v")) =!= storeDim)
+      .limit(1).collect()
+    require(badDim.isEmpty,
+      s"probeVectorStoreExternal: an external query's vector width " +
+        s"differs from the store's ($storeDim) — its similarities " +
+        "would all be null and the returned neighbors meaningless; " +
+        "encode serving queries with the store's embedding dimension")
     val maxQueries = maxCandidates / shortlist
     require(maxQueries > 0,
       s"probeVectorStoreExternal: shortlist $shortlist exceeds " +

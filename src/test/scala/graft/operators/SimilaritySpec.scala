@@ -498,6 +498,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(freshId.find(_._2 == 1).map(_._1).contains(42L),
       s"an external copy of corpus vector 42 must rank it first, got " +
         freshId.mkString(","))
+    // a wrong-width serving query refuses loudly instead of returning
+    // all-null-similarity garbage (graft_dot nulls mismatched lengths)
+    val narrow = heldOut.withColumn("v", slice(col("v"), 1, 8))
+    val ed = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexExternal(spark, tbl, narrow, cents,
+        "vec_id", 3)
+    }
+    assert(ed.getMessage.contains("vector width"), ed.getMessage)
   }
 
   test("probeVectorStoreExternal: serving probes slice to the store's prefix; refuses a prefixless store") {
@@ -545,6 +553,14 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no persisted prefix columns"),
       e.getMessage)
+    // a wrong-width serving query refuses loudly instead of returning
+    // all-null-similarity garbage (graft_dot nulls mismatched lengths)
+    val narrow = heldOut.withColumn("v", slice(col("v"), 1, 8))
+    val ed = intercept[IllegalArgumentException] {
+      Similarity.probeVectorStoreExternal(spark, tbl, narrow,
+        "vec_id", k = 3, shortlist = 25)
+    }
+    assert(ed.getMessage.contains("vector width"), ed.getMessage)
   }
 
   test("compactIvfIndex: one file per bucket, row-neutral, probes unchanged, appends absorbed after") {
