@@ -697,22 +697,36 @@ object Dedup {
           table, reliable = false, "appendToBandIndex")
       val fresh = bandedDf.join(existing, Seq(idCol), "left_anti")
         .select(col(idCol), col("band"))
-      bandConfLock.synchronized {
-        val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        val old = spark.conf.get(key)
-        spark.conf.set(key, "false")
-        try {
-          fresh.repartition(buckets, col("band")).write
-            .bucketBy(buckets, "band")
-            .mode("append")
-            .saveAsTable(table)
-        } finally spark.conf.set(key, old)
+      withAutoBucketedScanOff(spark) {
+        fresh.repartition(buckets, col("band")).write
+          .bucketBy(buckets, "band")
+          .mode("append")
+          .saveAsTable(table)
       }
     } finally release()
     spark.catalog.refreshTable(table)
   }
 
   private val bandConfLock = new Object
+
+  /** Run `body` with the session-global auto-bucketed-scan heuristic
+    * OFF, under the ONE process lock every conf window in the engine
+    * shares (band probes/appends, keyed probes/appends, compactions,
+    * and the IVF index's append — Similarity routes through here).
+    * The flip is session-global, so two concurrent windows on
+    * DIFFERENT locks could interleave save/flip/restore and leave the
+    * heuristic permanently flipped (or spuriously fail a probe's
+    * pruning assert); one shared lock serializes all of them.
+    * Reentrant (JVM monitor), so a window already holding
+    * [[bandConfLock]] — the compaction swap — can nest it. */
+  private[graft] def withAutoBucketedScanOff[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T =
+    bandConfLock.synchronized {
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, old)
+    }
 
   /** Shared probe/append scaffolding: the batch banded once (persisted
     * — the collected literals must be the exact rows the joins later
@@ -753,18 +767,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       table: String, reliable: Boolean,
       context: String = "probeBandIndex"): DataFrame = {
-    bandConfLock.synchronized {
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try {
-        val executed = df.queryExecution.executedPlan.toString
-        require(executed.contains("SelectedBucketsCount"),
-          s"$context: the scan of $table did not bucket-prune — " +
-            "the table must be bucketed by its probe key (a " +
-            "buildBandIndex/buildKeyedTable product); refusing to run " +
-            "a full-index-scan probe")
-      } finally spark.conf.set(key, old)
+    withAutoBucketedScanOff(spark) {
+      val executed = df.queryExecution.executedPlan.toString
+      require(executed.contains("SelectedBucketsCount"),
+        s"$context: the scan of $table did not bucket-prune — " +
+          "the table must be bucketed by its probe key (a " +
+          "buildBandIndex/buildKeyedTable product); refusing to run " +
+          "a full-index-scan probe")
     }
     val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // Re-assert on the FINAL plan, post-execution: the compile-time
@@ -944,6 +953,15 @@ object Dedup {
     Similarity.dropTableAndLocation(spark, backup)
     bandConfLock.synchronized {
       val rows = transform(spark.table(table))
+      // the rewrite is METADATA-preserving too: the live table's sort
+      // spec (the vector store sorts within buckets for single-file
+      // point lookups) and its graft.* serving stamps (index width,
+      // codebook fingerprint — Similarity.stampTableProps) must
+      // survive the staging swap, or a compact would silently strip
+      // the layout/identity guarantees the probes assert on
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val sortCols = meta.bucketSpec.map(_.sortColumnNames).getOrElse(Nil)
+      val graftProps = meta.properties.filter(_._1.startsWith("graft."))
       // Force the bucketed scan for the rewrite: the scan then claims
       // HashPartitioning(bucketCol, buckets), the repartition below
       // elides, and each task reads ONE bucket's file sets and writes
@@ -954,14 +972,16 @@ object Dedup {
       // partitioning, and the write tasks hold arbitrary bucket
       // mixtures — compaction would then GROW the file count it
       // exists to bound.
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try {
-        rows.repartition(buckets, col(bucketCol))
+      withAutoBucketedScanOff(spark) {
+        val bucketed = rows.repartition(buckets, col(bucketCol))
           .write.bucketBy(buckets, bucketCol)
-          .mode("overwrite").saveAsTable(staging)
-      } finally spark.conf.set(key, old)
+        val writer =
+          if (sortCols.isEmpty) bucketed
+          else bucketed.sortBy(sortCols.head, sortCols.tail: _*)
+        writer.mode("overwrite").saveAsTable(staging)
+      }
+      if (graftProps.nonEmpty)
+        Similarity.stampTableProps(spark, staging, graftProps)
       // backup dance (never zero copies): live→backup, stage→live,
       // drop backup. A crash between the renames strands the data
       // under the backup name; restoreInterruptedSwap renames it back
@@ -1317,16 +1337,11 @@ object Dedup {
         }
       existing.foreach { ex =>
         val fresh = b.join(ex, Seq(keyCol), "left_anti")
-        bandConfLock.synchronized {
-          val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-          val old = spark.conf.get(key)
-          spark.conf.set(key, "false")
-          try {
-            fresh.repartition(buckets, col(keyCol)).write
-              .bucketBy(buckets, keyCol)
-              .mode("append")
-              .saveAsTable(table)
-          } finally spark.conf.set(key, old)
+        withAutoBucketedScanOff(spark) {
+          fresh.repartition(buckets, col(keyCol)).write
+            .bucketBy(buckets, keyCol)
+            .mode("append")
+            .saveAsTable(table)
         }
         spark.catalog.refreshTable(table)
       }
@@ -1419,18 +1434,12 @@ object Dedup {
     val joined = spark.table(table).join(
       distinctKeys.repartition(buckets, col(keyCol)).hint("shuffle_hash"),
       Seq(keyCol), "left_semi")
-    bandConfLock.synchronized {
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      // compile inside the window only — executedPlan is a cached
-      // lazy val on this QueryExecution, so the checkpoint below
-      // (OUTSIDE the lock, like compileAndPinBucketedScan) merely
-      // executes the already-compiled plan: concurrent appends never
-      // serialize behind this probe's execution
-      try { joined.queryExecution.executedPlan; () }
-      finally spark.conf.set(key, old)
-    }
+    // compile inside the window only — executedPlan is a cached
+    // lazy val on this QueryExecution, so the checkpoint below
+    // (OUTSIDE the lock, like compileAndPinBucketedScan) merely
+    // executes the already-compiled plan: concurrent appends never
+    // serialize behind this probe's execution
+    withAutoBucketedScanOff(spark) { joined.queryExecution.executedPlan; () }
     val out =
       if (reliable) joined.checkpoint(true)
       else joined.localCheckpoint(true)

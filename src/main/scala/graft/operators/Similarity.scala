@@ -346,18 +346,113 @@ object Similarity {
     }
   }
 
+  /** Serving-guard table properties, stamped at build/append time so
+    * external probes read index identity from CATALOG METADATA (one
+    * driver call, no Spark job) instead of paying a scheduler
+    * round-trip per guard — the high-QPS serving shape. A table built
+    * before the properties existed still probes correctly: every
+    * reader keeps a distributed fallback. */
+  private[graft] val DimProp = "graft.dim"
+  private[graft] val PrefixDimsProp = "graft.prefix_dims"
+  private[graft] val CodebookProp = "graft.codebook_md5"
+  private[graft] val PqMProp = "graft.pq_m"
+
+  /** One graft serving property off the catalog — a driver-side
+    * metadata read, never a Spark job. */
+  private[graft] def tableProp(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String): Option[String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.get(key)
+
+  /** Stamp graft serving metadata onto `table`. Idempotent; appends
+    * never clear TBLPROPERTIES, and [[Dedup.compactKeyedTable]]'s
+    * staging swap copies `graft.*` keys across, so a stamp survives
+    * the table's whole maintenance lifecycle. */
+  private[graft] def stampTableProps(spark: org.apache.spark.sql.SparkSession,
+      table: String, props: Map[String, String]): Unit = {
+    require(props.nonEmpty && props.forall { case (k, v) =>
+      k.startsWith("graft.") && !v.contains("'") })
+    val kvs = props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kvs)")
+    ()
+  }
+
+  /** Canonical identity of a centroid codebook: md5 over the id-ordered
+    * (id, exact float bits) serialization, plus the codebook's single
+    * vector width. The fingerprint is what makes "the codebook is part
+    * of the index's identity" ENFORCEABLE: build/append stamp it as a
+    * table property, and a later append or serving probe handing a
+    * different codebook — retrained, truncated, or simply the wrong
+    * variable — fails loudly instead of silently scanning the wrong
+    * buckets. Float bits (not decimal rendering) so two codebooks
+    * differing below print precision still differ here. */
+  private[graft] def codebookFingerprint(centroids: DataFrame,
+      idCol: String, maxCentroids: Int = 4096): (String, Int) = {
+    val rows = DriverBounded.collectCapped(
+      centroids.select(col(idCol), col("v")).orderBy(col(idCol)),
+      maxCentroids,
+      s"codebookFingerprint: centroid set exceeds maxCentroids " +
+        s"$maxCentroids — centroids are configuration, not data")
+    require(rows.nonEmpty, "codebookFingerprint: empty centroid set")
+    val widths = rows.map { r =>
+      require(!r.isNullAt(1),
+        s"codebookFingerprint: centroid ${r.get(0)} has a null vector")
+      r.getSeq[Float](1).length
+    }.distinct
+    require(widths.length == 1,
+      s"codebookFingerprint: centroids carry mixed vector widths " +
+        s"${widths.sorted.mkString(",")} — not one codebook")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      md.update(String.valueOf(r.get(0)).getBytes("UTF-8"))
+      md.update(':'.toByte)
+      r.getSeq[Float](1).foreach { x =>
+        val bits = java.lang.Float.floatToIntBits(x)
+        md.update(Array[Byte]((bits >>> 24).toByte, (bits >>> 16).toByte,
+          (bits >>> 8).toByte, bits.toByte))
+      }
+      md.update(';'.toByte)
+    }
+    (md.digest().map("%02x".format(_)).mkString, widths.head)
+  }
+
+  /** The vector width stored in a table's serving properties, falling
+    * back to a null-safe one-row scan for tables stamped before the
+    * property existed (0 when the table is empty of usable vectors —
+    * callers decide whether that is loud). */
+  private[graft] def storedDim(spark: org.apache.spark.sql.SparkSession,
+      table: String, vecCol: String): Int =
+    tableProp(spark, table, DimProp).map(_.toInt).getOrElse {
+      spark.table(table).select(size(col(vecCol)))
+        .filter(col(vecCol).isNotNull).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    }
+
   /** Persist centroid assignments as a catalog table bucketed by
     * centroid id — the 100 TB serving shape: probes become scans of one
-    * bucket with no shuffle on the corpus side. */
+    * bucket with no shuffle on the corpus side. Stamps the vector width
+    * as a serving property ([[DimProp]]); the codebook fingerprint is
+    * stamped by the first [[appendToIvfIndex]]/verified by
+    * [[probeIvfIndexExternal]] (they receive the centroids; this build
+    * sees only the assignment). */
   def buildIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit = {
-    dropTableAndLocation(assigned.sparkSession, table)
+    val spark = assigned.sparkSession
+    dropTableAndLocation(spark, table)
     // task-aligned to buckets (same hash family): one file per bucket
     // instead of one per (task x bucket) — see RawVault.writeTable
     assigned.repartition(buckets, col("cid")).write
       .bucketBy(buckets, "cid")
       .mode("overwrite")
       .saveAsTable(table)
-    assigned.sparkSession.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table)
+    // stamp the width once at build (one tiny job against the table
+    // just written) so every later serving probe reads it off the
+    // catalog instead of scheduling a job per call
+    val dim = spark.table(table).select(size(col("v")))
+      .filter(col("v").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim > 0) stampTableProps(spark, table, Map(DimProp -> dim.toString))
   }
 
   /** Probe a persisted IVF index for one query vector set drawn FROM
@@ -393,18 +488,51 @@ object Similarity {
     * external id spaces disjoint from the corpus's. */
   def probeIvfIndexExternal(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, centroids: DataFrame,
-      idCol: String, k: Int): DataFrame = {
+      idCol: String, k: Int, maxQueries: Int = 1 << 20): DataFrame = {
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probeIvfIndexExternal")
-    // loud dim guard (see probeVectorStoreExternal): a wrong-width
-    // external query would null every similarity — both its centroid
-    // assignment and its in-bucket ranking — and silently return
-    // arbitrary "neighbors"; refuse before any job runs
-    val idxDim = spark.table(table).select(size(col("v")))
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val badDim =
-      if (idxDim == 0) Array.empty[org.apache.spark.sql.Row]
-      else queries.filter(size(col("v")) =!= idxDim).limit(1).collect()
+    // the serving batch is broadcast as the probe side and its cid set
+    // becomes pruning literals — both bounded by contract, so an
+    // oversized batch fails HERE with direction, not with a broadcast
+    // OOM mid-job (the probeVectorStoreExternal bound, same shape)
+    require(!DriverBounded.exceeds(queries, maxQueries),
+      s"probeIvfIndexExternal: more than $maxQueries external queries " +
+        "in one probe (the probe side broadcasts and its centroid set " +
+        "becomes planning-time literals); split the serving batch or " +
+        "raise maxQueries deliberately")
+    // codebook identity guard: the centroids handed to a probe MUST be
+    // the codebook the index was built/appended with — a different one
+    // assigns queries to buckets the corpus was never partitioned by,
+    // and the probe silently scans the wrong buckets. The fingerprint
+    // collect also yields the codebook's width, closing the remaining
+    // silent corner: a query that matches the INDEX width but not the
+    // CENTROIDS' would be dropped by assignToCentroids and return no
+    // rows with no error.
+    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    tableProp(spark, table, CodebookProp).foreach { stamped =>
+      require(stamped == fp,
+        s"probeIvfIndexExternal: the centroid codebook passed to this " +
+          s"probe (md5 $fp) is not the one $table was built with " +
+          s"(md5 $stamped) — the codebook is part of the index's " +
+          "identity; probing with another would scan the wrong buckets")
+    }
+    // loud dim guards: width off the catalog stamp (no job) when
+    // present, one null-safe row otherwise; an EMPTY unstamped index
+    // has no width to validate against and refuses rather than
+    // returning silently-empty verdicts for any query width
+    val idxDim = storedDim(spark, table, "v")
+    require(idxDim > 0,
+      s"probeIvfIndexExternal: $table is empty and carries no " +
+        s"$DimProp property — no index width to validate serving " +
+        "queries against; build or append before probing")
+    require(centDim == idxDim,
+      s"probeIvfIndexExternal: the centroid codebook's width " +
+        s"($centDim) differs from the index's ($idxDim) — not the " +
+        "codebook this index was partitioned by")
+    // a wrong-width external query would null every similarity — both
+    // its centroid assignment and its in-bucket ranking — and silently
+    // return arbitrary "neighbors"; refuse before the probe job runs
+    val badDim = queries.filter(size(col("v")) =!= idxDim).limit(1).collect()
     require(badDim.isEmpty,
       s"probeIvfIndexExternal: an external query's vector width " +
         s"differs from the index's ($idxDim) — its similarities would " +
@@ -463,6 +591,32 @@ object Similarity {
       centroids: DataFrame, idCol: String, buckets: Int = 32,
       maxBatchIds: Int = 1 << 20): Unit = {
     val spark = batch.sparkSession
+    // codebook identity: the first append stamps the codebook's
+    // fingerprint (build cannot — it sees only the assignment); every
+    // later append and serving probe must hand the SAME codebook, or
+    // the index's geometry would drift mid-stream — new rows
+    // partitioned by one set of centroids, probes pruned by another
+    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    tableProp(spark, table, CodebookProp) match {
+      case Some(stamped) =>
+        require(stamped == fp,
+          s"appendToIvfIndex: the centroid codebook passed to this " +
+            s"append (md5 $fp) is not the one $table is partitioned " +
+            s"by (md5 $stamped) — appending under a different codebook " +
+            "drifts the index geometry mid-stream; retraining is a " +
+            "batch buildIvfIndex rebuild")
+      case None =>
+        stampTableProps(spark, table, Map(CodebookProp -> fp,
+          DimProp -> centDim.toString))
+    }
+    // and the codebook's width must be the index's: a narrower
+    // codebook would assign (and admit) narrower batch vectors into a
+    // wider index, poisoning every later probe's similarities
+    val idxDim = storedDim(spark, table, "v")
+    require(idxDim == 0 || idxDim == centDim,
+      s"appendToIvfIndex: the centroid codebook's width ($centDim) " +
+        s"differs from the index's ($idxDim) — batch rows admitted " +
+        "under it would carry the wrong vector width")
     val (fresh, release) = freshIndexRows(batch, table, centroids, idCol,
       maxBatchIds)
     try {
@@ -474,26 +628,22 @@ object Similarity {
       // the check reads every bucket (measured). Here the bucket
       // layout's value IS the pruning; one task per selected bucket is
       // exactly the right execution for a point lookup. The conf flip
-      // is session-global, so the plan-execute-restore window holds a
-      // process lock: concurrent appends on one session serialize
-      // (micro-batches are short) instead of racing the save/restore
-      // into a permanently-flipped heuristic.
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      appendConfLock.synchronized {
-        val old = spark.conf.get(key)
-        spark.conf.set(key, "false")
-        try {
-          fresh.repartition(buckets, col("cid")).write
-            .bucketBy(buckets, "cid")
-            .mode("append")
-            .saveAsTable(table)
-        } finally spark.conf.set(key, old)
+      // is session-global and serializes on the engine's ONE shared
+      // conf lock (Dedup.withAutoBucketedScanOff): a serving probe's
+      // compile window (probeIvfIndexExternal →
+      // compileAndPinBucketedScan) concurrent with this append can
+      // then never interleave save/flip/restore on the same key —
+      // which would spuriously fail the probe's pruning assert or
+      // leave the heuristic flipped session-wide.
+      Dedup.withAutoBucketedScanOff(spark) {
+        fresh.repartition(buckets, col("cid")).write
+          .bucketBy(buckets, "cid")
+          .mode("append")
+          .saveAsTable(table)
       }
     } finally release()
     spark.catalog.refreshTable(table)
   }
-
-  private val appendConfLock = new Object
 
   /** Fold a [[buildIvfIndex]] table back to one file per bucket —
     * the third grain of the compaction story (band index, keyed side
@@ -763,8 +913,133 @@ object Similarity {
       .sortBy(idCol)
       .mode("overwrite")
       .saveAsTable(table)
-    base.sparkSession.catalog.refreshTable(table)
+    val spark = base.sparkSession
+    spark.catalog.refreshTable(table)
+    // serving stamps: the full width (one tiny job at build time) and
+    // the prefix width (a build parameter — no job at all), so
+    // probeVectorStoreExternal's guards are catalog reads per call
+    val dim = spark.table(table).select(size(col("v")))
+      .filter(col("v").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val props: Map[String, String] =
+      (if (dim > 0) Map(DimProp -> dim.toString)
+       else Map.empty[String, String]) ++
+      (if (prefixDims > 0) Map(PrefixDimsProp -> prefixDims.toString)
+       else Map.empty[String, String])
+    if (props.nonEmpty) stampTableProps(spark, table, props)
   }
+
+  /** Incrementally extend a persisted [[buildVectorStore]] table with
+    * new vectors — the store's streaming half, completing the
+    * append/probe/compact lifecycle the band index, keyed tables, and
+    * IVF index already have (wire a readStream through
+    * `CdcStream.foreachBatchLoader(s)(b => appendToVectorStore(…))`).
+    * Each batch (a [[withNorm]] projection keyed by `idCol`)
+    * recomputes the store's persisted prefix columns at the STORE's
+    * own stamped width — read from the catalog ([[PrefixDimsProp]]),
+    * so a batch can never mis-slice against a store built with a
+    * different `prefixDims` — is anti-joined on id against the
+    * current table so micro-batch replays are idempotent
+    * (at-least-once delivery → exactly-once table effect), and
+    * appends task-aligned AND bucket-sorted with the existing layout.
+    *
+    * Scale shape (the [[appendToIvfIndex]] device at the id grain):
+    * the idempotence check is bucket-pruned POINT LOOKUPS — the
+    * batch's ids are bounded (`maxBatchIds`, loud fail past it) and
+    * re-enter the plan as literals, so the store scan opens only the
+    * batch's buckets (SelectedBucketsCount, plan-pinned) with the id
+    * filter pushed to parquet, and the anti-join broadcasts
+    * batch-sized sides — per-delivery cost is O(batch) at any store
+    * size. Batch vectors must match the store's stamped width
+    * ([[DimProp]]): a mismatched row would null every similarity it
+    * later appears in, so the append refuses loudly up front. */
+  def appendToVectorStore(batch: DataFrame, table: String, idCol: String,
+      maxBatchIds: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = Dedup.requireKeyBucketedTable(spark, table, idCol,
+      "appendToVectorStore")
+    val dim = storedDim(spark, table, "v")
+    if (dim > 0) {
+      val bad = batch.filter(size(col("v")) =!= dim).limit(1).collect()
+      require(bad.isEmpty,
+        s"appendToVectorStore: a batch vector's width differs from the " +
+          s"store's ($dim) — an appended wrong-width row would null " +
+          "every similarity it later appears in; encode the batch with " +
+          "the store's embedding dimension")
+    }
+    val prefixDims = tableProp(spark, table, PrefixDimsProp).map(_.toInt)
+      .getOrElse {
+        // a store built before the stamp existed: one null-safe row
+        if (spark.table(table).columns.contains("vt"))
+          spark.table(table).select(size(col("vt")))
+            .filter(col("vt").isNotNull).limit(1).collect()
+            .headOption.map(_.getInt(0)).getOrElse(0)
+        else 0
+      }
+    require(prefixDims > 0 || !spark.table(table).columns.contains("vt"),
+      s"appendToVectorStore: $table has prefix columns but no " +
+        s"readable prefix width (empty store without a $PrefixDimsProp " +
+        "stamp) — rebuild with buildVectorStore to stamp it")
+    // one row per id within the batch (an at-least-once source can
+    // redeliver inside a single micro-batch; multiple VERSIONS of an
+    // id must resolve latest-wins upstream — the freshIndexRows
+    // contract), persisted: two consumers (the id collect and the
+    // append's anti-join) and the collected literals must be exactly
+    // the rows the join filters
+    val projected0 = batch.dropDuplicates(Seq(idCol))
+    val projected = (if (prefixDims > 0)
+        projected0.withColumn("vt", slice(col("v"), 1, prefixDims))
+          .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+      else projected0).persist()
+    try {
+      val ids = DriverBounded.collectCapped(
+        projected.select(col(idCol)), maxBatchIds,
+        s"appendToVectorStore: micro-batch exceeds maxBatchIds " +
+          s"$maxBatchIds (the batch's ids become planning-time " +
+          "point-lookup literals); split the batch or raise the bound " +
+          "deliberately")
+        .map(_.get(0)).toSeq
+      require(!ids.contains(null),
+        s"appendToVectorStore: null $idCol in the batch — the " +
+          "idempotence anti-join never matches null, so a null-keyed " +
+          "row would re-append on every redelivery; filter or " +
+          "key-derive upstream")
+      if (ids.nonEmpty) {
+        val existing = Dedup.compileAndPinBucketedScan(spark,
+          spark.table(table).filter(col(idCol).isin(ids: _*))
+            .select(col(idCol)),
+          table, reliable = false, "appendToVectorStore")
+        val fresh = projected.join(existing, Seq(idCol), "left_anti")
+          .select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+        Dedup.withAutoBucketedScanOff(spark) {
+          fresh.repartition(buckets, col(idCol)).write
+            .bucketBy(buckets, idCol)
+            .sortBy(idCol)
+            .mode("append")
+            .saveAsTable(table)
+        }
+        spark.catalog.refreshTable(table)
+      }
+    } finally { projected.unpersist(blocking = false); () }
+  }
+
+  /** Fold a [[buildVectorStore]] table back to one sorted file per
+    * bucket — the fourth and final grain of the compaction story
+    * (band index, keyed table, IVF index, vector store): every
+    * [[appendToVectorStore]] delivery writes its own task-aligned
+    * file set, so after N deliveries an In(id) point lookup opens N
+    * files per probed bucket and rerank cost degrades linearly in
+    * DELIVERIES, not data. The shared zero-shuffle rewrite core
+    * preserves the store's within-bucket SORT spec and its graft.*
+    * serving stamps across the staging swap (both read from the live
+    * catalog), keeps the never-zero-copies backup dance, and is
+    * idempotent and self-healing at every entry point. Single-writer:
+    * run it BETWEEN deliveries (the w15 gate does, mid-stream), never
+    * concurrent with one. */
+  def compactVectorStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String): Unit =
+    Dedup.compactKeyedTable(spark, table, idCol)
 
   /** [[knnMatryoshkaIndexed]]'s stage 1 as a frame, factored so the
     * plan pin can assert the store scan reads (id, vt, nt) ONLY —
@@ -876,13 +1151,28 @@ object Similarity {
       s"probeVectorStoreExternal: $table has no persisted prefix " +
         "columns — build the store with buildVectorStore(..., " +
         "prefixDims = d)")
-    val head = store.select(size(col("vt")), size(col("v")))
-      .limit(1).collect()
-    val prefixDims = head.headOption.map(_.getInt(0)).getOrElse(0)
+    // prefix and full widths off the catalog stamps (no job) when
+    // present — the serving fast path; one null-safe row otherwise
+    // (a store built before the properties existed)
+    val stampedPrefix = tableProp(spark, table, PrefixDimsProp).map(_.toInt)
+    val stampedDim = tableProp(spark, table, DimProp).map(_.toInt)
+    val head =
+      if (stampedPrefix.isDefined && stampedDim.isDefined) Array.empty[org.apache.spark.sql.Row]
+      else store.select(size(col("vt")), size(col("v")))
+        .filter(col("vt").isNotNull && col("v").isNotNull)
+        .limit(1).collect()
+    val prefixDims = stampedPrefix
+      .orElse(head.headOption.map(_.getInt(0))).getOrElse(0)
     require(prefixDims > 0,
-      s"probeVectorStoreExternal: $table is empty — no prefix width " +
-        "to slice external queries to")
-    val storeDim = head.head.getInt(1)
+      s"probeVectorStoreExternal: $table is empty and carries no " +
+        s"$PrefixDimsProp property — no prefix width to slice external " +
+        "queries to")
+    val storeDim = stampedDim
+      .orElse(head.headOption.map(_.getInt(1))).getOrElse(0)
+    require(storeDim > 0,
+      s"probeVectorStoreExternal: $table is empty and carries no " +
+        s"$DimProp property — no store width to validate serving " +
+        "queries against")
     // loud dim guard: graft_dot yields NULL on mismatched lengths (the
     // engine-wide zip_with convention — benign for a few bad CORPUS
     // rows, which sink below every real similarity), but an external
@@ -971,6 +1261,163 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("neighbor_id"), col("rank"))
+  }
+
+  /** The side table holding a [[buildPqIndex]] index's PQ codebooks. */
+  private[graft] def pqCodebookTable(table: String): String =
+    table + "__codebook"
+
+  /** Persist a PQ-encoded, centroid-assigned corpus as the SERVING
+    * index pair — the memory-light production ANN layout made
+    * persistent (the per-run [[pqEncode]]/[[knnIvfPq]] path rebuilds
+    * codebooks and codes on every call): `table` holds (idCol, cid,
+    * pq_code) bucketed by cid — M ints per vector instead of dim
+    * floats, and probes bucket-prune to the queries' centroid set —
+    * and `table__codebook` holds the config-sized PQ codebooks as
+    * (m, k, cw) rows, so a serving probe reconstructs the EXACT
+    * quantizer from the catalog with the training corpus nowhere in
+    * sight. The centroid codebook's fingerprint is stamped as a table
+    * property ([[CodebookProp]]) — it is not persisted as data (it
+    * arrives with every probe), so the stamp is what makes handing a
+    * different one loud. `encodedAssigned` = [[pqEncode]] over an
+    * [[assignToCentroids]] frame; `centroids` the codebook it was
+    * assigned with. */
+  def buildPqIndex(encodedAssigned: DataFrame, idCol: String,
+      table: String, codebooks: Seq[Seq[Array[Float]]],
+      centroids: DataFrame, buckets: Int = 32): Unit = {
+    val spark = encodedAssigned.sparkSession
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "buildPqIndex: empty PQ codebooks")
+    dropTableAndLocation(spark, table)
+    dropTableAndLocation(spark, pqCodebookTable(table))
+    encodedAssigned.select(col(idCol), col("cid"), col("pq_code"))
+      .repartition(buckets, col("cid")).write
+      .bucketBy(buckets, "cid")
+      .mode("overwrite")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    import spark.implicits._
+    val cbRows = for {
+      (cws, m) <- codebooks.zipWithIndex
+      (cw, k) <- cws.zipWithIndex
+    } yield (m, k, cw.toSeq)
+    cbRows.toDF("m", "k", "cw").coalesce(1).write
+      .mode("overwrite").saveAsTable(pqCodebookTable(table))
+    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    val dim = codebooks.size * codebooks.head.head.length
+    require(centDim == dim,
+      s"buildPqIndex: the centroid codebook's width ($centDim) differs " +
+        s"from the PQ codebooks' reconstruction width ($dim) — not the " +
+        "geometry this index encodes")
+    stampTableProps(spark, table, Map(
+      DimProp -> dim.toString,
+      PqMProp -> codebooks.size.toString,
+      CodebookProp -> fp))
+  }
+
+  /** Reconstruct a [[buildPqIndex]] index's persisted PQ codebooks —
+    * the config-sized driver read a serving probe pays per call
+    * (M × K rows; cache at the caller for a high-QPS loop). Validates
+    * the (m, k) grid is dense and the subspace widths uniform, so a
+    * hand-edited codebook table fails loudly instead of mis-decoding
+    * every ADC score. */
+  private[graft] def loadPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Seq[Array[Float]]] = {
+    val cbt = pqCodebookTable(table)
+    val rows = DriverBounded.collectCapped(
+      spark.table(cbt).select(col("m"), col("k"), col("cw"))
+        .orderBy(col("m"), col("k")),
+      1 << 20,
+      s"loadPqCodebooks: $cbt exceeds 2^20 rows — PQ codebooks are " +
+        "configuration-sized (M x K) by the pqTrainSampled contract")
+    require(rows.nonEmpty, s"loadPqCodebooks: $cbt is empty — not a " +
+      "buildPqIndex product")
+    val m = rows.map(_.getInt(0)).max + 1
+    val grouped = rows.groupBy(_.getInt(0))
+    val cbs = (0 until m).map { mi =>
+      val g = grouped.getOrElse(mi, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getInt(1))
+      require(g.nonEmpty && g.map(_.getInt(1)).toSeq == (0 until g.length),
+        s"loadPqCodebooks: $cbt subspace $mi has a sparse codeword " +
+          "grid — not a buildPqIndex product")
+      g.map(_.getSeq[Float](2).toArray).toSeq
+    }
+    val widths = cbs.flatMap(_.map(_.length)).distinct
+    require(widths.length == 1,
+      s"loadPqCodebooks: $cbt carries mixed subspace widths " +
+        s"${widths.sorted.mkString(",")}")
+    require(cbs.map(_.length).distinct.length == 1,
+      s"loadPqCodebooks: $cbt carries mixed codeword counts per subspace")
+    cbs
+  }
+
+  /** Probe a persisted [[buildPqIndex]] serving index with EXTERNAL
+    * query vectors — the e13/e14 serving device applied to the IVF-PQ
+    * family: each query is assigned to its max-cosine centroid against
+    * the index's fingerprint-verified codebook, its ADC table is
+    * computed from the PERSISTED PQ codebooks (the exact quantizer the
+    * codes were written with — reconstructed from the catalog, no
+    * training corpus involved), and the codes scan BUCKET-PRUNES to
+    * the queries' centroid set (SelectedBucketsCount asserted at
+    * compile time and on the executed plan, verdicts checkpointed).
+    * Probe cost ∝ probed buckets × M ints per candidate — both scale
+    * levers, served. Approximate by construction (PQ ADC ranking);
+    * ranks carry the total (approx_sim DESC, id ASC) tiebreak. An
+    * index row whose id equals a query id is excluded (the knnIvfPq
+    * self-exclusion contract); keep external id spaces disjoint. */
+  def probePqIndexExternal(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, centroids: DataFrame,
+      idCol: String, k: Int, maxQueries: Int = 1 << 20): DataFrame = {
+    Dedup.requireKeyBucketedTable(spark, table, "cid",
+      "probePqIndexExternal")
+    require(!DriverBounded.exceeds(queries, maxQueries),
+      s"probePqIndexExternal: more than $maxQueries external queries " +
+        "in one probe (the ADC-table probe side broadcasts at Q x M x K " +
+        "doubles and its centroid set becomes planning-time literals); " +
+        "split the serving batch or raise maxQueries deliberately")
+    val codebooks = loadPqCodebooks(spark, table)
+    val m = codebooks.size
+    val dim = m * codebooks.head.head.length
+    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    tableProp(spark, table, CodebookProp).foreach { stamped =>
+      require(stamped == fp,
+        s"probePqIndexExternal: the centroid codebook passed to this " +
+          s"probe (md5 $fp) is not the one $table was built with " +
+          s"(md5 $stamped) — probing with another would scan the wrong " +
+          "buckets")
+    }
+    require(centDim == dim,
+      s"probePqIndexExternal: the centroid codebook's width ($centDim) " +
+        s"differs from the index's PQ reconstruction width ($dim) — " +
+        "not this index's geometry")
+    val badDim = queries.filter(size(col("v")) =!= dim).limit(1).collect()
+    require(badDim.isEmpty,
+      s"probePqIndexExternal: an external query's vector width differs " +
+        s"from the index's ($dim) — its ADC table would be meaningless; " +
+        "encode serving queries with the index's embedding dimension")
+    // persisted: two consumers (the cid collect and the probe join) —
+    // the pruned buckets must be exactly the buckets the probe rows
+    // were assigned to
+    val q = assignToCentroids(queries, centroids, idCol)
+      .select(col(idCol).as("qid"), col("cid").as("qcid"),
+        pqQueryTable(col("v"), codebooks).as("qtab")).persist()
+    try {
+      val cids = DriverBounded.collectCapped(
+        q.select(col("qcid")).distinct(), 1 << 16,
+        "probePqIndexExternal: probed centroid set exceeds 2^16 — " +
+          "the codebook is configuration-sized by the maxCentroids " +
+          "contract, so this is not a buildPqIndex codebook")
+        .map(_.get(0)).toSeq
+      if (cids.isEmpty)
+        pqRank(spark.table(table).limit(0), q, idCol, m, k,
+          col("cid") === col("qcid")).localCheckpoint(true)
+      else
+        Dedup.compileAndPinBucketedScan(spark,
+          pqRank(spark.table(table).filter(col("cid").isin(cids: _*)),
+            q, idCol, m, k, col("cid") === col("qcid")),
+          table, reliable = false, "probePqIndexExternal")
+    } finally { q.unpersist(blocking = false); () }
   }
 
   /** Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank — the

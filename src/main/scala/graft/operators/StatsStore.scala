@@ -41,7 +41,20 @@ import org.apache.spark.sql.functions._
   * crashed write is invisible until its redelivery heals it, never
   * summed partially and never absorbed into the manifest (absorption
   * would suppress the healing redelivery: permanent silent loss).
-  * Single-writer, like every graft maintenance pass. */
+  *
+  * Concurrency: writers of DISTINCT delivery ids touch disjoint
+  * immutable partition directories and are safe in PARALLEL
+  * (production ingests shards concurrently), and readers racing them
+  * see whole-delivery snapshots with monotone visibility — both
+  * pinned on real threads by StatsStoreConcurrencySpec. [[compact]]
+  * stays single-writer, like every graft maintenance rewrite (it
+  * deletes the partitions it absorbs); run it between deliveries.
+  * Delivery ids must be CONTENT-derived (a residue class, a source
+  * file name, a business date — the w13 pattern), never a streaming
+  * batchId: Structured Streaming renumbers a redelivered file as a
+  * fresh batch, so a batchId-keyed delivery would double-count the
+  * replay this store exists to absorb (see
+  * [[graft.streaming.CdcStream.foreachBatchLoader]]). */
 object StatsStore {
 
   /** The compacted partition's delivery id. */
@@ -249,6 +262,18 @@ object StatsStore {
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     // the rollup is config-sized by grain (the localizeStats
     // discipline): materialize it BEFORE any delete
+    //
+    // ORDERING INVARIANT — the manifest append below deliberately
+    // precedes the staged base's commit: a crash between them leaves
+    // the manifest listing still-LIVE committed partitions, which is
+    // benign (readStats sums each live partition once; a redelivery
+    // of a listed-but-live id is a no-op because its partition is
+    // committed; the next compact re-rolls and re-lists it, deduped
+    // by the manifest read's distinct()). The REVERSE order opens a
+    // real hole: a base committed before its absorbed ids are
+    // manifest-listed would double-count every absorbed delivery that
+    // replays after the crash — completeInterruptedCompact deletes
+    // only manifest-listed partitions, so do not "fix" this ordering.
     val rolled = TextAnalysis.localizeStats(readStats(spark, path, keyCols))
     import spark.implicits._
     ids.filter(_ != BasePartition).toDF("delivery_id")

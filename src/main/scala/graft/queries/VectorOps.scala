@@ -116,6 +116,85 @@ object VectorOps {
         base.filter(col("vec_id") < NQ), "vec_id", K, shortlist = 50)
     }),
 
+    // Streaming Matryoshka-store maintenance, driver-verified end to
+    // end — the w07 story for the vector store, completing the fourth
+    // persisted-artifact lifecycle: the store is built on the EVEN
+    // half of the corpus (vec_id >= NQ only — the e14 serving split),
+    // the odd half streams through readStream -> foreachBatch ->
+    // appendToVectorStore in three micro-batch slices PLUS a replayed
+    // slice (at-least-once), with the store COMPACTED mid-stream after
+    // the second slice, and the PERSISTED table is served EXTERNAL
+    // queries — results must hash-match the one-shot e14 oracle
+    // exactly: the streamed store equals the one-shot store (prefix
+    // columns recomputed per batch at the store's own stamped width),
+    // the replay added nothing (the In(id) bucket-pruned idempotence
+    // check, probing INTO the compacted files), and the compaction
+    // moved no rows and kept the sort spec + serving stamps.
+    "w15_store_stream_append" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w15", d)
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val corpus = base.filter(col("vec_id") >= NQ)
+      val tbl = "graft_vecstore.w15_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildVectorStore(corpus.filter(col("vec_id") % 2 === 0),
+        "vec_id", tbl, buckets = 8, prefixDims = 16)
+      // the odd half as three id-sliced files + slice 0 redelivered
+      val rest = Tables.embeddings(s, d)
+        .filter(col("vec_id") >= NQ && col("vec_id") % 2 === 1)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0, 1, 2).map(i => (rest.filter(col("vec_id") % 3 === i), s"slice-$i"))
+        :+ (rest.filter(col("vec_id") % 3 === 0), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val sliceNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        Similarity.appendToVectorStore(
+          Similarity.withNorm(batch, "vec_id", "embedding"),
+          tbl, "vec_id")
+        // compaction UNDER LIVE TRAFFIC at the store grain: after the
+        // second slice, rewrite back to one sorted file per bucket
+        // mid-stream — slice 2 then appends AGAINST the compacted
+        // table, and the replayed slice's In(id) idempotence lookups
+        // must find slice 0's rows INSIDE the compacted files
+        if (sliceNo.incrementAndGet() == 2) {
+          val bs = batch.sparkSession
+          val before = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          Similarity.compactVectorStore(bs, tbl, "vec_id")
+          val after = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          require(after > 0 && after <= 8 && after <= before,
+            s"w15: mid-stream store compaction must bound the store to " +
+              s"one file per bucket (before=$before, after=$after)")
+          // and the serving stamps must survive the staging swap
+          require(Similarity.tableProp(bs, tbl,
+              Similarity.PrefixDimsProp).contains("16"),
+            "w15: the compaction swap dropped the store's prefix-width " +
+              "serving stamp")
+        }
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w15 expected 4 non-empty micro-batches (3 slices + replay), saw $batches")
+      Similarity.probeVectorStoreExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), "vec_id", K, shortlist = 50)
+    }),
+
     // Multi-probe sign-LSH ANN: each query also scans every Hamming-1
     // bucket, closing e03's boundary-recall gap (a bucket with < k
     // members no longer truncates the query's top-k).
@@ -149,6 +228,30 @@ object VectorOps {
       val encoded = Similarity.pqEncode(assigned, "vec_id", cb)
       Similarity.knnIvfPq(encoded, encoded.filter(col("vec_id") < NQ),
         "vec_id", cb, K)
+    }),
+
+    // Persisted IVF-PQ SERVING index: codes (M ints per vector) and
+    // PQ codebooks persist at build time — the memory-light production
+    // ANN family, served; the held-out first NQ arrive as external
+    // queries, ADC tables computed from the PERSISTED codebooks (the
+    // exact quantizer reconstructed from the catalog), centroid
+    // assignment against the fingerprint-verified codebook, and the
+    // codes scan bucket-pruned to the queries' centroid set.
+    "e15_knn_pq_external" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
+      val assigned = Similarity.assignToCentroids(
+        base.filter(col("vec_id") >= NQ), cents, "vec_id")
+      val tbl = "graft_vecstore.e15_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildPqIndex(Similarity.pqEncode(assigned, "vec_id", cb),
+        "vec_id", tbl, cb, cents, buckets = 4)
+      Similarity.probePqIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K)
     }),
 
     // Two-stage retrieval: PQ ADC shortlist (25) -> exact cosine
@@ -376,6 +479,81 @@ object VectorOps {
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)"""
 
+  /** The external-serving store oracle shared by e14 (one-shot build)
+    * and w15 (streamed build with replay + mid-stream compact): the
+    * e12 shape with the corpus/query SPLIT — the store side holds only
+    * vec_id >= NQ, the query side the held-out first NQ, sliced to the
+    * same 16-dim prefix in both engines. One definition so the
+    * streamed store is pinned to EXACTLY the one-shot result. */
+  private def storeExternalOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm,
+           list_transform(embedding[1:16], x -> x::DOUBLE) AS vt
+           FROM embeddings),
+         e2 AS (SELECT vec_id, v, nrm, vt,
+           sqrt(list_dot_product(vt, vt)) AS nt FROM e),
+         st AS (SELECT vec_id, v, nrm, vt, nt FROM e2 WHERE vec_id >= $NQ),
+         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
+           FROM e2 WHERE vec_id < $NQ),
+         t AS (SELECT q.qid, st.vec_id, st.v, st.nrm, q.qv, q.qn,
+             list_dot_product(st.vt, q.qvt) / (st.nt * q.qnt) AS tsim
+           FROM st JOIN q ON st.vec_id <> q.qid),
+         sl AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY tsim DESC, vec_id ASC) AS srank FROM t),
+         rr AS (SELECT qid, vec_id,
+             list_dot_product(v, qv) / (nrm * qn) AS sim
+           FROM sl WHERE srank <= 50),
+         ranked AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, vec_id ASC) AS rank FROM rr)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked
+         WHERE rank <= $K"""
+
+  /** The IVF-PQ ADC oracle shared by e06 (self-probe, no filter) and
+    * e15 (persisted serving index: `idxFilter` restricts the codes
+    * side to the index membership). Sampled codebooks, L2-argmin
+    * encode, centroid-bucket match, fixed-order ADC summation. */
+  private def ivfPqOracleSql(idxFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v,
+           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn
+           FROM $centroidsSql),
+         assigned AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, cent.cid, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.centv) / (e.nrm * cent.cn) DESC,
+                     cent.cid ASC) AS arn
+           FROM e CROSS JOIN cent) WHERE arn = 1),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, cv FROM (
+           SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 = 0
+           ORDER BY vec_id LIMIT $PqK)),
+         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+         dists AS (SELECT e.vec_id, s.m, c.k,
+           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
+           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
+           FROM e CROSS JOIN sub s CROSS JOIN c),
+         code AS (SELECT vec_id, m, k - 1 AS code FROM (
+           SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+           FROM dists) WHERE rn = 1),
+         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
+           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
+             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
+           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
+         approx AS (SELECT qt.qid, cd.vec_id,
+           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
+             .mkString(" + ")} AS asim
+           FROM code cd
+           JOIN assigned a ON a.vec_id = cd.vec_id
+           JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1 AND cd.vec_id <> qt.qid
+           JOIN assigned qa ON qa.vec_id = qt.qid AND qa.cid = a.cid
+           $idxFilter
+           GROUP BY 1, 2),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K"""
+
   def oracleSql: Map[String, String] = Map(
     "e01_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
@@ -414,28 +592,11 @@ object VectorOps {
     // holds only vec_id >= NQ (the engine's persisted prefix-column
     // table), the query side the held-out first NQ, sliced to the
     // same 16-dim prefix in both engines
-    "e14_knn_store_external" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm,
-           list_transform(embedding[1:16], x -> x::DOUBLE) AS vt
-           FROM embeddings),
-         e2 AS (SELECT vec_id, v, nrm, vt,
-           sqrt(list_dot_product(vt, vt)) AS nt FROM e),
-         st AS (SELECT vec_id, v, nrm, vt, nt FROM e2 WHERE vec_id >= $NQ),
-         q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
-           FROM e2 WHERE vec_id < $NQ),
-         t AS (SELECT q.qid, st.vec_id, st.v, st.nrm, q.qv, q.qn,
-             list_dot_product(st.vt, q.qvt) / (st.nt * q.qnt) AS tsim
-           FROM st JOIN q ON st.vec_id <> q.qid),
-         sl AS (SELECT *, row_number() OVER (PARTITION BY qid
-             ORDER BY tsim DESC, vec_id ASC) AS srank FROM t),
-         rr AS (SELECT qid, vec_id,
-             list_dot_product(v, qv) / (nrm * qn) AS sim
-           FROM sl WHERE srank <= 50),
-         ranked AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-             ORDER BY sim DESC, vec_id ASC) AS rank FROM rr)
-         SELECT qid, vec_id AS neighbor_id, rank FROM ranked
-         WHERE rank <= $K""",
+    "e14_knn_store_external" -> storeExternalOracleSql,
+    // w15 serves the STREAMED store (built half one-shot, half by
+    // deliveries with a replay and a mid-stream compact); it must
+    // equal the one-shot e14 store exactly — same oracle
+    "w15_store_stream_append" -> storeExternalOracleSql,
     "e02_knn_ivf" ->
       s"""WITH $ivfAssignCtes,
          q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
@@ -548,46 +709,14 @@ object VectorOps {
          rer AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY xsim DESC, vec_id ASC) AS rank FROM exact)
          SELECT qid, vec_id AS neighbor_id, rank FROM rer WHERE rank <= $K""",
-    "e06_knn_ivfpq" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v,
-           sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
-         cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn
-           FROM $centroidsSql),
-         assigned AS (SELECT vec_id, cid FROM (
-           SELECT e.vec_id, cent.cid, row_number()
-             OVER (PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, cent.centv) / (e.nrm * cent.cn) DESC,
-                     cent.cid ASC) AS arn
-           FROM e CROSS JOIN cent) WHERE arn = 1),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) AS k, cv FROM (
-           SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 = 0
-           ORDER BY vec_id LIMIT $PqK)),
-         sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-         dists AS (SELECT e.vec_id, s.m, c.k,
-           list_dot_product(list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}))
-           - 2.0 * list_dot_product(list_slice(e.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS d
-           FROM e CROSS JOIN sub s CROSS JOIN c),
-         code AS (SELECT vec_id, m, k - 1 AS code FROM (
-           SELECT vec_id, m, k,
-             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
-           FROM dists) WHERE rn = 1),
-         qt AS (SELECT q.vec_id AS qid, s.m, c.k,
-           list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
-             list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
-           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
-         approx AS (SELECT qt.qid, cd.vec_id,
-           ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
-             .mkString(" + ")} AS asim
-           FROM code cd
-           JOIN assigned a ON a.vec_id = cd.vec_id
-           JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1 AND cd.vec_id <> qt.qid
-           JOIN assigned qa ON qa.vec_id = qt.qid AND qa.cid = a.cid
-           GROUP BY 1, 2),
-         ranked AS (SELECT qid, vec_id, row_number()
-           OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
-         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e06_knn_ivfpq" -> ivfPqOracleSql(idxFilter = ""),
+    // e15: the e06 pipeline with the corpus/query SPLIT — the codes
+    // side holds only vec_id >= NQ (the engine's persisted serving
+    // index), the query side the held-out first NQ; codebooks (PQ and
+    // centroid) sample the full table in both engines — configuration,
+    // not membership (the e13 convention)
+    "e15_knn_pq_external" ->
+      ivfPqOracleSql(idxFilter = s"AND cd.vec_id >= $NQ"),
     "d09_embed_neardup" ->
       s"""WITH $ivfAssignCtes
          SELECT a.vec_id AS a_id, b.vec_id AS b_id

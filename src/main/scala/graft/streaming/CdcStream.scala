@@ -19,7 +19,21 @@ object CdcStream {
 
   /** Drive any batch loader from a stream via foreachBatch. The loader
     * receives each micro-batch as a plain DataFrame; replays are
-    * harmless because vault loads dedup on append. */
+    * harmless because vault loads dedup on append.
+    *
+    * DELIVERY IDENTITY (the [[graft.operators.StatsStore]] and keyed-
+    * append pattern): when the loader body needs a per-delivery id —
+    * a StatsStore partition key, a bookkeeping tag — derive it from
+    * the batch's CONTENT (a stable residue class of its rows, a source
+    * file name, a business date), never from the streaming `batchId`.
+    * Structured Streaming numbers batches by position in THIS run: a
+    * redelivered file arrives as a FRESH batchId, so a batchId-keyed
+    * StatsStore delivery would write a second partition for the same
+    * rows and silently double-count them — exactly the failure the
+    * store's replay absorption exists to prevent. The w13 gate is the
+    * prescribed form (TextOps "w13_stream_lm_stats": delivery id = the
+    * slice's residue class, so the replayed slice collides with its
+    * original and is absorbed); StatsStoreSpec pins the negative. */
   def foreachBatchLoader(stream: DataFrame)(load: DataFrame => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Update())

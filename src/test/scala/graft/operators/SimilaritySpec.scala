@@ -603,4 +603,177 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Dedup.bandIndexFileCount(spark, tbl) <= 4)
     assert(spark.table(tbl).count() === rows)
   }
+
+  test("vector-store lifecycle: appends extend, replays absorbed, compact keeps sort+stamps, probes equal one-shot") {
+    // the fourth persisted-artifact grain's full lifecycle (the r19
+    // verdict's lead): a store built on a corpus PREFIX and extended
+    // by micro-batches — with a replay and a compaction in between —
+    // must serve identically to a one-shot store of the full corpus
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.store_incremental"
+    val oneTbl = "sim_idx.store_oneshot"
+    val corpus = base.filter(col("vec_id") >= 10)
+    Similarity.buildVectorStore(corpus.filter(col("vec_id") < 300),
+      "vec_id", tbl, buckets = 4, prefixDims = 16)
+    // serving stamps present from build (the property-read assertion)
+    assert(Similarity.tableProp(spark, tbl, Similarity.DimProp)
+      .contains("64"))
+    assert(Similarity.tableProp(spark, tbl, Similarity.PrefixDimsProp)
+      .contains("16"))
+    val batch1 = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val batch2 = corpus.filter(col("vec_id") >= 400)
+    Similarity.appendToVectorStore(batch1, tbl, "vec_id")
+    Similarity.appendToVectorStore(batch2, tbl, "vec_id")
+    val full = spark.table(tbl).count()
+    assert(full === corpus.count())
+    // replay: the In(id) bucket-pruned anti-join absorbs it
+    Similarity.appendToVectorStore(batch1, tbl, "vec_id")
+    assert(spark.table(tbl).count() === full)
+    // the appended rows' prefix columns were recomputed at the STORE's
+    // width: every row must satisfy vt = v[1..16]
+    val badPrefix = spark.table(tbl)
+      .filter(size(col("vt")) =!= 16 ||
+        expr("vt != slice(v, 1, 16)") || size(col("v")) =!= 64)
+      .count()
+    assert(badPrefix === 0L, "appended rows carry mis-sliced prefixes")
+    // compact mid-lifecycle: file count bounded, rows unmoved, the
+    // SORT spec and graft.* stamps survive the staging swap
+    assert(Dedup.bandIndexFileCount(spark, tbl) > 4,
+      "three deliveries should stack file sets")
+    Similarity.compactVectorStore(spark, tbl, "vec_id")
+    assert(Dedup.bandIndexFileCount(spark, tbl) <= 4)
+    assert(spark.table(tbl).count() === full)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl)).bucketSpec
+    assert(spec.exists(s => s.bucketColumnNames == Seq("vec_id") &&
+        s.sortColumnNames == Seq("vec_id")),
+      s"compaction dropped the store's bucket/sort spec: $spec")
+    assert(Similarity.tableProp(spark, tbl, Similarity.PrefixDimsProp)
+        .contains("16") &&
+      Similarity.tableProp(spark, tbl, Similarity.DimProp).contains("64"),
+      "compaction dropped the serving stamps")
+    // a replay against the COMPACTED files is still absorbed
+    Similarity.appendToVectorStore(batch2, tbl, "vec_id")
+    assert(spark.table(tbl).count() === full)
+    // probes equal the one-shot store, by id and externally
+    Similarity.buildVectorStore(corpus, "vec_id", oneTbl, buckets = 4,
+      prefixDims = 16)
+    def probe(t: String) = Similarity.probeVectorStoreExternal(spark, t,
+        base.filter(col("vec_id") < 10), "vec_id", k = 3, shortlist = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = probe(tbl)
+    assert(streamed === probe(oneTbl) && streamed.nonEmpty,
+      "the incrementally-built store must serve exactly like one-shot")
+    def byId(t: String) = Similarity.knnMatryoshkaIndexed(spark, t,
+        col("vec_id") >= 10 && col("vec_id") < 15, "vec_id", k = 3,
+        shortlist = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(byId(tbl) === byId(oneTbl) && byId(tbl).nonEmpty)
+    // a wrong-width batch refuses loudly instead of poisoning probes
+    val narrow = batch1.withColumn("v", slice(col("v"), 1, 8))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToVectorStore(narrow, tbl, "vec_id")
+    }
+    assert(e.getMessage.contains("width"), e.getMessage)
+  }
+
+  test("IVF serving stamps: codebook identity enforced on append and probe; bounded serving batch") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_stamped"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(base.filter(col("vec_id") >= 10), cents,
+        "vec_id"), tbl, buckets = 4)
+    // width stamped at build (property read, no job)
+    assert(Similarity.tableProp(spark, tbl, Similarity.DimProp)
+      .contains("64"))
+    // first append stamps the codebook fingerprint
+    Similarity.appendToIvfIndex(base.filter(col("vec_id") < 10 ), tbl,
+      cents, "vec_id", buckets = 4)
+    val fp = Similarity.tableProp(spark, tbl, Similarity.CodebookProp)
+    assert(fp.isDefined, "the first append must stamp the codebook")
+    // a DIFFERENT codebook refuses on append AND on probe
+    val otherCents = base.filter(col("vec_id") % 50 === 1)
+    val ea = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(base.filter(col("vec_id") < 5), tbl,
+        otherCents, "vec_id", buckets = 4)
+    }
+    assert(ea.getMessage.contains("codebook"), ea.getMessage)
+    val ep = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexExternal(spark, tbl,
+        base.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + 500000L),
+        otherCents, "vec_id", 3)
+    }
+    assert(ep.getMessage.contains("codebook"), ep.getMessage)
+    // the stamped codebook still probes (and survives a compact)
+    Similarity.compactIvfIndex(spark, tbl)
+    assert(Similarity.tableProp(spark, tbl, Similarity.CodebookProp) == fp,
+      "compaction dropped the codebook stamp")
+    val got = Similarity.probeIvfIndexExternal(spark, tbl,
+        base.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + 500000L),
+        cents, "vec_id", 3).collect()
+    assert(got.nonEmpty)
+    // an oversized serving batch fails loudly at the bound, not with
+    // a broadcast OOM mid-job
+    val eq = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexExternal(spark, tbl,
+        base.withColumn("vec_id", col("vec_id") + 600000L), cents,
+        "vec_id", 3, maxQueries = 100)
+    }
+    assert(eq.getMessage.contains("split the serving batch"),
+      eq.getMessage)
+  }
+
+  test("persisted PQ serving index: probes equal in-memory IVF-PQ; codebooks round-trip; guards loud") {
+    // e15's API contract: the persisted codes + codebook pair must
+    // serve external queries exactly like the per-run pqEncode/knnIvfPq
+    // pipeline on the same corpus/query split
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.pq_serving"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8,
+      maxCodewords = 16)
+    val corpus = base.filter(col("vec_id") >= 10)
+    val assignedC = Similarity.assignToCentroids(corpus, cents, "vec_id")
+    Similarity.buildPqIndex(Similarity.pqEncode(assignedC, "vec_id", cb),
+      "vec_id", tbl, cb, cents, buckets = 4)
+    // the persisted codebooks reconstruct exactly
+    val loaded = Similarity.loadPqCodebooks(spark, tbl)
+    assert(loaded.size == cb.size &&
+      loaded.zip(cb).forall { case (a, b) =>
+        a.size == b.size && a.zip(b).forall { case (x, y) =>
+          x.toSeq == y.toSeq } },
+      "persisted PQ codebooks must round-trip bit-exactly")
+    // serving stamps
+    assert(Similarity.tableProp(spark, tbl, Similarity.DimProp)
+      .contains("64"))
+    assert(Similarity.tableProp(spark, tbl, Similarity.PqMProp)
+      .contains("8"))
+    // external probe equals the in-memory IVF-PQ on the same split
+    val heldOut = base.filter(col("vec_id") < 10)
+    val served = Similarity.probePqIndexExternal(spark, tbl, heldOut,
+        cents, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qAssigned = Similarity.assignToCentroids(heldOut, cents, "vec_id")
+    val inMem = Similarity.knnIvfPq(
+        Similarity.pqEncode(assignedC, "vec_id", cb),
+        qAssigned, "vec_id", cb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served === inMem && served.nonEmpty,
+      "the persisted serving probe must equal the per-run IVF-PQ")
+    // wrong codebook and wrong width refuse loudly
+    val ec = intercept[IllegalArgumentException] {
+      Similarity.probePqIndexExternal(spark, tbl, heldOut,
+        base.filter(col("vec_id") % 50 === 1), "vec_id", 3)
+    }
+    assert(ec.getMessage.contains("codebook"), ec.getMessage)
+    val ed = intercept[IllegalArgumentException] {
+      Similarity.probePqIndexExternal(spark, tbl,
+        heldOut.withColumn("v", slice(col("v"), 1, 8)), cents, "vec_id", 3)
+    }
+    assert(ed.getMessage.contains("width"), ed.getMessage)
+  }
 }

@@ -44,6 +44,17 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(read(p) == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
     StatsStore.writeDelivery(p, "day3", statsOf("b" -> 4L))
     assert(read(p) == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+    // THE NEGATIVE absorption cannot save you from: keying deliveries
+    // by a streaming batchId. A redelivered file arrives under a
+    // FRESH batchId, so the "replay" lands as a new partition and
+    // double-counts — correct store behavior for a genuinely new id,
+    // a silent corruption when the id was supposed to name the same
+    // rows. Delivery ids must be content-derived (the w13
+    // residue-class pattern; CdcStream.foreachBatchLoader doc).
+    StatsStore.writeDelivery(p, "batch7-same-rows-as-day3",
+      statsOf("b" -> 4L))
+    assert(read(p) == Map("a" -> 5L, "b" -> 9L, "c" -> 5L),
+      "a fresh id double-counts by design — batchId keying is the caller bug")
   }
 
   test("interrupted compaction: every crash window self-heals without loss or double count") {
