@@ -89,6 +89,36 @@ object Similarity {
       .select(col(idCol), col("__cid").as("cid"), col("v"), col("nrm"))
   }
 
+  /** Each query's `probes` highest-cosine centroid buckets as probe
+    * rows — [[assignToCentroids]] generalized for multi-probe serving
+    * (the [[knnIvfMultiProbe]] recall lever on the EXTERNAL path):
+    * `probes` = 1 takes the zero-shuffle argmax verbatim; above it,
+    * each query fans out to one row per probed bucket via a broadcast
+    * centroid join and a per-query (psim DESC, cid ASC) window — Q × C
+    * candidate rows, both configuration-bounded, so the expansion
+    * never touches the corpus. Output shape matches assignToCentroids
+    * (idCol, cid, v, nrm), one row per (query, probed bucket). Same
+    * tie order as the by-id multi-probe; same degenerate-corner
+    * contract as assignToCentroids for P = 1 (null/mismatched vectors
+    * drop — the external probes' width guard refuses them earlier
+    * anyway). */
+  private def assignProbeBuckets(queries: DataFrame, centroids: DataFrame,
+      idCol: String, probes: Int): DataFrame =
+    if (probes <= 1) assignToCentroids(queries, centroids, idCol)
+    else {
+      val cent = centroids.select(col(idCol).as("__pcid"),
+        col("v").as("__cv"), col("nrm").as("__cn"))
+      val wp = Window.partitionBy(col(idCol))
+        .orderBy(col("__psim").desc, col("__pcid").asc)
+      queries.select(col(idCol), col("v"), col("nrm"))
+        .join(broadcast(cent))
+        .withColumn("__psim",
+          dot(col("v"), col("__cv")) / (col("nrm") * col("__cn")))
+        .withColumn("__prn", row_number().over(wp))
+        .filter(col("__prn") <= probes)
+        .select(col(idCol), col("__pcid").as("cid"), col("v"), col("nrm"))
+    }
+
   /** A fitted spherical-k-means model: the final per-vector assignment
     * (same shape as [[assignToCentroids]] output, with `cid` = 0-based
     * centroid index, so it composes directly with [[buildIvfIndex]] /
@@ -470,7 +500,11 @@ object Similarity {
     * fixed codebook the index was built with (pass a different one and
     * the probe silently scans the wrong buckets — the codebook is part
     * of the index's identity, exactly like [[appendToIvfIndex]]), then
-    * ranked against that bucket's members only.
+    * ranked against that bucket's members only. `probes` > 1 scans each
+    * query's that-many highest-cosine buckets instead — the
+    * [[knnIvfMultiProbe]] recall lever served externally (e16): the
+    * probe side grows to Q × probes rows and the pruned scan to the
+    * union of probed buckets, both still configuration-bounded.
     *
     * Scale shape: the assignment is the zero-shuffle argmax, the probe
     * side is broadcast, and the index scan BUCKET-PRUNES to the
@@ -488,7 +522,9 @@ object Similarity {
     * external id spaces disjoint from the corpus's. */
   def probeIvfIndexExternal(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, centroids: DataFrame,
-      idCol: String, k: Int, maxQueries: Int = 1 << 20): DataFrame = {
+      idCol: String, k: Int, maxQueries: Int = 1 << 20,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probeIvfIndexExternal: probes must be >= 1, got $probes")
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probeIvfIndexExternal")
     // the serving batch is broadcast as the probe side and its cid set
@@ -541,7 +577,7 @@ object Similarity {
     // persisted: two consumers (the cid collect and the probe join) —
     // the pruned buckets must be exactly the buckets the join's
     // probe rows were assigned to, so the assignment runs once
-    val q = assignToCentroids(queries, centroids, idCol)
+    val q = assignProbeBuckets(queries, centroids, idCol, probes)
       .select(col(idCol).as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), col("nrm").as("qn")).persist()
     try {
@@ -1419,6 +1455,98 @@ object Similarity {
           table, reliable = false, "probePqIndexExternal")
     } finally { q.unpersist(blocking = false); () }
   }
+
+  /** Incrementally extend a persisted [[buildPqIndex]] codes table
+    * with new vectors — the PQ family's streaming half, so ALL FOUR
+    * persisted index grains (band, keyed/store, IVF, PQ) carry the
+    * full build/append/probe/compact lifecycle. Each batch (a
+    * [[withNorm]] projection) is assigned against the index's
+    * fingerprint-verified centroid codebook and ENCODED WITH THE
+    * PERSISTED PQ CODEBOOKS ([[loadPqCodebooks]] — the quantizer is
+    * part of the index's identity and never drifts mid-stream;
+    * retraining either codebook is a batch [[buildPqIndex]] rebuild),
+    * anti-joined on (cid, id) against the current codes so replays
+    * are idempotent, and appended task-aligned with the existing
+    * bucket layout. Scale shape: the [[appendToIvfIndex]] device —
+    * zero-shuffle argmax assignment, narrow codegen'd encode,
+    * point-lookup idempotence (batch keys as bounded literals, the
+    * codes scan bucket-pruned inside the append's conf window),
+    * batch-sized broadcast anti-join — O(batch) at any index size. */
+  def appendToPqIndex(batch: DataFrame, table: String,
+      centroids: DataFrame, idCol: String,
+      maxBatchIds: Int = 1 << 20): Unit = {
+    val spark = batch.sparkSession
+    val buckets = Dedup.requireKeyBucketedTable(spark, table, "cid",
+      "appendToPqIndex")
+    val codebooks = loadPqCodebooks(spark, table)
+    val dim = codebooks.size * codebooks.head.head.length
+    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    tableProp(spark, table, CodebookProp) match {
+      case Some(stamped) =>
+        require(stamped == fp,
+          s"appendToPqIndex: the centroid codebook passed to this " +
+            s"append (md5 $fp) is not the one $table is partitioned " +
+            s"by (md5 $stamped) — appending under a different codebook " +
+            "drifts the index geometry mid-stream; retraining is a " +
+            "batch buildPqIndex rebuild")
+      case None =>
+        // a pre-stamp table (buildPqIndex always stamps; this is the
+        // appendToIvfIndex convention for hand-migrated tables)
+        stampTableProps(spark, table, Map(CodebookProp -> fp,
+          DimProp -> dim.toString, PqMProp -> codebooks.size.toString))
+    }
+    require(centDim == dim,
+      s"appendToPqIndex: the centroid codebook's width ($centDim) " +
+        s"differs from the index's PQ reconstruction width ($dim) — " +
+        "not this index's geometry")
+    val bad = batch.filter(size(col("v")) =!= dim).limit(1).collect()
+    require(bad.isEmpty,
+      s"appendToPqIndex: a batch vector's width differs from the " +
+        s"index's ($dim) — its codes would be meaningless; encode the " +
+        "batch with the index's embedding dimension")
+    // one row per id within the batch (the freshIndexRows contract),
+    // persisted: two consumers — the key collect and the anti-join
+    val encoded = pqEncode(
+      assignToCentroids(batch.dropDuplicates(Seq(idCol)), centroids,
+        idCol), idCol, codebooks)
+      .select(col(idCol), col("cid"), col("pq_code")).persist()
+    try {
+      val keys = DriverBounded.collectCapped(
+        encoded.select(col(idCol), col("cid")), maxBatchIds,
+        s"appendToPqIndex: micro-batch exceeds maxBatchIds $maxBatchIds " +
+          "(the batch's keys become planning-time point-lookup " +
+          "literals); split the batch or raise the bound deliberately")
+      if (keys.nonEmpty) {
+        val ids = keys.map(_.get(0)).toSeq
+        val cids = keys.map(_.get(1)).distinct.toSeq
+        val existing = spark.table(table)
+          .filter(col("cid").isin(cids: _*) && col(idCol).isin(ids: _*))
+          .select(col(idCol), col("cid"))
+        val fresh = encoded.join(existing, Seq("cid", idCol), "left_anti")
+          .select(col(idCol), col("cid"), col("pq_code"))
+        // the whole append plan (idempotence lookup included) compiles
+        // inside the conf window, so the In(cid) bucket pruning
+        // survives — the appendToIvfIndex device
+        Dedup.withAutoBucketedScanOff(spark) {
+          fresh.repartition(buckets, col("cid")).write
+            .bucketBy(buckets, "cid")
+            .mode("append")
+            .saveAsTable(table)
+        }
+        spark.catalog.refreshTable(table)
+      }
+    } finally { encoded.unpersist(blocking = false); () }
+  }
+
+  /** Fold a [[buildPqIndex]] codes table back to one file per bucket —
+    * [[compactIvfIndex]] for the PQ grain, same shared rewrite core
+    * (zero-shuffle, metadata-preserving, backup dance, self-healing).
+    * The `__codebook` side table never compacts (one file by
+    * construction). Single-writer; run between deliveries (the w16
+    * gate does, mid-stream). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    Dedup.compactKeyedTable(spark, table, "cid")
 
   /** Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank — the
     * standard serving shape at corpus scale. Stage 1 scans only the

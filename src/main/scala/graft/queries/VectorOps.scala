@@ -254,6 +254,104 @@ object VectorOps {
         base.filter(col("vec_id") < NQ), cents, "vec_id", K)
     }),
 
+    // EXTERNAL multi-probe IVF serving: each held-out query scans its
+    // 3 highest-cosine centroid buckets of the persisted index — the
+    // e11 recall lever on the e13 serving path. The probe side grows
+    // to Q x 3 rows and the pruned scan to the union of probed
+    // buckets, both configuration-bounded.
+    "e16_knn_ivf_ext_multiprobe" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val tbl = "graft_vecstore.e16_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildIvfIndex(
+        Similarity.assignToCentroids(
+          base.filter(col("vec_id") >= NQ), cents, "vec_id"),
+        tbl, buckets = 4)
+      Similarity.probeIvfIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K,
+        probes = IvfProbes)
+    }),
+
+    // Streaming PQ-index maintenance — the w07/w15 story for the
+    // FOURTH persisted grain: the codes table is built on the even
+    // half (vec_id >= NQ), the odd half streams through readStream ->
+    // foreachBatch -> appendToPqIndex in three micro-batch slices PLUS
+    // a replayed slice, each batch ENCODED WITH THE PERSISTED
+    // CODEBOOKS (the quantizer never drifts mid-stream), the index
+    // COMPACTED mid-stream after the second slice, and the PERSISTED
+    // table served external queries — results must hash-match the
+    // one-shot e15 oracle exactly.
+    "w16_pq_stream_append" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val loc = graft.sources.Scratch.dir("w16", d)
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
+      val tbl = "graft_vecstore.w16_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      val seed = base.filter(col("vec_id") >= NQ && col("vec_id") % 2 === 0)
+      Similarity.buildPqIndex(
+        Similarity.pqEncode(
+          Similarity.assignToCentroids(seed, cents, "vec_id"),
+          "vec_id", cb),
+        "vec_id", tbl, cb, cents, buckets = 4)
+      // the odd half as three id-sliced files + slice 0 redelivered
+      val rest = Tables.embeddings(s, d)
+        .filter(col("vec_id") >= NQ && col("vec_id") % 2 === 1)
+      val feed = s"$loc/feed"
+      new java.io.File(feed).mkdirs()
+      val mt0 = System.currentTimeMillis() - 3600000L
+      (Seq(0, 1, 2).map(i => (rest.filter(col("vec_id") % 3 === i), s"slice-$i"))
+        :+ (rest.filter(col("vec_id") % 3 === 0), "slice-3-replay"))
+        .zipWithIndex.foreach { case ((df, name), i) =>
+          val tmp = s"$loc/tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$feed/$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mt0 + i * 60000L)
+          ()
+        }
+      val stream = s.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val sliceNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { batch =>
+        Similarity.appendToPqIndex(
+          Similarity.withNorm(batch, "vec_id", "embedding"),
+          tbl, cents, "vec_id")
+        // compaction UNDER LIVE TRAFFIC at the PQ grain: slice 2
+        // appends against the compacted codes, and the replayed
+        // slice's (cid, id) idempotence lookups must find slice 0's
+        // rows inside the compacted files
+        if (sliceNo.incrementAndGet() == 2) {
+          val bs = batch.sparkSession
+          val before = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          Similarity.compactPqIndex(bs, tbl)
+          val after = graft.operators.Dedup.bandIndexFileCount(bs, tbl)
+          require(after > 0 && after <= 4 && after <= before,
+            s"w16: mid-stream PQ compaction must bound the codes to " +
+              s"one file per bucket (before=$before, after=$after)")
+          require(Similarity.tableProp(bs, tbl,
+              Similarity.CodebookProp).isDefined,
+            "w16: the compaction swap dropped the codebook stamp")
+        }
+      }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 4,
+        s"w16 expected 4 non-empty micro-batches (3 slices + replay), saw $batches")
+      Similarity.probePqIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K)
+    }),
+
     // Two-stage retrieval: PQ ADC shortlist (25) -> exact cosine
     // re-rank -> top-5, with stage 2 as bucket-pruned point lookups
     // against a persisted id-bucketed vector store (sf-keyed table so
@@ -508,6 +606,27 @@ object VectorOps {
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked
          WHERE rank <= $K"""
 
+  /** The multi-probe IVF oracle shared by e11 (self-probe, no filter)
+    * and e16 (external serving: `idxFilter` restricts the candidate
+    * side to the index membership): per-query centroid ranking
+    * (psim DESC, cid ASC) keeps the top $IvfProbes buckets as probes. */
+  private def ivfMultiProbeOracleSql(idxFilter: String): String =
+    s"""WITH $ivfAssignCtes,
+         q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+           FROM assigned WHERE vec_id < $NQ),
+         pr AS (SELECT q0.qid, c.cid AS qcid, q0.qv, q0.qn, row_number()
+             OVER (PARTITION BY q0.qid
+                   ORDER BY list_dot_product(q0.qv, c.cv) / (q0.qn * c.cn) DESC, c.cid ASC) AS prn
+           FROM q0 CROSS JOIN c),
+         probes AS (SELECT qid, qcid, qv, qn FROM pr WHERE prn <= $IvfProbes),
+         sims AS (SELECT p.qid, a.vec_id,
+           list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS sim
+           FROM assigned a JOIN probes p ON a.cid = p.qcid AND a.vec_id <> p.qid
+           $idxFilter),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K"""
+
   /** The IVF-PQ ADC oracle shared by e06 (self-probe, no filter) and
     * e15 (persisted serving index: `idxFilter` restricts the codes
     * side to the index membership). Sampled codebooks, L2-argmin
@@ -684,21 +803,18 @@ object VectorOps {
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
     // e11: e02's assignment CTEs, then per-query centroid ranking
     // (psim DESC, cid ASC) keeps the top $IvfProbes buckets as probes.
-    "e11_knn_ivf_multiprobe" ->
-      s"""WITH $ivfAssignCtes,
-         q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
-           FROM assigned WHERE vec_id < $NQ),
-         pr AS (SELECT q0.qid, c.cid AS qcid, q0.qv, q0.qn, row_number()
-             OVER (PARTITION BY q0.qid
-                   ORDER BY list_dot_product(q0.qv, c.cv) / (q0.qn * c.cn) DESC, c.cid ASC) AS prn
-           FROM q0 CROSS JOIN c),
-         probes AS (SELECT qid, qcid, qv, qn FROM pr WHERE prn <= $IvfProbes),
-         sims AS (SELECT p.qid, a.vec_id,
-           list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS sim
-           FROM assigned a JOIN probes p ON a.cid = p.qcid AND a.vec_id <> p.qid),
-         ranked AS (SELECT qid, vec_id, row_number()
-           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
-         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e11_knn_ivf_multiprobe" -> ivfMultiProbeOracleSql(idxFilter = ""),
+    // e16: the e11 pipeline with the corpus/query SPLIT — candidates
+    // come only from the persisted index (vec_id >= NQ); the held-out
+    // queries rank the shared codebook for their probe buckets
+    "e16_knn_ivf_ext_multiprobe" ->
+      ivfMultiProbeOracleSql(idxFilter = s"AND a.vec_id >= $NQ"),
+    // w16 serves the STREAMED PQ index (built half one-shot, half by
+    // deliveries encoded with the persisted codebooks, with a replay
+    // and a mid-stream compact); it must equal the one-shot e15 index
+    // exactly — same oracle
+    "w16_pq_stream_append" ->
+      ivfPqOracleSql(idxFilter = s"AND cd.vec_id >= $NQ"),
     "e07_knn_refine" ->
       s"""WITH $pqAdcCtes,
          cands AS (SELECT qid, vec_id FROM ranked WHERE rank <= $Shortlist),
