@@ -1401,10 +1401,27 @@ object Similarity {
     * levers, served. Approximate by construction (PQ ADC ranking);
     * ranks carry the total (approx_sim DESC, id ASC) tiebreak. An
     * index row whose id equals a query id is excluded (the knnIvfPq
-    * self-exclusion contract); keep external id spaces disjoint. */
+    * self-exclusion contract); keep external id spaces disjoint.
+    *
+    * `probes` is the nprobe recall lever on this serving path — the
+    * [[probeIvfIndexExternal]] multi-probe device applied to the PQ
+    * family: each serving query fans out to its `probes`
+    * highest-cosine centroid buckets ([[assignProbeBuckets]], a
+    * broadcast-centroid window over Q×C rows, both
+    * configuration-bounded), the pruned codes scan widens to the
+    * union of probed buckets, and each query's ADC table rides its
+    * probe rows (the broadcast grows to Q×P×M×K doubles — size
+    * `maxQueries` accordingly). A candidate's codes live in exactly
+    * one bucket, so no candidate can pair with a query twice and the
+    * rank window needs no dedup. `probes = 1` keeps the max-cosine
+    * argmax assignment verbatim (spec-pinned bit-equal); `probes` =
+    * codebook size degrades to brute ADC over the whole index. */
   def probePqIndexExternal(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, centroids: DataFrame,
-      idCol: String, k: Int, maxQueries: Int = 1 << 20): DataFrame = {
+      idCol: String, k: Int, maxQueries: Int = 1 << 20,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1,
+      s"probePqIndexExternal: probes must be >= 1, got $probes")
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probePqIndexExternal")
     require(!DriverBounded.exceeds(queries, maxQueries),
@@ -1435,7 +1452,7 @@ object Similarity {
     // persisted: two consumers (the cid collect and the probe join) —
     // the pruned buckets must be exactly the buckets the probe rows
     // were assigned to
-    val q = assignToCentroids(queries, centroids, idCol)
+    val q = assignProbeBuckets(queries, centroids, idCol, probes)
       .select(col(idCol).as("qid"), col("cid").as("qcid"),
         pqQueryTable(col("v"), codebooks).as("qtab")).persist()
     try {

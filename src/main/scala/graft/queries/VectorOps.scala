@@ -274,6 +274,32 @@ object VectorOps {
         probes = IvfProbes)
     }),
 
+    // EXTERNAL multi-probe IVF-PQ serving: the e16 recall lever on the
+    // e15 memory-light serving path — nprobe, THE production IVF-PQ
+    // serving knob. Each held-out query fans to its 3 highest-cosine
+    // centroid buckets of the persisted codes table; its ADC table
+    // (from the PERSISTED codebooks) rides the probe rows, the pruned
+    // codes scan widens to the union of probed buckets. Probe side
+    // Q x 3 rows, broadcast Q x 3 x M x K doubles — configuration-
+    // bounded; the corpus side still reads M ints per candidate.
+    "e17_knn_pq_ext_multiprobe" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
+      val assigned = Similarity.assignToCentroids(
+        base.filter(col("vec_id") >= NQ), cents, "vec_id")
+      val tbl = "graft_vecstore.e17_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildPqIndex(Similarity.pqEncode(assigned, "vec_id", cb),
+        "vec_id", tbl, cb, cents, buckets = 4)
+      Similarity.probePqIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K,
+        probes = IvfProbes)
+    }),
+
     // Streaming PQ-index maintenance — the w07/w15 story for the
     // FOURTH persisted grain: the codes table is built on the even
     // half (vec_id >= NQ), the odd half streams through readStream ->
@@ -631,7 +657,27 @@ object VectorOps {
     * e15 (persisted serving index: `idxFilter` restricts the codes
     * side to the index membership). Sampled codebooks, L2-argmin
     * encode, centroid-bucket match, fixed-order ADC summation. */
-  private def ivfPqOracleSql(idxFilter: String): String =
+  private def ivfPqOracleSql(idxFilter: String, probes: Int = 1): String = {
+    // probes == 1: the candidate's bucket must BE the query's argmax
+    // assignment (the original single-probe text, byte-identical for
+    // e06/e15/w16). probes > 1: per-query centroid ranking (psim DESC,
+    // cid ASC — the e11/e16 probe tiebreak) keeps the top `probes`
+    // buckets; a candidate's codes live in exactly one bucket, so the
+    // join still pairs each (query, candidate) at most once.
+    val probeCtes =
+      if (probes <= 1) ""
+      else s""",
+         pr AS (SELECT e.vec_id AS qid, cent.cid AS qcid, row_number()
+             OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.centv) / (e.nrm * cent.cn) DESC,
+                     cent.cid ASC) AS prn
+           FROM e CROSS JOIN cent WHERE e.vec_id < $NQ),
+         probes AS (SELECT qid, qcid FROM pr WHERE prn <= $probes)"""
+    val probeJoin =
+      if (probes <= 1)
+        "JOIN assigned qa ON qa.vec_id = qt.qid AND qa.cid = a.cid"
+      else
+        "JOIN probes p ON p.qid = qt.qid AND p.qcid = a.cid"
     s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
          cent AS (SELECT vec_id AS cid, v AS centv, nrm AS cn
@@ -659,19 +705,20 @@ object VectorOps {
          qt AS (SELECT q.vec_id AS qid, s.m, c.k,
            list_dot_product(list_slice(q.v, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM}),
              list_slice(c.cv, s.m*${Dim / PqM}+1, s.m*${Dim / PqM}+${Dim / PqM})) AS sim
-           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ),
+           FROM e q CROSS JOIN sub s CROSS JOIN c WHERE q.vec_id < $NQ)$probeCtes,
          approx AS (SELECT qt.qid, cd.vec_id,
            ${(0 until PqM).map(mi => s"sum(CASE WHEN qt.m = $mi THEN qt.sim END)")
              .mkString(" + ")} AS asim
            FROM code cd
            JOIN assigned a ON a.vec_id = cd.vec_id
            JOIN qt ON qt.m = cd.m AND qt.k = cd.code + 1 AND cd.vec_id <> qt.qid
-           JOIN assigned qa ON qa.vec_id = qt.qid AND qa.cid = a.cid
+           $probeJoin
            $idxFilter
            GROUP BY 1, 2),
          ranked AS (SELECT qid, vec_id, row_number()
            OVER (PARTITION BY qid ORDER BY asim DESC, vec_id ASC) AS rank FROM approx)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "e01_knn_brute" ->
@@ -833,6 +880,11 @@ object VectorOps {
     // not membership (the e13 convention)
     "e15_knn_pq_external" ->
       ivfPqOracleSql(idxFilter = s"AND cd.vec_id >= $NQ"),
+    // e17: the e15 serving oracle with the e11/e16 probe fan-out —
+    // each query's top-$IvfProbes centroid buckets admit candidates
+    "e17_knn_pq_ext_multiprobe" ->
+      ivfPqOracleSql(idxFilter = s"AND cd.vec_id >= $NQ",
+        probes = IvfProbes),
     "d09_embed_neardup" ->
       s"""WITH $ivfAssignCtes
          SELECT a.vec_id AS a_id, b.vec_id AS b_id

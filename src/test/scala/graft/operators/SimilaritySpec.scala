@@ -863,4 +863,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cap === bruteSet,
       "probing every bucket must equal brute force over the index")
   }
+
+  test("external multi-probe PQ serving: probes=1 equals the argmax path; all probes equal brute ADC") {
+    // e17's API contract: nprobe on the persisted IVF-PQ serving path
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.pq_ext_mp"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqTrainSampled(
+      base.filter(col("vec_id") % 50 === 0), "vec_id", m = 8,
+      maxCodewords = 16)
+    val corpus = base.filter(col("vec_id") >= 10)
+    val encoded = Similarity.pqEncode(
+      Similarity.assignToCentroids(corpus, cents, "vec_id"), "vec_id", cb)
+    Similarity.buildPqIndex(encoded, "vec_id", tbl, cb, cents, buckets = 4)
+    val heldOut = base.filter(col("vec_id") < 10)
+    def served(p: Int) = Similarity.probePqIndexExternal(spark, tbl,
+        heldOut, cents, "vec_id", 3, probes = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probes=1: the window fan-out path must equal the argmax path
+    // bit-for-bit (same tie order), i.e. the default serving result
+    assert(served(1) === Similarity.probePqIndexExternal(spark, tbl,
+        heldOut, cents, "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    // once P covers every bucket the probe degrades to brute ADC over
+    // the whole index — knnPq with the same (persisted-round-tripped)
+    // codebooks on the same corpus/query split
+    val cap = served(1 << 10)
+    val bruteAdc = Similarity.knnPq(encoded, heldOut, "vec_id", cb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cap === bruteAdc && cap.nonEmpty,
+      "probing every bucket must equal brute ADC over the index")
+    // intermediate P still returns a full top-k per query
+    assert(served(2).groupBy(_._1).forall(_._2.size == 3))
+  }
 }
