@@ -931,6 +931,46 @@ object Dedup {
       identity, () => ())
   }
 
+  /** [[compactKeyedTable]] for an id-carrying index table with a
+    * tombstone side ([[graft.operators.Similarity.deleteFromIndex]]'s
+    * pending deletes — the vector families): the rewrite additionally
+    * APPLIES the tombstones (the [[compactBandIndex]] device) —
+    * tombstoned ids' rows are dropped and the tombstone table
+    * truncated, so deletes cost O(corpus) only here, never per probe.
+    * The id column's name is read from the tombstone table's own
+    * schema (stamped by the delete — the side table is
+    * self-describing), so the bucket column need not be the id column
+    * (the IVF/PQ families bucket by `cid` and delete by the caller's
+    * id). The tombstone anti-join is broadcast (pending deletes are
+    * bounded by the delete path), so the rewrite stays zero-shuffle.
+    * A crash between the swap and the truncate leaves tombstones
+    * naming already-removed ids — benign: probes' anti-joins no-op on
+    * them and the next compact re-applies and truncates. */
+  def compactIdKeyedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, bucketCol: String): Unit = {
+    val buckets = requireKeyBucketedTable(spark, table, bucketCol,
+      "compactIdKeyedTable")
+    val tomb = tombstoneTable(table)
+    val applyTombs = spark.catalog.tableExists(tomb)
+    compactBucketedTable(spark, table, bucketCol, buckets,
+      rows =>
+        if (applyTombs) {
+          val idName = spark.table(tomb).columns.head
+          rows.join(broadcast(spark.table(tomb).select(col(idName))),
+            Seq(idName), "left_anti")
+        } else rows,
+      () => if (applyTombs) { spark.sql(s"TRUNCATE TABLE $tomb"); () })
+  }
+
+  /** Run `body` under the engine's ONE maintenance lock (the same
+    * object every conf window and compaction swap synchronizes on) —
+    * for mutations that must not interleave with a compact's
+    * read-rewrite-truncate cycle, e.g. a tombstone append landing
+    * between a compact's tombstone read and its truncate would be
+    * silently wiped unapplied. */
+  private[graft] def withBandLock[T](body: => T): T =
+    bandConfLock.synchronized(body)
+
   /** The shared zero-shuffle compaction core: rewrite `table` (its
     * rows through `transform` — the band index's tombstone apply)
     * coalesced to one task-aligned file per bucket into a staging

@@ -469,6 +469,9 @@ object Similarity {
   def buildIvfIndex(assigned: DataFrame, table: String, buckets: Int = 32): Unit = {
     val spark = assigned.sparkSession
     dropTableAndLocation(spark, table)
+    // a rebuilt index starts with no pending deletes: a stale tombstone
+    // would silently hide rebuilt rows from every probe
+    dropTableAndLocation(spark, Dedup.tombstoneTable(table))
     // task-aligned to buckets (same hash family): one file per bucket
     // instead of one per (task x bucket) — see RawVault.writeTable
     assigned.repartition(buckets, col("cid")).write
@@ -491,7 +494,9 @@ object Similarity {
     * [[probeIvfIndexExternal]]. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       queryIds: Column, idCol: String, k: Int): DataFrame =
-    knnIvf(spark.table(table), queryIds, idCol, k)
+    // tombstoned rows are absent — as candidates AND as by-id queries
+    knnIvf(liveRows(spark, table, spark.table(table), idCol),
+      queryIds, idCol, k)
 
   /** Probe a persisted IVF index with EXTERNAL query vectors — the
     * serving path: the queries are not (or need not be) in the index.
@@ -592,8 +597,11 @@ object Similarity {
         knnProbe(spark.table(table).limit(0), q, idCol, k)
           .localCheckpoint(true)
       else
+        // pending deletes excluded ABOVE the pruned scan, BEFORE
+        // ranking — next-best candidates refill the top-k
         Dedup.compileAndPinBucketedScan(spark,
-          knnProbe(spark.table(table).filter(col("cid").isin(cids: _*)),
+          knnProbe(liveRows(spark, table,
+            spark.table(table).filter(col("cid").isin(cids: _*)), idCol),
             q, idCol, k),
           table, reliable = false, "probeIvfIndexExternal")
     } finally { q.unpersist(blocking = false); () }
@@ -653,6 +661,7 @@ object Similarity {
       s"appendToIvfIndex: the centroid codebook's width ($centDim) " +
         s"differs from the index's ($idxDim) — batch rows admitted " +
         "under it would carry the wrong vector width")
+    requireNotTombstoned(spark, table, batch, idCol, "appendToIvfIndex")
     val (fresh, release) = freshIndexRows(batch, table, centroids, idCol,
       maxBatchIds)
     try {
@@ -698,7 +707,7 @@ object Similarity {
     * (the w07 gate does, mid-stream), never concurrent with one. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =
-    Dedup.compactKeyedTable(spark, table, "cid")
+    Dedup.compactIdKeyedTable(spark, table, "cid")
 
   /** [[appendToIvfIndex]]'s idempotence join, exposed for plan pinning:
     * batch rows not yet in the index, via bucket-pruned point lookups
@@ -932,6 +941,8 @@ object Similarity {
   def buildVectorStore(base: DataFrame, idCol: String, table: String,
       buckets: Int = 32, prefixDims: Int = 0): Unit = {
     dropTableAndLocation(base.sparkSession, table)
+    // a rebuilt store starts with no pending deletes (see buildIvfIndex)
+    dropTableAndLocation(base.sparkSession, Dedup.tombstoneTable(table))
     // Matryoshka serving layout: the first prefixDims dims and their
     // norm persist as their OWN narrow columns, so a prefix-shortlist
     // scan reads prefixDims floats per row off parquet (column
@@ -995,6 +1006,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val buckets = Dedup.requireKeyBucketedTable(spark, table, idCol,
       "appendToVectorStore")
+    requireNotTombstoned(spark, table, batch, idCol, "appendToVectorStore")
     val dim = storedDim(spark, table, "v")
     if (dim > 0) {
       val bad = batch.filter(size(col("v")) =!= dim).limit(1).collect()
@@ -1075,7 +1087,7 @@ object Similarity {
     * concurrent with one. */
   def compactVectorStore(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String): Unit =
-    Dedup.compactKeyedTable(spark, table, idCol)
+    Dedup.compactIdKeyedTable(spark, table, idCol)
 
   /** [[knnMatryoshkaIndexed]]'s stage 1 as a frame, factored so the
     * plan pin can assert the store scan reads (id, vt, nt) ONLY —
@@ -1112,7 +1124,10 @@ object Similarity {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or the rerank truncates")
     graft.functions.GraftFunctions.register(spark)
-    val store = spark.table(table)
+    // tombstoned rows are absent — as shortlist candidates AND as
+    // by-id queries (excluded before ranking, so live next-best
+    // candidates refill the shortlist)
+    val store = liveRows(spark, table, spark.table(table), idCol)
     require(store.columns.contains("vt") && store.columns.contains("nt"),
       s"knnMatryoshkaIndexed: $table has no persisted prefix columns — " +
         "build the store with buildVectorStore(..., prefixDims = d)")
@@ -1182,7 +1197,9 @@ object Similarity {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k) or the rerank truncates")
     graft.functions.GraftFunctions.register(spark)
-    val store = spark.table(table)
+    // pending deletes excluded before the shortlist ranks (liveRows) —
+    // a deleted row can neither surface nor occupy a shortlist slot
+    val store = liveRows(spark, table, spark.table(table), idCol)
     require(store.columns.contains("vt") && store.columns.contains("nt"),
       s"probeVectorStoreExternal: $table has no persisted prefix " +
         "columns — build the store with buildVectorStore(..., " +
@@ -1277,7 +1294,11 @@ object Similarity {
         "collect + In-literal predicate); raise maxCandidates deliberately " +
         "or use knnPqRefine for large batches")
     val spark = encoded.sparkSession
-    val cands = knnPq(encoded, queries, idCol, codebooks, shortlist)
+    // the store's pending deletes excluded from the ADC shortlist
+    // itself (stage 1, before ranking), so live next-best candidates
+    // refill the shortlist and stage 2 never fetches a deleted row
+    val cands = knnPq(liveRows(spark, vecTable, encoded, idCol),
+        queries, idCol, codebooks, shortlist)
       .select(col("qid"), col("neighbor_id"))
     // the query-count guard above already bounds this to maxCandidates;
     // the capped collect re-asserts it at the hop itself
@@ -1326,6 +1347,8 @@ object Similarity {
       "buildPqIndex: empty PQ codebooks")
     dropTableAndLocation(spark, table)
     dropTableAndLocation(spark, pqCodebookTable(table))
+    // a rebuilt index starts with no pending deletes (see buildIvfIndex)
+    dropTableAndLocation(spark, Dedup.tombstoneTable(table))
     encodedAssigned.select(col(idCol), col("cid"), col("pq_code"))
       .repartition(buckets, col("cid")).write
       .bucketBy(buckets, "cid")
@@ -1466,8 +1489,11 @@ object Similarity {
         pqRank(spark.table(table).limit(0), q, idCol, m, k,
           col("cid") === col("qcid")).localCheckpoint(true)
       else
+        // pending deletes excluded ABOVE the pruned scan, BEFORE the
+        // ADC ranking — next-best candidates refill the top-k
         Dedup.compileAndPinBucketedScan(spark,
-          pqRank(spark.table(table).filter(col("cid").isin(cids: _*)),
+          pqRank(liveRows(spark, table,
+            spark.table(table).filter(col("cid").isin(cids: _*)), idCol),
             q, idCol, m, k, col("cid") === col("qcid")),
           table, reliable = false, "probePqIndexExternal")
     } finally { q.unpersist(blocking = false); () }
@@ -1495,6 +1521,7 @@ object Similarity {
     val spark = batch.sparkSession
     val buckets = Dedup.requireKeyBucketedTable(spark, table, "cid",
       "appendToPqIndex")
+    requireNotTombstoned(spark, table, batch, idCol, "appendToPqIndex")
     val codebooks = loadPqCodebooks(spark, table)
     val dim = codebooks.size * codebooks.head.head.length
     val (fp, centDim) = codebookFingerprint(centroids, idCol)
@@ -1563,7 +1590,125 @@ object Similarity {
     * gate does, mid-stream). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =
-    Dedup.compactKeyedTable(spark, table, "cid")
+    Dedup.compactIdKeyedTable(spark, table, "cid")
+
+  /** Logically DELETE ids from a persisted vector index — takedowns
+    * (copyright, PII, opt-out) without rewriting the index: the ids
+    * land in a tiny tombstone side table (`table__tombstones`, its one
+    * column named `idCol` so later passes are self-describing); every
+    * probe excludes tombstoned rows BEFORE ranking (a broadcast
+    * anti-join over the pruned scan — next-best candidates refill the
+    * top-k, deleted rows can never occupy shortlist slots), and the
+    * family's compact physically APPLIES the pending deletes and
+    * truncates the side table (the Lucene/RocksDB delete shape: mark
+    * now, reclaim at merge). Works uniformly on all three vector
+    * families (IVF index, vector store, PQ codes — `idCol` keyed,
+    * bucketed tables) and composes with the band index's own
+    * supersede tombstones, which ride the same side-table name and
+    * compact apply.
+    *
+    * Contract and bounds: idempotent (ids are distinct-ed and
+    * anti-joined against pending tombstones — re-deleting is a no-op);
+    * deleting an id not in the index is allowed (it guards the id
+    * against a racing append); a tombstoned id REFUSES to re-append
+    * until a compact applies the delete (the append's idempotence
+    * anti-join would otherwise silently resurrect the OLD row: the
+    * physical row still exists, so the new version would be absorbed
+    * and the deleted value would serve again). Pending tombstones are
+    * broadcast into every probe, so they must stay configuration-
+    * sized: the delete refuses loudly past `maxPendingDeletes` —
+    * compact to apply and clear. Serialized with compaction under the
+    * engine's one maintenance lock (a tombstone landing between a
+    * compact's read and its truncate would be wiped unapplied).
+    * Crash mid-append: partial tombstones are visible, the retry's
+    * anti-join completes the set — at-least-once delivery, exactly-
+    * once table effect, like every graft maintenance pass. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String,
+      maxPendingDeletes: Int = 1 << 20): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"deleteFromIndex: $table does not exist")
+    val tomb = Dedup.tombstoneTable(table)
+    Dedup.withBandLock {
+      val del = ids.select(col(idCol)).distinct()
+      require(del.filter(col(idCol).isNull).limit(1).collect().isEmpty,
+        s"deleteFromIndex: null $idCol in the delete set — the probe " +
+          "exclusion anti-join never matches null, so a null tombstone " +
+          "would silently delete nothing; filter upstream")
+      val fresh =
+        if (spark.catalog.tableExists(tomb)) {
+          val t = spark.table(tomb)
+          del.join(t.select(col(t.columns.head).as(idCol)), Seq(idCol),
+            "left_anti")
+        } else del
+      val pendingAfter =
+        if (spark.catalog.tableExists(tomb))
+          spark.table(tomb).select(col(idCol)).union(fresh)
+        else fresh
+      require(!DriverBounded.exceeds(pendingAfter, maxPendingDeletes),
+        s"deleteFromIndex: pending deletes for $table would exceed " +
+          s"$maxPendingDeletes — tombstones broadcast into every probe, " +
+          "so they must stay configuration-sized; run the family's " +
+          "compact to apply and clear them, or raise maxPendingDeletes " +
+          "deliberately")
+      // one tiny file per delete call, folded away at the next compact
+      fresh.coalesce(1).write.mode("append").saveAsTable(tomb)
+      spark.catalog.refreshTable(tomb)
+    }
+  }
+
+  /** Ids logically deleted from `table` but not yet physically
+    * applied — the pending tombstone set, empty if none. */
+  def pendingDeletes(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String): DataFrame = {
+    val tomb = Dedup.tombstoneTable(table)
+    if (spark.catalog.tableExists(tomb)) {
+      val t = spark.table(tomb)
+      t.select(col(t.columns.head).as(idCol))
+    } else
+      spark.range(0).select(col("id").as(idCol)).limit(0)
+  }
+
+  /** `df` minus `table`'s tombstoned rows — the probe-side exclusion:
+    * a broadcast anti-join (pending deletes are configuration-bounded
+    * by the delete path) applied BEFORE any ranking, so deleted rows
+    * neither surface nor displace live candidates from a top-k or a
+    * shortlist. No tombstone table → `df` unchanged (one catalog
+    * call, no job). */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame, idCol: String): DataFrame = {
+    val tomb = Dedup.tombstoneTable(table)
+    if (!spark.catalog.tableExists(tomb)) df
+    else {
+      val t = spark.table(tomb)
+      df.join(broadcast(t.select(col(t.columns.head).as(idCol))),
+        Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Loud re-append guard: a tombstoned id cannot re-enter the index
+    * until its delete is physically applied — the append's idempotence
+    * anti-join sees the still-present physical row, would absorb the
+    * new version, and the DELETED value would silently serve again.
+    * One tiny lookup per append, only when a tombstone table exists. */
+  private def requireNotTombstoned(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String,
+      context: String): Unit = {
+    val tomb = Dedup.tombstoneTable(table)
+    if (spark.catalog.tableExists(tomb)) {
+      val t = spark.table(tomb)
+      val hit = batch.select(col(idCol))
+        .join(broadcast(t.select(col(t.columns.head).as(idCol))),
+          Seq(idCol), "left_semi")
+        .limit(1).collect()
+      require(hit.isEmpty,
+        s"$context: batch $idCol '${hit.headOption.map(_.get(0)).orNull}' " +
+          s"is tombstoned in $table — a deleted id cannot re-enter until " +
+          "the delete is physically applied (the idempotence anti-join " +
+          "would silently resurrect the old row); run the family's " +
+          "compact first")
+    }
+  }
 
   /** Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank — the
     * standard serving shape at corpus scale. Stage 1 scans only the

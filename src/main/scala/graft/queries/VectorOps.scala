@@ -98,6 +98,36 @@ object VectorOps {
         base.filter(col("vec_id") < NQ), cents, "vec_id", K)
     }),
 
+    // TAKEDOWN on the persisted IVF serving index (copyright/PII/
+    // opt-out removal — the delete lifecycle): the e13 corpus is
+    // indexed, then the vec_id % 7 == 3 slice is DELETED in two
+    // halves — the first applied physically by a compact (rows
+    // rewritten away, tombstones truncated), the second left PENDING
+    // (excluded by the probes' broadcast anti-join only) — and the
+    // index serves external queries. The oracle sees one thing: the
+    // slice is gone, regardless of which delete was applied and
+    // which is pending.
+    "e18_knn_ivf_delete" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val tbl = "graft_vecstore.e18_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildIvfIndex(
+        Similarity.assignToCentroids(
+          base.filter(col("vec_id") >= NQ), cents, "vec_id"),
+        tbl, buckets = 4)
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 3),
+        "vec_id")
+      Similarity.compactIvfIndex(s, tbl) // applies the first half
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 10),
+        "vec_id") // second half stays pending
+      Similarity.probeIvfIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K)
+    }),
+
     // EXTERNAL-vector serving probe of the persisted Matryoshka
     // vector store (the e13 story for the second index family): the
     // store holds only vec_id >= NQ with 16-dim persisted prefix
@@ -112,6 +142,29 @@ object VectorOps {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
       Similarity.buildVectorStore(base.filter(col("vec_id") >= NQ),
         "vec_id", tbl, buckets = 8, prefixDims = 16)
+      Similarity.probeVectorStoreExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), "vec_id", K, shortlist = 50)
+    }),
+
+    // TAKEDOWN on the persisted Matryoshka store (the e18 delete
+    // lifecycle on the second index family): the deleted slice is
+    // excluded from the prefix SHORTLIST itself — live next-best
+    // candidates refill it — with one delete applied by a mid-cycle
+    // compact and one left pending at probe time.
+    "e19_knn_store_delete" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val tbl = "graft_vecstore.e19_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildVectorStore(base.filter(col("vec_id") >= NQ),
+        "vec_id", tbl, buckets = 8, prefixDims = 16)
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 3),
+        "vec_id")
+      Similarity.compactVectorStore(s, tbl, "vec_id")
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 10),
+        "vec_id")
       Similarity.probeVectorStoreExternal(s, tbl,
         base.filter(col("vec_id") < NQ), "vec_id", K, shortlist = 50)
     }),
@@ -250,6 +303,34 @@ object VectorOps {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
       Similarity.buildPqIndex(Similarity.pqEncode(assigned, "vec_id", cb),
         "vec_id", tbl, cb, cents, buckets = 4)
+      Similarity.probePqIndexExternal(s, tbl,
+        base.filter(col("vec_id") < NQ), cents, "vec_id", K)
+    }),
+
+    // TAKEDOWN on the persisted IVF-PQ serving index (the e18 delete
+    // lifecycle on the third family): deleted codes are excluded
+    // BEFORE the ADC ranking, one delete applied by a mid-cycle
+    // compact (codebook stamps surviving the rewrite), one pending.
+    "e20_knn_pq_delete" -> ((s, d) => {
+      val base = Similarity.withNorm(Tables.embeddings(s, d), "vec_id", "embedding")
+      val cents = centroids(base)
+      val cb = Similarity.pqTrainSampled(
+        base.filter(col("vec_id") % 50 === 0), "vec_id", m = PqM,
+        maxCodewords = PqK)
+      val assigned = Similarity.assignToCentroids(
+        base.filter(col("vec_id") >= NQ), cents, "vec_id")
+      val tbl = "graft_vecstore.e20_" +
+        new java.io.File(d).getName.replace('.', '_')
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_vecstore")
+      Similarity.buildPqIndex(Similarity.pqEncode(assigned, "vec_id", cb),
+        "vec_id", tbl, cb, cents, buckets = 4)
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 3),
+        "vec_id")
+      Similarity.compactPqIndex(s, tbl)
+      Similarity.deleteFromIndex(s, tbl,
+        base.filter(col("vec_id") >= NQ && col("vec_id") % 14 === 10),
+        "vec_id")
       Similarity.probePqIndexExternal(s, tbl,
         base.filter(col("vec_id") < NQ), cents, "vec_id", K)
     }),
@@ -609,14 +690,15 @@ object VectorOps {
     * vec_id >= NQ, the query side the held-out first NQ, sliced to the
     * same 16-dim prefix in both engines. One definition so the
     * streamed store is pinned to EXACTLY the one-shot result. */
-  private def storeExternalOracleSql: String =
+  private def storeExternalOracleSql(stFilter: String = ""): String =
     s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm,
            list_transform(embedding[1:16], x -> x::DOUBLE) AS vt
            FROM embeddings),
          e2 AS (SELECT vec_id, v, nrm, vt,
            sqrt(list_dot_product(vt, vt)) AS nt FROM e),
-         st AS (SELECT vec_id, v, nrm, vt, nt FROM e2 WHERE vec_id >= $NQ),
+         st AS (SELECT vec_id, v, nrm, vt, nt FROM e2
+           WHERE vec_id >= $NQ$stFilter),
          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, vt AS qvt, nt AS qnt
            FROM e2 WHERE vec_id < $NQ),
          t AS (SELECT q.qid, st.vec_id, st.v, st.nrm, q.qv, q.qn,
@@ -631,6 +713,22 @@ object VectorOps {
              ORDER BY sim DESC, vec_id ASC) AS rank FROM rr)
          SELECT qid, vec_id AS neighbor_id, rank FROM ranked
          WHERE rank <= $K"""
+
+  /** The external-serving IVF oracle shared by e13 (whole index) and
+    * e18 (`idxFilter` additionally excludes the deleted slice): the
+    * e02 probe pattern with the corpus/query split. */
+  private def ivfExternalOracleSql(idxFilter: String = ""): String =
+    s"""WITH $ivfAssignCtes,
+         idx AS (SELECT vec_id, cid, v, nrm FROM assigned
+           WHERE vec_id >= $NQ$idxFilter),
+         q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
+           FROM assigned WHERE vec_id < $NQ),
+         sims AS (SELECT q.qid, a.vec_id,
+           list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
+           FROM idx a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
+         ranked AS (SELECT qid, vec_id, row_number()
+           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
+         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K"""
 
   /** The multi-probe IVF oracle shared by e11 (self-probe, no filter)
     * and e16 (external serving: `idxFilter` restricts the candidate
@@ -758,11 +856,16 @@ object VectorOps {
     // holds only vec_id >= NQ (the engine's persisted prefix-column
     // table), the query side the held-out first NQ, sliced to the
     // same 16-dim prefix in both engines
-    "e14_knn_store_external" -> storeExternalOracleSql,
+    "e14_knn_store_external" -> storeExternalOracleSql(),
     // w15 serves the STREAMED store (built half one-shot, half by
     // deliveries with a replay and a mid-stream compact); it must
     // equal the one-shot e14 store exactly — same oracle
-    "w15_store_stream_append" -> storeExternalOracleSql,
+    "w15_store_stream_append" -> storeExternalOracleSql(),
+    // e19: the e14 serving oracle minus the deleted slice — deletes
+    // excluded from the store BEFORE the shortlist ranks, so live
+    // next-best candidates refill it (both engines)
+    "e19_knn_store_delete" ->
+      storeExternalOracleSql(stFilter = " AND vec_id % 7 <> 3"),
     "e02_knn_ivf" ->
       s"""WITH $ivfAssignCtes,
          q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
@@ -790,18 +893,12 @@ object VectorOps {
     // query side the held-out first NQ, assigned against the same
     // codebook (centroidsSql samples the full embeddings table in
     // both engines — the codebook is configuration, not membership)
-    "e13_knn_ivf_external" ->
-      s"""WITH $ivfAssignCtes,
-         idx AS (SELECT vec_id, cid, v, nrm FROM assigned
-           WHERE vec_id >= $NQ),
-         q AS (SELECT vec_id AS qid, cid AS qcid, v AS qv, nrm AS qn
-           FROM assigned WHERE vec_id < $NQ),
-         sims AS (SELECT q.qid, a.vec_id,
-           list_dot_product(a.v, q.qv) / (a.nrm * q.qn) AS sim
-           FROM idx a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
-         ranked AS (SELECT qid, vec_id, row_number()
-           OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank FROM sims)
-         SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= $K""",
+    "e13_knn_ivf_external" -> ivfExternalOracleSql(),
+    // e18: the e13 serving oracle minus the deleted slice — deletes
+    // excluded from the index BEFORE ranking (both engines), so live
+    // next-best candidates refill the top-k
+    "e18_knn_ivf_delete" ->
+      ivfExternalOracleSql(idxFilter = " AND vec_id % 7 <> 3"),
     "e03_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, $vSql AS v,
            sqrt(list_dot_product($vSql, $vSql)) AS nrm FROM embeddings),
@@ -885,6 +982,11 @@ object VectorOps {
     "e17_knn_pq_ext_multiprobe" ->
       ivfPqOracleSql(idxFilter = s"AND cd.vec_id >= $NQ",
         probes = IvfProbes),
+    // e20: the e15 serving oracle minus the deleted slice — deletes
+    // excluded from the codes BEFORE the ADC ranking (both engines)
+    "e20_knn_pq_delete" ->
+      ivfPqOracleSql(
+        idxFilter = s"AND cd.vec_id >= $NQ AND cd.vec_id % 7 <> 3"),
     "d09_embed_neardup" ->
       s"""WITH $ivfAssignCtes
          SELECT a.vec_id AS a_id, b.vec_id AS b_id
