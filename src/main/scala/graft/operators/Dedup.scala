@@ -655,9 +655,14 @@ object Dedup {
         banded._1.select(col(idCol), col(idCol).as("index_id")).limit(0)
           .localCheckpoint(true)
       else {
-        val pruned = spark.table(table)
-          .filter(col("band").isin(bands: _*))
-          .select(col(idCol).as("index_id"), col("band"))
+        // tombstoned docs (superseded by resolve-at-ingest, or taken
+        // down via deleteFromIndex) are dead to probes IMMEDIATELY —
+        // excluded above the pruned scan, the vector families'
+        // contract; compactBandIndex reclaims them physically
+        val pruned = Similarity.liveRows(spark, table,
+          spark.table(table).filter(col("band").isin(bands: _*))
+            .select(col(idCol).as("index_id"), col("band")),
+          "index_id")
         val out = pruned
           .join(broadcast(banded._1.select(col(idCol), col("band"))),
             Seq("band"))
@@ -680,6 +685,14 @@ object Dedup {
       idCol: String, k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3,
       buckets: Int = 32, maxBatchBands: Int = 1 << 20): Unit = {
     val spark = batch.sparkSession
+    // a tombstoned doc id cannot re-enter until compacted: its OLD
+    // bands are still physically present, so the idempotence anti-join
+    // would absorb the same-band rows and the next compact would strip
+    // BOTH generations — the vector families' re-append contract.
+    // Resolve-at-ingest never trips this (winners are batch docs; a
+    // replayed ex-winner loses to the doc that superseded it).
+    Similarity.requireNotTombstoned(spark, table, batch, idCol,
+      "appendToBandIndex")
     val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
       bandWidth, shingleSize, maxBatchBands, "appendToBandIndex")
     try {
@@ -1086,8 +1099,11 @@ object Dedup {
     * appends anti-joined), a replayed loser loses again.
     *
     * Per-delivery cost note: the tombstone side table is read twice
-    * per delivery (the verdict filter and the tombstone append's own
-    * anti-join). It is TOMBSTONE-grain — superseded docs awaiting the
+    * per delivery (the probe's exclusion anti-join — shared with
+    * ad-hoc probes since the takedown unification — and the tombstone
+    * append's own anti-join; the winner append's re-entry guard is a
+    * third, limit(1)-bounded). It is TOMBSTONE-grain — superseded
+    * docs awaiting the
     * next [[compactBandIndex]], which truncates it — so the
     * compaction CADENCE is what bounds those two reads, not the
     * corpus; schedule compaction accordingly on high-supersede
@@ -1160,10 +1176,11 @@ object Dedup {
     if (!spark.catalog.tableExists(tomb))
       spark.table(table).select(col(idCol)).limit(0)
         .write.saveAsTable(tomb)
+    // tombstone exclusion lives INSIDE probeBandIndex (one read per
+    // delivery, shared with ad-hoc probes) — verdicts arrive already
+    // filtered to live index docs
     val verdicts = probeBandIndex(spark, table, batch, textCol, idCol,
-        k, bandWidth, shingleSize, maxBatchBands)
-      .join(spark.table(tomb).select(col(idCol).as("index_id")),
-        Seq("index_id"), "left_anti")
+      k, bandWidth, shingleSize, maxBatchBands)
     // the per-pair frame checkpoints batch-proportional rows so
     // resolution, tombstoning, and the winner append all replan from
     // them (never from the score side, never from the mutating tables)

@@ -1675,7 +1675,7 @@ object Similarity {
     * neither surface nor displace live candidates from a top-k or a
     * shortlist. No tombstone table → `df` unchanged (one catalog
     * call, no job). */
-  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def liveRows(spark: org.apache.spark.sql.SparkSession,
       table: String, df: DataFrame, idCol: String): DataFrame = {
     val tomb = Dedup.tombstoneTable(table)
     if (!spark.catalog.tableExists(tomb)) df
@@ -1691,7 +1691,8 @@ object Similarity {
     * anti-join sees the still-present physical row, would absorb the
     * new version, and the DELETED value would silently serve again.
     * One tiny lookup per append, only when a tombstone table exists. */
-  private def requireNotTombstoned(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def requireNotTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, idCol: String,
       context: String): Unit = {
     val tomb = Dedup.tombstoneTable(table)

@@ -155,6 +155,46 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(probe() === after)
   }
 
+  test("band-index takedown: probes exclude immediately, compact reclaims, re-append refused until then") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.band_delete"
+    val filler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val idxDocs = Seq(
+      (1L, s"alpha beta gamma delta $filler"),
+      (2L, s"one two three four five $filler extra"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"alpha beta gamma delta $filler tail")).toDF("doc_id", "text")
+    Dedup.buildBandIndex(idxDocs, "text", "doc_id", tbl, k = 6,
+      bandWidth = 2, buckets = 4)
+    def probe() = Dedup.probeBandIndex(spark, tbl, batch, "text",
+      "doc_id", k = 6, bandWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe().contains((10L, 1L)),
+      "fixture broken: the near-copy must candidate doc 1 pre-delete")
+    // takedown doc 1 through the SAME api the vector families use
+    Similarity.deleteFromIndex(spark, tbl, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(!probe().exists(_._2 == 1L),
+      "a tombstoned doc still surfaced as a near-dup candidate")
+    // old bands still on disk; re-append refused until they're gone
+    val bandRows = spark.table(tbl).count()
+    val er = intercept[IllegalArgumentException] {
+      Dedup.appendToBandIndex(idxDocs.filter(col("doc_id") === 1L), tbl,
+        "text", "doc_id", k = 6, bandWidth = 2, buckets = 4)
+    }
+    assert(er.getMessage.contains("tombstoned"), er.getMessage)
+    Dedup.compactBandIndex(spark, tbl)
+    assert(spark.table(tbl).count() < bandRows,
+      "compact did not reclaim the tombstoned doc's bands")
+    assert(spark.table(Dedup.tombstoneTable(tbl)).count() === 0)
+    // reclaimed: the doc may re-enter and candidates again
+    Dedup.appendToBandIndex(idxDocs.filter(col("doc_id") === 1L), tbl,
+      "text", "doc_id", k = 6, bandWidth = 2, buckets = 4)
+    assert(probe().contains((10L, 1L)),
+      "a re-appended doc must serve as a candidate again")
+  }
+
   test("delete bounds and hygiene: pending cap refuses loudly, null ids refuse, absent ids guard appends, rebuild clears") {
     spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
     val tbl = "sim_idx.ivf_bounds"
