@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -193,6 +198,58 @@ class IndexDeleteSpec extends AnyFunSuite {
       "text", "doc_id", k = 6, bandWidth = 2, buckets = 4)
     assert(probe().contains((10L, 1L)),
       "a re-appended doc must serve as a candidate again")
+  }
+
+  test("parallel deletes all land; a probe racing deletes never sees a torn top-k") {
+    // the StatsStoreConcurrencySpec discipline on the delete device:
+    // deletes serialize under the engine's one maintenance lock (each
+    // is one side-table append), so N racing deleters of DISJOINT id
+    // sets must all land exactly once; a prober racing them reads some
+    // prefix of the tombstone appends — its exclusion set only grows —
+    // and every result it returns is a FULL top-k over live rows
+    // (exclusion runs before ranking, so a mid-race probe can lag, but
+    // can never tear). Compact stays single-writer by contract, run
+    // here only after the race settles.
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.ivf_conc_delete"
+    val corpus = base.filter(col("vec_id") >= 10)
+    Similarity.buildIvfIndex(
+      Similarity.assignToCentroids(corpus, cents, "vec_id"), tbl, buckets = 4)
+    val heldOut = base.filter(col("vec_id") < 10)
+    val groups = (0 until 3).map(g =>
+      corpus.filter(col("vec_id") % 50 === (20 + g)))
+    val groupCount = groups.map(_.count()).sum
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val deleters = groups.map(g => Future {
+        Similarity.deleteFromIndex(spark, tbl, g, "vec_id"); ()
+      })
+      val prober = Future {
+        (0 until 4).foreach { _ =>
+          val out = Similarity.probeIvfIndexExternal(spark, tbl,
+            heldOut, cents, "vec_id", 3).collect()
+          assert(out.length == 30,
+            s"a mid-race probe returned a torn top-k: ${out.length}/30")
+        }
+      }
+      (deleters :+ prober).foreach(Await.result(_, 5.minutes))
+    } finally { pool.shutdown(); () }
+    // every racing delete landed exactly once
+    assert(Similarity.pendingDeletes(spark, tbl, "vec_id").count()
+      === groupCount)
+    val settled = rows(Similarity.probeIvfIndexExternal(spark, tbl,
+      heldOut, cents, "vec_id", 3))
+    val deletedIds = groups.flatMap(_.select("vec_id").collect()
+      .map(_.getLong(0))).toSet
+    assert(!settled.exists(p => deletedIds.contains(p._2)))
+    // single-writer compact applies the whole race's tombstones
+    Similarity.compactIvfIndex(spark, tbl)
+    assert(spark.table(tbl).count() === corpus.count() - groupCount)
+    assert(Similarity.pendingDeletes(spark, tbl, "vec_id").count() === 0)
+    assert(rows(Similarity.probeIvfIndexExternal(spark, tbl,
+      heldOut, cents, "vec_id", 3)) === settled)
   }
 
   test("delete bounds and hygiene: pending cap refuses loudly, null ids refuse, absent ids guard appends, rebuild clears") {
