@@ -1107,7 +1107,12 @@ object Dedup {
     * next [[compactBandIndex]], which truncates it — so the
     * compaction CADENCE is what bounds those two reads, not the
     * corpus; schedule compaction accordingly on high-supersede
-    * workloads.
+    * workloads. Because tombstones BROADCAST into every probe, the
+    * pending set is additionally configuration-bounded
+    * (`maxPendingTombstones`, the [[Similarity.deleteFromIndex]]
+    * invariant): a high-supersede stream with a slow compaction
+    * cadence fails loudly with direction (run [[compactBandIndex]])
+    * instead of growing the probe broadcast without bound.
     *
     * Returns one row per batch doc:
     * (idCol, n_candidates, kept, n_superseded). */
@@ -1115,7 +1120,8 @@ object Dedup {
       table: String, batch: DataFrame, textCol: String, idCol: String,
       scoreCol: String, indexScores: DataFrame, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3, buckets: Int = 32,
-      maxBatchBands: Int = 1 << 20): DataFrame =
+      maxBatchBands: Int = 1 << 20,
+      maxPendingTombstones: Int = 1 << 20): DataFrame =
     resolveAtIngest(spark, table, batch, textCol, idCol, scoreCol,
       // one corpus-score scan, broadcast-semi-joined by the verdict
       // pairs — the corpus-sized side shuffles nothing, but IS read
@@ -1125,7 +1131,8 @@ object Dedup {
         .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
         .join(broadcast(withBatch), Seq("index_id")),
       _ => (), "the indexScores frame argument",
-      k, bandWidth, shingleSize, buckets, maxBatchBands)
+      k, bandWidth, shingleSize, buckets, maxBatchBands,
+      maxPendingTombstones)
 
   /** [[ingestResolveNearDups]] with the score side PERSISTED — the
     * per-delivery shape: candidate scores come from bucket-pruned
@@ -1143,7 +1150,8 @@ object Dedup {
       table: String, batch: DataFrame, textCol: String, idCol: String,
       scoreCol: String, scoreTable: String, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3, buckets: Int = 32,
-      maxBatchBands: Int = 1 << 20): DataFrame =
+      maxBatchBands: Int = 1 << 20,
+      maxPendingTombstones: Int = 1 << 20): DataFrame =
     resolveAtIngest(spark, table, batch, textCol, idCol, scoreCol,
       withBatch => {
         val scored = probeKeyedTable(spark, scoreTable,
@@ -1156,7 +1164,8 @@ object Dedup {
       winners => appendToKeyedTable(
         winners.select(col(idCol), col(scoreCol)), scoreTable, idCol),
       s"the persisted score table $scoreTable",
-      k, bandWidth, shingleSize, buckets, maxBatchBands)
+      k, bandWidth, shingleSize, buckets, maxBatchBands,
+      maxPendingTombstones)
 
   /** The shared resolve-at-ingest core: `attachScores` turns the
     * (idCol, index_id, __bs) verdict×batch frame into pairs carrying
@@ -1171,7 +1180,7 @@ object Dedup {
       scoreCol: String, attachScores: DataFrame => DataFrame,
       onWinners: DataFrame => Unit, scoreSource: String, k: Int,
       bandWidth: Int, shingleSize: Int, buckets: Int,
-      maxBatchBands: Int): DataFrame = {
+      maxBatchBands: Int, maxPendingTombstones: Int): DataFrame = {
     val tomb = tombstoneTable(table)
     if (!spark.catalog.tableExists(tomb))
       spark.table(table).select(col(idCol)).limit(0)
@@ -1223,9 +1232,23 @@ object Dedup {
       .join(broadcast(byDoc.filter(col("__wins")).select(col(idCol))),
         Seq(idCol), "left_semi")
       .select(col("index_id").as(idCol)).distinct()
-    superseded
+    val freshTombs = superseded
       .join(spark.table(tomb), Seq(idCol), "left_anti")
-      .write.mode("append").saveAsTable(tomb)
+    // tombstones broadcast into every probe (probeBandIndex's
+    // exclusion anti-join), so the pending set must stay
+    // configuration-sized — the deleteFromIndex invariant, applied to
+    // supersede tombstones too: refuse loudly with direction instead
+    // of growing the probe broadcast unboundedly under a slow
+    // compaction cadence
+    require(!DriverBounded.exceeds(
+        spark.table(tomb).select(col(idCol)).union(freshTombs),
+        maxPendingTombstones),
+      s"ingestResolveNearDups: pending deletes for $table would " +
+        s"exceed $maxPendingTombstones — supersede tombstones " +
+        "broadcast into every probe, so they must stay " +
+        "configuration-sized; run compactBandIndex to apply and clear " +
+        "them, or raise maxPendingTombstones deliberately")
+    freshTombs.write.mode("append").saveAsTable(tomb)
     spark.catalog.refreshTable(tomb)
     val winners = batch.join(
       broadcast(resolved.filter(col("kept")).select(col(idCol))),

@@ -536,10 +536,15 @@ object Similarity {
     // becomes pruning literals — both bounded by contract, so an
     // oversized batch fails HERE with direction, not with a broadcast
     // OOM mid-job (the probeVectorStoreExternal bound, same shape)
-    require(!DriverBounded.exceeds(queries, maxQueries),
-      s"probeIvfIndexExternal: more than $maxQueries external queries " +
-        "in one probe (the probe side broadcasts and its centroid set " +
-        "becomes planning-time literals); split the serving batch or " +
+    // the broadcast probe frame is Q x probes rows (each carrying the
+    // query vector) — scale the enforced bound with nprobe, like the
+    // PQ sibling
+    val maxQueriesAtProbes = math.max(1, maxQueries / probes)
+    require(!DriverBounded.exceeds(queries, maxQueriesAtProbes),
+      s"probeIvfIndexExternal: more than $maxQueriesAtProbes external " +
+        s"queries in one probe at probes=$probes (the probe side " +
+        "broadcasts and its centroid set becomes planning-time " +
+        "literals); split the serving batch or " +
         "raise maxQueries deliberately")
     // codebook identity guard: the centroids handed to a probe MUST be
     // the codebook the index was built/appended with — a different one
@@ -1447,10 +1452,16 @@ object Similarity {
       s"probePqIndexExternal: probes must be >= 1, got $probes")
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probePqIndexExternal")
-    require(!DriverBounded.exceeds(queries, maxQueries),
-      s"probePqIndexExternal: more than $maxQueries external queries " +
-        "in one probe (the ADC-table probe side broadcasts at Q x M x K " +
-        "doubles and its centroid set becomes planning-time literals); " +
+    // the broadcast probe frame is Q x probes rows, EACH carrying an
+    // M x K-double ADC table — the enforced bound must scale with
+    // nprobe or a caller inside maxQueries could still blow the
+    // broadcast at high `probes`
+    val maxQueriesAtProbes = math.max(1, maxQueries / probes)
+    require(!DriverBounded.exceeds(queries, maxQueriesAtProbes),
+      s"probePqIndexExternal: more than $maxQueriesAtProbes external " +
+        s"queries in one probe at probes=$probes (the ADC-table probe " +
+        "side broadcasts at Q x probes x M x K doubles and its " +
+        "centroid set becomes planning-time literals); " +
         "split the serving batch or raise maxQueries deliberately")
     val codebooks = loadPqCodebooks(spark, table)
     val m = codebooks.size
@@ -1563,14 +1574,19 @@ object Similarity {
       if (keys.nonEmpty) {
         val ids = keys.map(_.get(0)).toSeq
         val cids = keys.map(_.get(1)).distinct.toSeq
-        val existing = spark.table(table)
-          .filter(col("cid").isin(cids: _*) && col(idCol).isin(ids: _*))
-          .select(col(idCol), col("cid"))
+        // the idempotence lookup compiles inside the conf window AND
+        // asserts SelectedBucketsCount on the compiled and executed
+        // plans (the appendToVectorStore device) — if the layout or
+        // the conf window ever drifts, the append fails loudly here
+        // instead of silently degrading to a full codes scan per
+        // micro-batch
+        val existing = Dedup.compileAndPinBucketedScan(spark,
+          spark.table(table)
+            .filter(col("cid").isin(cids: _*) && col(idCol).isin(ids: _*))
+            .select(col(idCol), col("cid")),
+          table, reliable = false, "appendToPqIndex")
         val fresh = encoded.join(existing, Seq("cid", idCol), "left_anti")
           .select(col(idCol), col("cid"), col("pq_code"))
-        // the whole append plan (idempotence lookup included) compiles
-        // inside the conf window, so the In(cid) bucket pruning
-        // survives — the appendToIvfIndex device
         Dedup.withAutoBucketedScanOff(spark) {
           fresh.repartition(buckets, col("cid")).write
             .bucketBy(buckets, "cid")
@@ -1635,15 +1651,23 @@ object Similarity {
         s"deleteFromIndex: null $idCol in the delete set — the probe " +
           "exclusion anti-join never matches null, so a null tombstone " +
           "would silently delete nothing; filter upstream")
+      // the tombstone table's stored id-column name is authoritative
+      // (stamped by the FIRST delete; the side table is
+      // self-describing) — read it once and rename consistently, so a
+      // caller whose idCol differs from the stored name still
+      // anti-joins, unions and appends against the right column
+      // instead of dying on an AnalysisException at the union
+      val tombExists = spark.catalog.tableExists(tomb)
+      val storedId =
+        if (tombExists) spark.table(tomb).columns.head else idCol
       val fresh =
-        if (spark.catalog.tableExists(tomb)) {
-          val t = spark.table(tomb)
-          del.join(t.select(col(t.columns.head).as(idCol)), Seq(idCol),
-            "left_anti")
-        } else del
+        if (tombExists)
+          del.join(spark.table(tomb).select(col(storedId).as(idCol)),
+            Seq(idCol), "left_anti")
+        else del
       val pendingAfter =
-        if (spark.catalog.tableExists(tomb))
-          spark.table(tomb).select(col(idCol)).union(fresh)
+        if (tombExists)
+          spark.table(tomb).select(col(storedId).as(idCol)).union(fresh)
         else fresh
       require(!DriverBounded.exceeds(pendingAfter, maxPendingDeletes),
         s"deleteFromIndex: pending deletes for $table would exceed " +
@@ -1652,7 +1676,8 @@ object Similarity {
           "compact to apply and clear them, or raise maxPendingDeletes " +
           "deliberately")
       // one tiny file per delete call, folded away at the next compact
-      fresh.coalesce(1).write.mode("append").saveAsTable(tomb)
+      fresh.select(col(idCol).as(storedId))
+        .coalesce(1).write.mode("append").saveAsTable(tomb)
       spark.catalog.refreshTable(tomb)
     }
   }
@@ -1665,7 +1690,13 @@ object Similarity {
     if (spark.catalog.tableExists(tomb)) {
       val t = spark.table(tomb)
       t.select(col(t.columns.head).as(idCol))
-    } else
+    } else if (spark.catalog.tableExists(table) &&
+        spark.table(table).columns.contains(idCol))
+      // derive the empty frame from the index's own id column so its
+      // TYPE always matches — a hard-coded LongType empty frame
+      // miscasts (or refuses to union) against a string-keyed index
+      spark.table(table).select(col(idCol)).limit(0)
+    else
       spark.range(0).select(col("id").as(idCol)).limit(0)
   }
 

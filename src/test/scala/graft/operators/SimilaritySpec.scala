@@ -896,4 +896,46 @@ class SimilaritySpec extends AnyFunSuite {
     // intermediate P still returns a full top-k per query
     assert(served(2).groupBy(_._1).forall(_._2.size == 3))
   }
+
+  test("PQ append's (cid, id) idempotence lookup bucket-prunes — the compileAndPinBucketedScan pin") {
+    // r20 verdict item: appendToPqIndex's idempotence scan was the one
+    // pruned scan without a plan assertion — it now routes through
+    // compileAndPinBucketedScan (SelectedBucketsCount asserted at
+    // compile time AND on the executed plan). This spec pins the shape
+    // the in-path assert depends on: an In(cid) && In(id) filter over a
+    // cid-bucketed codes table, compiled inside the conf window,
+    // bucket-prunes on this Spark version. If an upgrade breaks that,
+    // this test and every appendToPqIndex call fail loudly together
+    // instead of the append silently degrading to a full codes scan.
+    spark.sql("CREATE DATABASE IF NOT EXISTS sim_idx")
+    val tbl = "sim_idx.pq_append_prune_pin"
+    val cents = base.filter(col("vec_id") % 50 === 0)
+    val cb = Similarity.pqTrainSampled(cents, "vec_id", m = 8,
+      maxCodewords = 16)
+    val corpus = base.filter(col("vec_id") >= 10 && col("vec_id") < 300)
+    Similarity.buildPqIndex(
+      Similarity.pqEncode(
+        Similarity.assignToCentroids(corpus, cents, "vec_id"),
+        "vec_id", cb),
+      "vec_id", tbl, cb, cents, buckets = 4)
+    // the exact lookup frame appendToPqIndex compiles: batch keys as
+    // literals over the codes table
+    val someCids = spark.table(tbl).select("cid").distinct()
+      .limit(2).collect().map(_.get(0)).toSeq
+    val lookup = spark.table(tbl)
+      .filter(col("cid").isin(someCids: _*) &&
+        col("vec_id").isin(Seq(11L, 12L): _*))
+      .select(col("vec_id"), col("cid"))
+    val pinned = Dedup.compileAndPinBucketedScan(spark, lookup, tbl,
+      reliable = false, "SimilaritySpec pin")
+    assert(pinned.columns.toSeq === Seq("vec_id", "cid"))
+    // and the real append path end to end: a replayed batch is
+    // absorbed through that pruned lookup (the assert runs in-path)
+    val batch = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+    Similarity.appendToPqIndex(batch, tbl, cents, "vec_id")
+    val n = spark.table(tbl).count()
+    Similarity.appendToPqIndex(batch, tbl, cents, "vec_id")
+    assert(spark.table(tbl).count() === n,
+      "replayed batch must be absorbed by the pruned idempotence scan")
+  }
 }
