@@ -54,10 +54,22 @@ object ZOrder {
     interleaveBits(quantized(xCol, xMax), quantized(yCol, yMax), bitsPerDim)
   }
 
-  /** Write `df` hive-partitioned by the Morton bucket of (xCol, yCol). */
+  /** Write `df` hive-partitioned by the Morton bucket of (xCol, yCol).
+    *
+    * Task-aligned to the buckets (the RawVault.writeTable /
+    * WriteAlignAB lesson, optimization guide §6): without the
+    * repartition every write task holds rows of ~all 2^(2·bitsPerDim)
+    * buckets and emits one file PER (task × bucket) — at 32 tasks and
+    * the default 256 buckets that is up to 8,192 small files per
+    * write, and at cluster scale a T×256 file explosion. Hashing each
+    * bucket to one task caps the layout at one file per bucket; the
+    * alignment exchange is the standard price of a clustered write
+    * (the Iceberg hash distribution mode) and measured CHEAPER than
+    * the small-file creation it avoids even single-node. */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       xMax: Long, yMax: Long, bitsPerDim: Int = 4): Unit =
     df.withColumn("z_bucket", zBucket(xCol, yCol, xMax, yMax, bitsPerDim))
+      .repartition(col("z_bucket"))
       .write.mode("overwrite").partitionBy("z_bucket").parquet(path)
 
   /** All buckets whose cell intersects the rectangle

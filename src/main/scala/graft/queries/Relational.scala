@@ -203,12 +203,28 @@ object Relational {
       import org.apache.spark.sql.streaming.Trigger
       val loc = graft.sources.Scratch.dir("w06", d)
       val raw = Tables.eventsRaw(s, d)
+      // persisted: five consumers (the min/max cut aggregate + four
+      // slice writes) would each re-scan and re-filter the fixture
+      // otherwise (guide §5 / the C1 reused-branch pattern); released
+      // before the stream starts
       val ordered = Tables.normalizeTs(raw)
         .filter(col("event_type").isin("purchase", "error"))
-      val lds = ordered.select(unix_millis(col("ts")).as("ms"))
-        .distinct().orderBy("ms").collect().map(_.getLong(0))
-      val n = lds.length
-      val bounds = Seq(lds(n / 4), lds(n / 2), lds(3 * n / 4))
+        .persist()
+      // Slice cut points are replay scaffolding: the accumulated
+      // stream result equals the batch interval join for ANY ascending
+      // time cuts (inner joins emit on match and slices stay
+      // time-ordered), so derive them from one min/max aggregate —
+      // O(1) driver memory and one cheap job at any corpus size. The
+      // previous form (distinct().orderBy().collect() of every
+      // timestamp) shipped O(distinct ts) rows to the driver: a full
+      // shuffle + global sort + an unbounded driver hop, in a
+      // declared-query path (optimization guide §5).
+      val mnmx = ordered.agg(
+        min(unix_millis(col("ts"))).as("mn"),
+        max(unix_millis(col("ts"))).as("mx")).collect().head
+      val (mn, mx) = (mnmx.getLong(0), mnmx.getLong(1))
+      val bounds = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
+        mn + 3 * (mx - mn) / 4)
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
       val base = System.currentTimeMillis() - 3600000L
@@ -229,6 +245,7 @@ object Relational {
         dst.setLastModified(base + i * 60000L)
       }
       val sliceSchema = ordered.schema
+      ordered.unpersist(blocking = false)
       def side(tpe: String, tsName: String, idName: String) =
         s.readStream.schema(sliceSchema)
           .option("maxFilesPerTrigger", 1).parquet(feed)
@@ -245,11 +262,17 @@ object Relational {
           col("p_event_id"), col("e_event_id"),
           unix_millis(date_trunc("MILLISECOND", col("p_ts"))).as("p_ms"),
           unix_millis(date_trunc("MILLISECOND", col("e_ts"))).as("e_ms"))
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$loc/out")
-        .option("checkpointLocation", s"$loc/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // stateful stream: pin the state-partition count deliberately
+      // instead of inheriting the batch session's shuffle.partitions
+      // (see CdcStream.withStatePartitions — the store-instance count
+      // is partitions x 4 stores x 2 sides x micro-batches)
+      graft.streaming.CdcStream.withStatePartitions(s) {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$loc/out")
+          .option("checkpointLocation", s"$loc/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
           "user_id BIGINT, p_event_id BIGINT, e_event_id BIGINT, " +
             "p_ms BIGINT, e_ms BIGINT"))

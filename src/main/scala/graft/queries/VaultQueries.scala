@@ -583,16 +583,28 @@ object VaultQueries {
         .filter(col("event_type").isin("purchase", "error"))
         .withColumn("ld", unix_millis(date_trunc("MILLISECOND", col("ts"))))
       val w1 = Window.partitionBy("user_id", "ld").orderBy("event_id")
+      // persisted: the windowed dedup feeds SIX consumers (the min/max
+      // cut aggregate, four slice writes, the replay write) — without
+      // the cache each one re-runs the scan + window shuffle (guide §5
+      // / the C1 reused-branch pattern); released before the stream
+      // starts, which reads only the written slice files
       val one = ev.withColumn("rn", row_number().over(w1))
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "ld", "event_id")
+        .persist()
 
-      // slice boundaries on distinct ld values (driver-side test
-      // scaffolding over the gate fixture, like w04's slice writer)
-      val lds = one.select("ld").distinct().orderBy("ld")
-        .collect().map(_.getLong(0))
-      val n = lds.length
-      val bounds = Seq(lds(n / 4), lds(n / 2), lds(3 * n / 4))
+      // Slice boundaries are replay scaffolding (like w04's slice
+      // writer): the accumulated vault equals the batch v09 reconcile
+      // for ANY ascending ld cuts (the convergence contract), so
+      // derive them from one min/max aggregate — O(1) driver memory
+      // at any corpus size, where the previous
+      // distinct().orderBy().collect() shipped every distinct ld to
+      // the driver through a full shuffle + global sort (guide §5).
+      val mnmx = one.agg(min("ld").as("mn"), max("ld").as("mx"))
+        .collect().head
+      val (mn, mx) = (mnmx.getLong(0), mnmx.getLong(1))
+      val bounds = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
+        mn + 3 * (mx - mn) / 4)
       val slices = Seq(
         one.filter(col("ld") < bounds(0)),
         one.filter(col("ld") >= bounds(0) && col("ld") < bounds(1)),
@@ -630,6 +642,7 @@ object VaultQueries {
         lit("").as(c.hdiff), lit(0L).as(c.loadDate), lit(false).as(c.deleted))
       emptyLink.write.mode("overwrite").parquet(linkPath)
       emptyEff.write.mode("overwrite").parquet(effPath)
+      one.unpersist(blocking = false)
 
       val stream = s.readStream.schema(one.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)

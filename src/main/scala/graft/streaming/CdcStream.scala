@@ -39,6 +39,36 @@ object CdcStream {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) => load(batch) }
 
+  /** Run `body` (construct + start + drain a STATEFUL streaming query)
+    * with `spark.sql.shuffle.partitions` pinned to the deliberate
+    * state-partition count, restoring the session conf afterwards.
+    *
+    * A stateful operator (stream-stream join, streaming dedup/agg)
+    * instantiates state-store instances per shuffle partition per
+    * micro-batch — for a stream-stream join, FOUR stores per partition
+    * per side — and the count is FROZEN into the checkpoint at the
+    * first batch. Inheriting whatever the batch session's
+    * shuffle.partitions happens to be sizes that state machinery to
+    * the batch corpus, not to the stream's state: measured on the w06
+    * gate at sf0.1, 32 inherited partitions cost 45-72 s of
+    * HDFS-backed store commits where 4-8 right-sized partitions run
+    * the same stream in ~12 s with an identical result (optimization
+    * guide §1.2/§3 — the distributed shape, not the per-task work).
+    * At production scale the knob goes UP deliberately
+    * (`SPARK_GRAFT_STREAM_STATE_PARTITIONS`, thousands for a 100 TB
+    * join state); the default 8 right-sizes the micro-fixture gates.
+    * Conf-window discipline: the flip covers the stream's planning
+    * (start) and drain only, and the session value is restored even
+    * on failure. */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Watermarked tumbling-window counts per key — the standard
     * late-data-tolerant streaming aggregation. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,

@@ -82,7 +82,9 @@ object R21TimingSweep {
       try {
         SparkEntry.queries(name)(spark, sf)
           .write.format("noop").mode("overwrite").save()
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ dt
+        println(f"[sweep] $name $dt%.3f")
       } catch { case e: Throwable =>
         println(s"[sweep] $name FAILED: ${e.toString.take(200)}")
       }
