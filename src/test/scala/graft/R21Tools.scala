@@ -98,3 +98,55 @@ object R21TimingSweep {
     spark.stop()
   }
 }
+
+/** Generate an sf1 ANALOG under /root/sf1 by key-shifted 10x copies of
+  * sf0.1 — for the scaling slope spot-check only (the driver's real
+  * generator is not in the repo, so this preserves per-key densities
+  * and distributions rather than matching bytes; correctness gates
+  * never read it). Dimension tables (region, nation) stay fixed, the
+  * TPC-H convention. Text/embedding payloads are copied verbatim, so
+  * text-dedup slopes (d06-d08) are WORST-CASE upper bounds: every doc
+  * has 9 exact twins across copies, which the dedup operators
+  * legitimately find. Usage: Test/runMain graft.R21Sf1Gen [outDir]
+  */
+object R21Sf1Gen {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val out = if (args.length > 0) args(0) else "/root/sf1"
+    val src = "/root/testdata/sf0.1"
+    val spark = R21Tools.benchSession("sf1gen")
+    def rd(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def off(n: String, c: String): Long =
+      rd(n).agg(max(col(c))).collect()(0).getLong(0) + 1
+    val (oC, oS, oP, oO, oE, oU, oD, oV) = (
+      off("customer", "c_custkey"), off("supplier", "s_suppkey"),
+      off("part", "p_partkey"), off("orders", "o_orderkey"),
+      off("events", "event_id"),
+      rd("events").agg(max(col("user_id"))).collect()(0).getLong(0) + 1,
+      off("documents", "doc_id"), off("embeddings", "vec_id"))
+    def tenfold(n: String, shifts: Map[String, Long]): Unit = {
+      val base = rd(n)
+      val copies = (0 until 10).map { i =>
+        shifts.foldLeft(base) { case (df, (c, o)) =>
+          df.withColumn(c, col(c) + lit(i * o)) }
+      }
+      copies.reduce(_ union _).coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+      println(s"[sf1gen] $n x10")
+    }
+    Seq("region", "nation").foreach { n =>
+      rd(n).coalesce(1).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      println(s"[sf1gen] $n (fixed dim)")
+    }
+    tenfold("customer", Map("c_custkey" -> oC))
+    tenfold("supplier", Map("s_suppkey" -> oS))
+    tenfold("part", Map("p_partkey" -> oP))
+    tenfold("orders", Map("o_orderkey" -> oO, "o_custkey" -> oC))
+    tenfold("lineitem",
+      Map("l_orderkey" -> oO, "l_partkey" -> oP, "l_suppkey" -> oS))
+    tenfold("events", Map("event_id" -> oE, "user_id" -> oU))
+    tenfold("documents", Map("doc_id" -> oD))
+    tenfold("embeddings", Map("vec_id" -> oV))
+    spark.stop()
+  }
+}
