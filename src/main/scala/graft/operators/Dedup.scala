@@ -643,36 +643,48 @@ object Dedup {
       batch: DataFrame, textCol: String, idCol: String, k: Int = 6,
       bandWidth: Int = 2, shingleSize: Int = 3,
       maxBatchBands: Int = 1 << 20,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false): DataFrame =
+      DriverBounded.labeled(spark, s"probeBandIndex:$table") {
     requireBandBucketedTable(spark, table, "probeBandIndex")
     val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
       bandWidth, shingleSize, maxBatchBands, "probeBandIndex")
     try {
-      val bands = banded._2
-      if (bands.isEmpty)  // empty batch: nothing to probe (an empty
-        // isin() folds the scan away, so there is no plan to pin; the
-        // catalog check above still rejected a mis-built table)
-        banded._1.select(col(idCol), col(idCol).as("index_id")).limit(0)
-          .localCheckpoint(true)
-      else {
-        // tombstoned docs (superseded by resolve-at-ingest, or taken
-        // down via deleteFromIndex) are dead to probes IMMEDIATELY —
-        // excluded above the pruned scan, the vector families'
-        // contract; compactBandIndex reclaims them physically
-        val pruned = Similarity.liveRows(spark, table,
-          spark.table(table).filter(col("band").isin(bands: _*))
-            .select(col(idCol).as("index_id"), col("band")),
-          "index_id")
-        val out = pruned
-          .join(broadcast(banded._1.select(col(idCol), col("band"))),
-            Seq("band"))
-          .filter(col("index_id") =!= col(idCol))
-          .select(col(idCol), col("index_id"))
-          .distinct()
-        compileAndPinBucketedScan(spark, out, table, reliableCheckpoint)
-      }
+      val bands = banded._2.map(_.get(1)).distinct.toSeq
+      probeBanded(spark, table, banded._1, bands, idCol,
+        reliableCheckpoint)
     } finally release()
   }
+
+  /** [[probeBandIndex]]'s core over an ALREADY-banded (persisted)
+    * batch frame and its collected band literals — shared with
+    * [[resolveAtIngest]], which bands its delivery once and reuses
+    * the rows for the winner append. Returns the checkpointed
+    * (idCol, index_id) verdicts. */
+  private def probeBanded(spark: org.apache.spark.sql.SparkSession,
+      table: String, bandedDf: DataFrame, bands: Seq[Any], idCol: String,
+      reliableCheckpoint: Boolean): DataFrame =
+    if (bands.isEmpty)  // empty batch: nothing to probe (an empty
+      // isin() folds the scan away, so there is no plan to pin; the
+      // catalog check above still rejected a mis-built table)
+      bandedDf.select(col(idCol), col(idCol).as("index_id")).limit(0)
+        .localCheckpoint(true)
+    else {
+      // tombstoned docs (superseded by resolve-at-ingest, or taken
+      // down via deleteFromIndex) are dead to probes IMMEDIATELY —
+      // excluded above the pruned scan, the vector families'
+      // contract; compactBandIndex reclaims them physically
+      val pruned = Similarity.liveRows(spark, table,
+        spark.table(table).filter(col("band").isin(bands: _*))
+          .select(col(idCol).as("index_id"), col("band")),
+        "index_id")
+      val out = pruned
+        .join(broadcast(bandedDf.select(col(idCol), col("band"))),
+          Seq("band"))
+        .filter(col("index_id") =!= col(idCol))
+        .select(col(idCol), col("index_id"))
+        .distinct()
+      compileAndPinBucketedScan(spark, out, table, reliableCheckpoint)
+    }
 
   /** Idempotently append a new batch's bands to a [[buildBandIndex]]
     * table: at-least-once delivery, exactly-once table effect (the
@@ -685,6 +697,7 @@ object Dedup {
       idCol: String, k: Int = 6, bandWidth: Int = 2, shingleSize: Int = 3,
       buckets: Int = 32, maxBatchBands: Int = 1 << 20): Unit = {
     val spark = batch.sparkSession
+    DriverBounded.labeled(spark, s"appendToBandIndex:$table") {
     // a tombstoned doc id cannot re-enter until compacted: its OLD
     // bands are still physically present, so the idempotence anti-join
     // would absorb the same-band rows and the next compact would strip
@@ -696,7 +709,9 @@ object Dedup {
     val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
       bandWidth, shingleSize, maxBatchBands, "appendToBandIndex")
     try {
-      val (bandedDf, bands, ids) = (banded._1, banded._2, banded._3)
+      val bandedDf = banded._1
+      val ids = banded._2.map(_.get(0)).distinct.toSeq
+      val bands = banded._2.map(_.get(1)).distinct.toSeq
       // same pinning as the probe: the idempotence lookup must
       // bucket-prune (asserted) and is checkpointed so the anti-join
       // derives from batch-proportional rows, not from the table
@@ -718,6 +733,7 @@ object Dedup {
       }
     } finally release()
     spark.catalog.refreshTable(table)
+    }
   }
 
   private val bandConfLock = new Object
@@ -744,12 +760,14 @@ object Dedup {
   /** Shared probe/append scaffolding: the batch banded once (persisted
     * — the collected literals must be the exact rows the joins later
     * see, cf. Similarity.freshIndexRows' non-determinism note), its
-    * band and id literal sets collected under the `maxBatchBands`
-    * bound. Returns ((banded, bands, ids), release). */
+    * (id, band) rows collected under the `maxBatchBands` bound.
+    * Returns ((banded, rows), release) — callers derive their id/band
+    * literal sets from the rows (resolve-at-ingest additionally
+    * filters them to the delivery's winners, driver-side). */
   private def freshBatchBands(batch: DataFrame, textCol: String,
       idCol: String, k: Int, bandWidth: Int, shingleSize: Int,
       maxBatchBands: Int, context: String)
-      : ((DataFrame, Seq[Any], Seq[Any]), () => Unit) = {
+      : ((DataFrame, Array[org.apache.spark.sql.Row]), () => Unit) = {
     val banded = lshBands(
       minHashSignatures(batch.dropDuplicates(Seq(idCol)), textCol, idCol,
         k, shingleSize),
@@ -758,9 +776,7 @@ object Dedup {
       s"$context: micro-batch exceeds maxBatchBands $maxBatchBands (the " +
         "batch's bands become planning-time point-lookup literals); " +
         "split the batch or raise the bound deliberately")
-    val ids = rows.map(_.get(0)).distinct.toSeq
-    val bands = rows.map(_.get(1)).distinct.toSeq
-    ((banded, bands, ids), () => { banded.unpersist(blocking = false); () })
+    ((banded, rows), () => { banded.unpersist(blocking = false); () })
   }
 
   /** Compile `df`'s physical plan with the auto-bucketed-scan
@@ -993,7 +1009,8 @@ object Dedup {
   private def compactBucketedTable(
       spark: org.apache.spark.sql.SparkSession, table: String,
       bucketCol: String, buckets: Int,
-      transform: DataFrame => DataFrame, afterSwap: () => Unit): Unit = {
+      transform: DataFrame => DataFrame, afterSwap: () => Unit): Unit =
+      DriverBounded.labeled(spark, s"compactBucketedTable:$table") {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val stagingIdent = ident.copy(table = ident.table + "__compact_stage")
     val staging = stagingIdent.unquotedString
@@ -1126,10 +1143,14 @@ object Dedup {
       // one corpus-score scan, broadcast-semi-joined by the verdict
       // pairs — the corpus-sized side shuffles nothing, but IS read
       // once per call; fine one-shot, per-delivery use wants
-      // [[ingestResolveNearDupsIndexed]]
-      withBatch => indexScores
+      // [[ingestResolveNearDupsIndexed]]. The corpus side must stream
+      // (broadcast build = the batch pairs), so coverage cannot ride
+      // the join as a left-outer guard — the core runs its separate
+      // uncovered probe for this form.
+      (_, withBatch) => indexScores
         .select(col(idCol).as("index_id"), col(scoreCol).as("__is"))
         .join(broadcast(withBatch), Seq("index_id")),
+      coverageGuarded = false,
       _ => (), "the indexScores frame argument",
       k, bandWidth, shingleSize, buckets, maxBatchBands,
       maxPendingTombstones)
@@ -1153,111 +1174,237 @@ object Dedup {
       maxBatchBands: Int = 1 << 20,
       maxPendingTombstones: Int = 1 << 20): DataFrame =
     resolveAtIngest(spark, table, batch, textCol, idCol, scoreCol,
-      withBatch => {
+      (verdicts, withBatch) => {
+        // probe by the VERDICT rows' candidate ids (same key set as
+        // withBatch — every verdict id is a batch id — without paying
+        // the batch broadcast inside the probe's own collect), then a
+        // batch-grain LEFT join whose __is projection carries the
+        // coverage guard in-row: an uncovered candidate fails the
+        // pairs checkpoint itself, not a separate probe job
         val scored = probeKeyedTable(spark, scoreTable,
-          withBatch.select(col("index_id").as(idCol)), idCol)
+          verdicts.select(col("index_id").as(idCol)), idCol)
         withBatch.join(
           broadcast(scored.select(col(idCol).as("index_id"),
             col(scoreCol).as("__is"))),
-          Seq("index_id"))
+          Seq("index_id"), "left")
+          .withColumn("__is", when(col("__is").isNull,
+            raise_error(concat(
+              lit("ingestResolveNearDups: index doc id "),
+              col("index_id").cast("string"),
+              lit(s" has no row in the persisted score table " +
+                s"$scoreTable — " + CoverageGuardWhy))))
+            .otherwise(col("__is")))
       },
+      coverageGuarded = true,
       winners => appendToKeyedTable(
         winners.select(col(idCol), col(scoreCol)), scoreTable, idCol),
       s"the persisted score table $scoreTable",
       k, bandWidth, shingleSize, buckets, maxBatchBands,
       maxPendingTombstones)
 
+  /** Why score coverage is a hard contract — shared by the in-row
+    * guard (indexed form) and the separate probe (frame form). */
+  private val CoverageGuardWhy =
+    "scores must cover every index doc; an uncovered candidate " +
+      "would be silently dropped from resolution (vacuous batch win, " +
+      "candidate never tombstoned)"
+
   /** The shared resolve-at-ingest core: `attachScores` turns the
-    * (idCol, index_id, __bs) verdict×batch frame into pairs carrying
-    * `__is` (the candidate's score) — batch-proportional in, batch-
-    * proportional out; `onWinners` runs after the winner append for
-    * score-side maintenance. `scoreSource` names the caller's score
-    * side in the coverage-guard failure, so incident triage reads
-    * which side actually lacked the candidate's score (the frame
-    * argument vs the persisted score table). */
+    * checkpointed verdicts + the (idCol, index_id, __bs) verdict×batch
+    * frame into pairs carrying `__is` (the candidate's score) — batch-
+    * proportional in, batch-proportional out; `coverageGuarded` says
+    * whether the caller's join carries the in-row coverage guard (the
+    * indexed form) or the core must run its separate uncovered probe
+    * (the frame form, whose corpus-sized score scan cannot take a
+    * batch-preserving outer join); `onWinners` runs after the winner
+    * append for score-side maintenance. `scoreSource` names the
+    * caller's score side in the coverage-guard failure, so incident
+    * triage reads which side actually lacked the candidate's score.
+    *
+    * Per-delivery job shape (measured r22, guide §1.2): the batch is
+    * banded ONCE — the probe and the winner append previously each ran
+    * their own minhash pipeline + driver collect — the winner ids come
+    * from one bounded collect over the checkpointed resolution rows
+    * (their band literals are a driver-side subset of the banding
+    * collect), the coverage guard rides the pairs checkpoint, and the
+    * pending-tombstone cap is enforced by one post-append limit probe
+    * of the tombstone table alone (bounding the probe broadcast at
+    * maxPendingTombstones + one batch) instead of a second evaluation
+    * of the tombstone anti-join under a union. */
   private def resolveAtIngest(spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, textCol: String, idCol: String,
-      scoreCol: String, attachScores: DataFrame => DataFrame,
+      scoreCol: String,
+      attachScores: (DataFrame, DataFrame) => DataFrame,
+      coverageGuarded: Boolean,
       onWinners: DataFrame => Unit, scoreSource: String, k: Int,
       bandWidth: Int, shingleSize: Int, buckets: Int,
-      maxBatchBands: Int, maxPendingTombstones: Int): DataFrame = {
+      maxBatchBands: Int, maxPendingTombstones: Int): DataFrame =
+      DriverBounded.labeled(spark, s"resolveAtIngest:$table") {
     val tomb = tombstoneTable(table)
     if (!spark.catalog.tableExists(tomb))
       spark.table(table).select(col(idCol)).limit(0)
         .write.saveAsTable(tomb)
-    // tombstone exclusion lives INSIDE probeBandIndex (one read per
-    // delivery, shared with ad-hoc probes) — verdicts arrive already
-    // filtered to live index docs
-    val verdicts = probeBandIndex(spark, table, batch, textCol, idCol,
-      k, bandWidth, shingleSize, maxBatchBands)
-    // the per-pair frame checkpoints batch-proportional rows so
-    // resolution, tombstoning, and the winner append all replan from
-    // them (never from the score side, never from the mutating tables)
-    val withBatch = verdicts.join(
-      broadcast(batch.select(col(idCol), col(scoreCol).as("__bs"))),
-      Seq(idCol))
-    val pairs = attachScores(withBatch)
-      .select(col(idCol), col("index_id"), col("__bs"), col("__is"))
-      .localCheckpoint(true)
-    // coverage guard: every candidate id the probe surfaced must have
-    // come back with a score — the inner join above silently DROPS an
-    // uncovered candidate, which would hand its batch doc a vacuous
-    // win and never tombstone the candidate. Both frames here are
-    // checkpointed batch-proportional rows, so the anti-join is
-    // micro-batch-grain; limit(1) keeps the failure probe driver-cheap.
-    val uncovered = verdicts.select(col("index_id"))
-      .join(pairs.select(col("index_id")), Seq("index_id"), "left_anti")
-      .limit(1).collect()
-    require(uncovered.isEmpty,
-      s"ingestResolveNearDups: index doc id ${uncovered.headOption
-          .map(_.get(0)).getOrElse("")} has no row in $scoreSource — " +
-        "scores must cover every index doc; an uncovered candidate " +
-        "would be silently dropped from resolution (vacuous batch win, " +
-        "candidate never tombstoned)")
-    val beats = col("__bs") > col("__is") ||
-      (col("__bs") === col("__is") && col(idCol) < col("index_id"))
-    val byDoc = pairs.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n"),
-        (min(when(beats, 1).otherwise(0)) === 1).as("__wins"))
-    val resolved = batch.select(col(idCol))
-      .join(broadcast(byDoc), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_candidates"),
-        coalesce(col("__wins"), lit(true)).as("kept"),
-        when(coalesce(col("__wins"), lit(true)),
-          coalesce(col("__n"), lit(0L))).otherwise(lit(0L))
-          .as("n_superseded"))
-      .localCheckpoint(true)
-    val superseded = pairs
-      .join(broadcast(byDoc.filter(col("__wins")).select(col(idCol))),
-        Seq(idCol), "left_semi")
-      .select(col("index_id").as(idCol)).distinct()
-    val freshTombs = superseded
-      .join(spark.table(tomb), Seq(idCol), "left_anti")
-    // tombstones broadcast into every probe (probeBandIndex's
-    // exclusion anti-join), so the pending set must stay
-    // configuration-sized — the deleteFromIndex invariant, applied to
-    // supersede tombstones too: refuse loudly with direction instead
-    // of growing the probe broadcast unboundedly under a slow
-    // compaction cadence
-    require(!DriverBounded.exceeds(
-        spark.table(tomb).select(col(idCol)).union(freshTombs),
-        maxPendingTombstones),
-      s"ingestResolveNearDups: pending deletes for $table would " +
-        s"exceed $maxPendingTombstones — supersede tombstones " +
-        "broadcast into every probe, so they must stay " +
-        "configuration-sized; run compactBandIndex to apply and clear " +
-        "them, or raise maxPendingTombstones deliberately")
-    freshTombs.write.mode("append").saveAsTable(tomb)
-    spark.catalog.refreshTable(tomb)
-    val winners = batch.join(
-      broadcast(resolved.filter(col("kept")).select(col(idCol))),
-      Seq(idCol), "left_semi")
-    appendToBandIndex(winners, table, textCol, idCol, k, bandWidth,
-      shingleSize, buckets, maxBatchBands)
-    onWinners(winners)
-    resolved
+    requireBandBucketedTable(spark, table, "resolveAtIngest")
+    // ONE banding pass per delivery, shared by the probe and the
+    // winner append (guide §1.2 — the two used to band independently)
+    val (banded, release) = freshBatchBands(batch, textCol, idCol, k,
+      bandWidth, shingleSize, maxBatchBands, "resolveAtIngest")
+    try {
+      val bandedDf = banded._1
+      val bandRows = banded._2
+      val bands = bandRows.map(_.get(1)).distinct.toSeq
+      // tombstone exclusion lives INSIDE the probe (one read per
+      // delivery, shared with ad-hoc probes) — verdicts arrive already
+      // filtered to live index docs
+      val verdicts = probeBanded(spark, table, bandedDf, bands, idCol,
+        reliableCheckpoint = false)
+      // the per-pair frame checkpoints batch-proportional rows so
+      // resolution, tombstoning, and the winner append all replan from
+      // them (never from the score side, never from the mutating
+      // tables); an in-row coverage guard (indexed form) surfaces
+      // through this checkpoint and is rethrown as the operator's own
+      // loud contract failure
+      val withBatch = verdicts.join(
+        broadcast(batch.select(col(idCol), col(scoreCol).as("__bs"))),
+        Seq(idCol))
+      val pairs = materializeWithCoverageGuard(
+        attachScores(verdicts, withBatch)
+          .select(col(idCol), col("index_id"), col("__bs"), col("__is")))
+      if (!coverageGuarded) {
+        // frame form: every candidate id the probe surfaced must have
+        // come back with a score — the inner join silently DROPS an
+        // uncovered candidate. Both frames are checkpointed batch-
+        // proportional rows; limit(1) keeps the probe driver-cheap.
+        val uncovered = verdicts.select(col("index_id"))
+          .join(pairs.select(col("index_id")), Seq("index_id"),
+            "left_anti")
+          .limit(1).collect()
+        require(uncovered.isEmpty,
+          s"ingestResolveNearDups: index doc id ${uncovered.headOption
+              .map(_.get(0)).getOrElse("")} has no row in " +
+            s"$scoreSource — " + CoverageGuardWhy)
+      }
+      val beats = col("__bs") > col("__is") ||
+        (col("__bs") === col("__is") && col(idCol) < col("index_id"))
+      val byDoc = pairs.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n"),
+          (min(when(beats, 1).otherwise(0)) === 1).as("__wins"))
+      val resolvedPlan = batch.select(col(idCol))
+        .join(broadcast(byDoc), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__n"), lit(0L)).as("n_candidates"),
+          coalesce(col("__wins"), lit(true)).as("kept"),
+          when(coalesce(col("__wins"), lit(true)),
+            coalesce(col("__n"), lit(0L))).otherwise(lit(0L))
+            .as("n_superseded"))
+      // the resolution is batch-grain — one row per batch doc, bounded
+      // by the banding collect's own cap — so it comes back as ONE
+      // bounded collect and re-enters as a LocalRelation: the returned
+      // frame, the winner id literals, and the tombstone-skip decision
+      // all read the same driver rows (the old shape paid a checkpoint
+      // job plus a winner-collect job per delivery for the same data)
+      val resolvedRows = DriverBounded.collectCapped(resolvedPlan,
+        maxBatchBands,
+        "resolveAtIngest: resolution rows exceed maxBatchBands")
+      val resolved = spark.createDataFrame(
+        java.util.Arrays.asList(resolvedRows: _*), resolvedPlan.schema)
+      val winnerIds = resolvedRows.filter(_.getBoolean(2))
+        .map(_.get(0)).toSeq
+      val winnerIdSet = winnerIds.toSet
+      val winnerBands = bandRows
+        .filter(r => winnerIdSet.contains(r.get(0)))
+        .map(_.get(1)).distinct.toSeq
+      // tombstones: superseded index docs awaiting the next compact.
+      // Skipped entirely when no winner had a candidate (nothing can
+      // be superseded). The side table is self-describing — its stored
+      // id column name is authoritative (a tomb first stamped by
+      // deleteFromIndex may carry a different name than idCol), so the
+      // anti-join renames it in and the append renames back out.
+      if (resolvedRows.exists(r => r.getBoolean(2) && r.getLong(1) > 0)) {
+        val tombT = spark.table(tomb)
+        val storedId = tombT.columns.head
+        val freshTombs = pairs
+          .join(broadcast(byDoc.filter(col("__wins")).select(col(idCol))),
+            Seq(idCol), "left_semi")
+          .select(col("index_id").as(idCol)).distinct()
+          .join(tombT.select(col(storedId).as(idCol)), Seq(idCol),
+            "left_anti")
+        freshTombs.select(col(idCol).as(storedId))
+          .write.mode("append").saveAsTable(tomb)
+        spark.catalog.refreshTable(tomb)
+        // tombstones broadcast into every probe (the exclusion
+        // anti-join), so the pending set must stay configuration-sized
+        // — the deleteFromIndex invariant applied to supersede
+        // tombstones: refuse loudly with direction instead of growing
+        // the probe broadcast unboundedly under a slow compaction
+        // cadence. Enforced by one limit probe of the table AFTER the
+        // append (bound: maxPendingTombstones + one batch) — the
+        // pre-append union form paid a second evaluation of the
+        // anti-join every delivery.
+        require(!DriverBounded.exceeds(
+            spark.table(tomb), maxPendingTombstones),
+          s"ingestResolveNearDups: pending deletes for $table " +
+            s"exceed $maxPendingTombstones — supersede tombstones " +
+            "broadcast into every probe, so they must stay " +
+            "configuration-sized; run compactBandIndex to apply and " +
+            "clear them, or raise maxPendingTombstones deliberately")
+      }
+      if (winnerIds.nonEmpty) {
+        val winners = batch.filter(col(idCol).isin(winnerIds: _*))
+        // a winner that was itself superseded THIS delivery (a batch
+        // doc whose id is also an index doc another winner beat) must
+        // not re-enter until compacted — same guard as the standalone
+        // append path
+        Similarity.requireNotTombstoned(spark, table, winners, idCol,
+          "appendToBandIndex")
+        // idempotence check over the winners' own (band, id) literals,
+        // pinned to bucket-prune exactly like the standalone append;
+        // fresh bands come from the SAME persisted banding the probe
+        // used (deterministic pipeline, so a replayed winner finds its
+        // identical bands and appends nothing)
+        val existing = compileAndPinBucketedScan(spark,
+          spark.table(table)
+            .filter(col("band").isin(winnerBands: _*) &&
+              col(idCol).isin(winnerIds: _*))
+            .select(col(idCol)),
+          table, reliable = false, "appendToBandIndex")
+        val fresh = bandedDf.filter(col(idCol).isin(winnerIds: _*))
+          .join(existing, Seq(idCol), "left_anti")
+          .select(col(idCol), col("band"))
+        withAutoBucketedScanOff(spark) {
+          fresh.repartition(buckets, col("band")).write
+            .bucketBy(buckets, "band")
+            .mode("append")
+            .saveAsTable(table)
+        }
+        spark.catalog.refreshTable(table)
+        onWinners(winners)
+      }
+      resolved
+    } finally release()
   }
+
+  /** Materialize the pairs frame, surfacing an in-row coverage-guard
+    * raise_error (which arrives wrapped in the job failure) as the
+    * operator's own IllegalArgumentException with the directed
+    * message — the failure ergonomics of the old separate probe, at
+    * zero extra jobs. */
+  private def materializeWithCoverageGuard(df: DataFrame): DataFrame =
+    try df.localCheckpoint(true) catch {
+      case e: Throwable =>
+        val directed = Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(20)
+          .map(t => String.valueOf(t.getMessage))
+          .find(_.contains("ingestResolveNearDups: index doc id"))
+        directed match {
+          case Some(m) =>
+            val msg = m.substring(
+              m.indexOf("ingestResolveNearDups: index doc id"))
+            throw new IllegalArgumentException(msg, e)
+          case None => throw e
+        }
+    }
+
 
   // ---- Key-bucketed side tables: the band-index device generalized
   // to POINT lookups. A streamed ingest flow must answer corpus-grain
@@ -1351,6 +1498,7 @@ object Dedup {
   def appendToKeyedTable(batch: DataFrame, table: String, keyCol: String,
       maxKeys: Int = 1 << 20, joinFormThreshold: Int = 1 << 16): Unit = {
     val spark = batch.sparkSession
+    DriverBounded.labeled(spark, s"appendToKeyedTable:$table") {
     val buckets = requireKeyBucketedTable(spark, table, keyCol,
       "appendToKeyedTable")
     val b = batch.persist()
@@ -1426,6 +1574,43 @@ object Dedup {
         spark.catalog.refreshTable(table)
       }
     } finally { b.unpersist(blocking = false); () }
+    }
+  }
+
+  /** [[appendToKeyedTable]] for a batch whose key set was ALREADY
+    * probed this delivery: `probed` must be the [[probeKeyedTable]]
+    * result for a key set COVERING the batch's keys (same table, same
+    * delivery — the per-batch probe the streamed flows run anyway),
+    * and the batch must be key-distinct and null-free BY CONSTRUCTION
+    * (a [[lineHashes]]/distinct product). The append then skips its
+    * own idempotence probe — the anti-join derives from `probed`'s
+    * checkpointed batch-proportional rows — and the guard collects,
+    * so a delivery pays ONE table write and nothing else (guide §1.2:
+    * the probe+append pair was reading the same buckets twice per
+    * micro-batch).
+    *
+    * CONTRACT (loud in the scaladoc because the table's idempotence
+    * depends on it): a key present in the table but MISSING from
+    * `probed` would re-append — exactly-once table effect holds only
+    * when `probed` came from probing a superset of this batch's keys
+    * against this table, after which no other writer touched it (the
+    * single-writer ingest contract). */
+  def appendProbedToKeyedTable(batch: DataFrame, table: String,
+      keyCol: String, probed: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    DriverBounded.labeled(spark, s"appendProbedToKeyedTable:$table") {
+      val buckets = requireKeyBucketedTable(spark, table, keyCol,
+        "appendProbedToKeyedTable")
+      val fresh = batch.join(probed.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
+      withAutoBucketedScanOff(spark) {
+        fresh.repartition(buckets, col(keyCol)).write
+          .bucketBy(buckets, keyCol)
+          .mode("append")
+          .saveAsTable(table)
+      }
+      spark.catalog.refreshTable(table)
+    }
   }
 
   /** Bucket-pruned point lookups against a [[buildKeyedTable]] table:
@@ -1461,7 +1646,8 @@ object Dedup {
       table: String, keys: DataFrame, keyCol: String,
       maxKeys: Int = 1 << 20,
       reliableCheckpoint: Boolean = false,
-      joinFormThreshold: Int = 1 << 16): DataFrame = {
+      joinFormThreshold: Int = 1 << 16): DataFrame =
+      DriverBounded.labeled(spark, s"probeKeyedTable:$table") {
     val buckets = requireKeyBucketedTable(spark, table, keyCol,
       "probeKeyedTable")
     val distinctKeys = keys.select(col(keyCol)).distinct()
@@ -1575,7 +1761,8 @@ object Dedup {
     * documents and leaves to its callers). */
   def exactMembershipViaTable(spark: org.apache.spark.sql.SparkSession,
       fpTable: String, batch: DataFrame, textCol: String, idCol: String,
-      bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+      bloom: DataFrame, mBits: Int = 1 << 20, k: Int = 3): DataFrame =
+      DriverBounded.labeled(spark, s"exactMembershipViaTable:$fpTable") {
     val keyed = batch.select(col(idCol), md5(col(textCol)).as("fp"))
     val probed = probeBloom(keyed, "fp", idCol, bloom, mBits, k)
       .localCheckpoint(true)

@@ -47,4 +47,20 @@ object DriverBounded {
       s"exceeds: cap must be in [1, ${Int.MaxValue - 1}], got $cap")
     df.limit(cap + 1).count() > cap
   }
+
+  /** Run `body` with the thread's Spark job description set to
+    * `graft:<op>` (restored afterwards) — the optimization guide §1.5
+    * discipline applied INSIDE the per-delivery operators, whose many
+    * small jobs otherwise all inherit the caller's (or the streaming
+    * micro-batch's) one banner and cannot be told apart in the UI or
+    * a listener. Descriptions are thread-local, so concurrent
+    * deliveries label independently. */
+  def labeled[T](spark: org.apache.spark.sql.SparkSession, op: String)
+      (body: => T): T = {
+    val sc = spark.sparkContext
+    val key = "spark.job.description"
+    val old = sc.getLocalProperty(key)
+    sc.setJobDescription(s"graft:$op")
+    try body finally sc.setLocalProperty(key, old)
+  }
 }

@@ -191,7 +191,9 @@ object StatsStore {
     * cheap at any corpus size and never touches the rest of the
     * store. */
   def writeDelivery(path: String, deliveryId: String,
-      stats: DataFrame): Unit = {
+      stats: DataFrame): Unit =
+      DriverBounded.labeled(stats.sparkSession,
+        s"statsStore.writeDelivery:$deliveryId") {
     requireDeliveryId(deliveryId)
     require(!stats.columns.contains("delivery_id"),
       "StatsStore: the stats frame must not carry a delivery_id " +
@@ -256,7 +258,8 @@ object StatsStore {
     * otherwise, read at every [[writeDelivery]]) via its own staged,
     * self-healing swap. */
   def compact(spark: SparkSession, path: String,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String]): Unit =
+      DriverBounded.labeled(spark, s"statsStore.compact") {
     completeInterruptedCompact(spark, path)
     val ids = partitionIds(spark, path, committedOnly = true)
     if (ids.isEmpty || ids == Seq(BasePartition)) return

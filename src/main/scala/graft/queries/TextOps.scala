@@ -790,11 +790,14 @@ object TextOps {
         val s3 = s2.join(nd.select("doc_id").distinct(), Seq("doc_id"),
           "left_anti").select("doc_id", "domain")
         // idempotent accumulation via the keyed appends' bucket-pruned
-        // anti-joins (verdicts first, then the curl index; each append
-        // persists + materializes its batch before writing)
+        // anti-joins (verdicts first, then the curl index). The curl
+        // append reuses THIS batch's `seen` probe as its idempotence
+        // set: the probe covered every batch curl (s1all ⊇ s1), so the
+        // probe+append pair stops reading the same buckets twice per
+        // delivery (guide §1.2)
         Dedup.appendToKeyedTable(s3, sinkTbl, "doc_id")
-        Dedup.appendToKeyedTable(s1.select(col("curl")).distinct(),
-          curlTbl, "curl")
+        Dedup.appendProbedToKeyedTable(
+          s1.select(col("curl")).distinct(), curlTbl, "curl", seen)
         s1.unpersist()
         ()
       }.trigger(Trigger.AvailableNow()).start()
@@ -1901,11 +1904,14 @@ object TextOps {
     import org.apache.spark.sql.streaming.Trigger
     val loc = graft.sources.Scratch.dir(tag, d)
     val lmStore = s"$loc/lmstore"
+    // persisted: the count + four slice writes + replay write are six
+    // consumers of the same scan (guide §5); released after the writes
     val planted = Tables.documents(s, d).withColumn("text",
       when(col("doc_id") % 50 === 0,
         concat(lit("subscribe to our newsletter\ncookie policy\n"),
           col("text"))).otherwise(col("text")))
       .select("doc_id", "text")
+      .persist()
     val n = planted.count()
     val bounds = Seq(n / 4, n / 2, 3 * n / 4)
     val slices = Seq(
@@ -1931,6 +1937,7 @@ object TextOps {
     slices.zipWithIndex.foreach { case (df, i) =>
       writeSlice(df, s"slice-$i", mt0 + i * 60000L) }
     writeSlice(slices(1), "slice-4-replay", mt0 + 4 * 60000L)
+    planted.unpersist(blocking = false)
     // the accumulating clean table and line-hash index are keyed
     // tables (the d55 device): the strip probes the line index
     // bucket-pruned by THIS slice's hashes — exactly the
@@ -1963,16 +1970,35 @@ object TextOps {
         "line_hash")
       val stripped = Dedup.stripDuplicatedLinesVsIndex(
         kept, "text", "doc_id", seen)
-      val untouched = kept
-        .join(stripped.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text").as("clean_text"))
-      val clean = untouched.unionByName(
-        stripped.filter(col("clean_text") =!= "")
-          .select(col("doc_id"), col("clean_text")))
-      // idempotent accumulation via the keyed appends' bucket-pruned
-      // anti-joins (each persists + materializes before writing)
+      // one LEFT join instead of anti-join ∪ union (the old shape's
+      // plan contained the whole strip subtree TWICE — once pruned to
+      // doc_id for the anti-join, once for the union branch — so each
+      // delivery evaluated the strip pipeline ~2x; row-identical:
+      // unaffected docs keep their text, affected non-husk docs take
+      // clean_text, all-boilerplate husks drop)
+      val cleanPlan = kept
+        .join(stripped.select(col("doc_id"), col("clean_text")),
+          Seq("doc_id"), "left")
+        .filter(col("clean_text").isNull || col("clean_text") =!= "")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), col("text")).as("clean_text"))
+      // with the stats partial (w14) the clean rows have TWO consumers
+      // (the append and the lmStats partial), so checkpoint once per
+      // delivery — without this the gate+strip pipeline re-ran per
+      // consumer (measured r22: writeDelivery re-evaluated the whole
+      // strip after the append released its internal persist; guide
+      // §5's reused-branch discipline at batch grain). w09's single
+      // consumer (the append, which persists internally) needs no
+      // extra materialization.
+      val clean =
+        if (maintainLmStats) cleanPlan.localCheckpoint(true) else cleanPlan
+      // idempotent accumulation: the clean append probes its sink
+      // (first-delivery idempotence); the line-hash append reuses THIS
+      // batch's `seen` probe as its idempotence set — the probe+append
+      // pair was reading the same buckets twice per delivery
       Dedup.appendToKeyedTable(clean, cleanTbl, "doc_id")
-      Dedup.appendToKeyedTable(batchHashes, lineTbl, "line_hash")
+      Dedup.appendProbedToKeyedTable(batchHashes, lineTbl, "line_hash",
+        seen)
       if (maintainLmStats) {
         // content-keyed delivery identity: the slice's quartile class
         val cls = graft.operators.DriverBounded.collectCapped(
