@@ -1060,6 +1060,9 @@ object Dedup {
       spark.sql(s"ALTER TABLE $staging RENAME TO ${ident.unquotedString}")
       Similarity.dropTableAndLocation(spark, backup)
       afterSwap()
+      // the rewrite preserves stamps and rows, but conservatively drop
+      // the table's serving-identity cache with the files it replaced
+      Similarity.invalidateServingIdentity(table)
     }
     spark.catalog.refreshTable(table)
   }

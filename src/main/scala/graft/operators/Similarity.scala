@@ -374,6 +374,9 @@ object Similarity {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    // every rebuild routes through this drop: the dropped table's
+    // serving-identity cache entries die with it
+    invalidateServingIdentity(table)
   }
 
   /** Serving-guard table properties, stamped at build/append time so
@@ -419,6 +422,7 @@ object Similarity {
     * differing below print precision still differ here. */
   private[graft] def codebookFingerprint(centroids: DataFrame,
       idCol: String, maxCentroids: Int = 4096): (String, Int) = {
+    servingIdentityDerivations.incrementAndGet()
     val rows = DriverBounded.collectCapped(
       centroids.select(col(idCol), col("v")).orderBy(col(idCol)),
       maxCentroids,
@@ -445,6 +449,101 @@ object Similarity {
       md.update(';'.toByte)
     }
     (md.digest().map("%02x".format(_)).mkString, widths.head)
+  }
+
+  // ---- Serving-identity session cache (guide §1.2; VERDICT r21 #2).
+  // A serving loop hands the SAME codebook frame to every external
+  // probe, and the per-probe identity work — fingerprinting the handed
+  // centroids (one bounded driver job) and reloading a PQ index's
+  // persisted codebooks (another) — re-derives values that cannot
+  // change between index-maintenance events. Cache both, keyed so a
+  // hit is provably the same question: the fingerprint by (table,
+  // canonicalized centroid plan), RE-VALIDATED against the table's
+  // stamped fingerprint at every hit (a rebuild under a retrained
+  // codebook re-stamps, so stale entries fail the validation and
+  // recompute); the PQ codebooks by table, invalidated by every
+  // build/drop/compact under the engine's one shared lock. Appends
+  // need no invalidation: their own fingerprint guard refuses a
+  // drifted codebook, so a stamp-validated hit stays exact across
+  // them. The residual assumption is the codebook-identity contract
+  // itself — a centroid frame handed to a probe is deterministic
+  // between maintenance events (retraining is a rebuild, which
+  // re-stamps and invalidates).
+
+  private val servingFingerprints =
+    scala.collection.mutable.Map.empty[
+      (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      (String, Int)]
+  private val servingCodebooks =
+    scala.collection.mutable.Map.empty[String, Seq[Seq[Array[Float]]]]
+  private val ServingCacheCap = 256
+
+  /** Count of serving-identity DERIVATIONS actually run (fingerprint
+    * collects + codebook-table reads) — the observable the cache spec
+    * pins: a repeat probe must not move it. */
+  private[graft] val servingIdentityDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop `table`'s serving-identity entries — called by every
+    * build/drop/compact path, under the shared engine lock. */
+  private[graft] def invalidateServingIdentity(table: String): Unit =
+    Dedup.withBandLock {
+      servingFingerprints.filterInPlace { case ((t, _), _) => t != table }
+      servingCodebooks.remove(table)
+      ()
+    }
+
+  /** [[codebookFingerprint]] behind the serving cache: a hit — same
+    * table, same canonicalized centroid plan, stamped fingerprint
+    * unchanged (or table unstamped) — runs ZERO Spark jobs
+    * (spec-pinned); a miss computes, stores, and returns. */
+  private def cachedCodebookFingerprint(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      centroids: DataFrame, idCol: String): (String, Int) = {
+    val plan = centroids.queryExecution.analyzed.canonicalized
+    val stamped = tableProp(spark, table, CodebookProp)
+    Dedup.withBandLock(servingFingerprints.get((table, plan)))
+      .filter { case (fp, _) => stamped.forall(_ == fp) }
+      .getOrElse {
+        val computed = codebookFingerprint(centroids, idCol)
+        Dedup.withBandLock {
+          if (servingFingerprints.size >= ServingCacheCap)
+            servingFingerprints.clear()
+          servingFingerprints((table, plan)) = computed
+        }
+        computed
+      }
+  }
+
+  /** [[loadPqCodebooks]] behind the serving cache (by table; dropped
+    * on build/drop/compact): the second probe of a session pays no
+    * codebook-table read. */
+  private def cachedPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[Seq[Array[Float]]] =
+    Dedup.withBandLock(servingCodebooks.get(table)).getOrElse {
+      val cbs = loadPqCodebooks(spark, table)
+      Dedup.withBandLock {
+        if (servingCodebooks.size >= ServingCacheCap)
+          servingCodebooks.clear()
+        servingCodebooks(table) = cbs
+      }
+      cbs
+    }
+
+  /** One bounded job guarding BOTH serving-batch bounds — the query
+    * count (the probe side broadcasts, so it must stay
+    * configuration-sized) and every query's vector width (a
+    * wrong-width external query nulls its similarities and silently
+    * returns arbitrary "neighbors") — where the probes used to pay two
+    * driver jobs. Reads at most maxQ+1 (width-mismatch) booleans. */
+  private def requireServingBatch(queries: DataFrame, maxQ: Int,
+      dim: Int, countMsg: => String, dimMsg: => String): Unit = {
+    val bad = queries
+      .select(coalesce(size(col("v")) =!= dim, lit(false)).as("bad"))
+      .limit(maxQ + 1).collect()
+    require(bad.length <= maxQ, countMsg)
+    require(!bad.exists(_.getBoolean(0)), dimMsg)
   }
 
   /** The vector width stored in a table's serving properties, falling
@@ -530,22 +629,19 @@ object Similarity {
       idCol: String, k: Int, maxQueries: Int = 1 << 20,
       probes: Int = 1): DataFrame = {
     require(probes >= 1, s"probeIvfIndexExternal: probes must be >= 1, got $probes")
+    DriverBounded.labeled(spark, s"probeIvfIndexExternal:$table") {
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probeIvfIndexExternal")
     // the serving batch is broadcast as the probe side and its cid set
     // becomes pruning literals — both bounded by contract, so an
-    // oversized batch fails HERE with direction, not with a broadcast
-    // OOM mid-job (the probeVectorStoreExternal bound, same shape)
+    // oversized batch fails with direction, not with a broadcast
+    // OOM mid-job (the probeVectorStoreExternal bound, same shape);
     // the broadcast probe frame is Q x probes rows (each carrying the
-    // query vector) — scale the enforced bound with nprobe, like the
-    // PQ sibling
+    // query vector) — the enforced bound scales with nprobe, like the
+    // PQ sibling. Enforced together with the width guard in ONE
+    // bounded job (requireServingBatch) below, after the widths are
+    // known.
     val maxQueriesAtProbes = math.max(1, maxQueries / probes)
-    require(!DriverBounded.exceeds(queries, maxQueriesAtProbes),
-      s"probeIvfIndexExternal: more than $maxQueriesAtProbes external " +
-        s"queries in one probe at probes=$probes (the probe side " +
-        "broadcasts and its centroid set becomes planning-time " +
-        "literals); split the serving batch or " +
-        "raise maxQueries deliberately")
     // codebook identity guard: the centroids handed to a probe MUST be
     // the codebook the index was built/appended with — a different one
     // assigns queries to buckets the corpus was never partitioned by,
@@ -553,8 +649,10 @@ object Similarity {
     // collect also yields the codebook's width, closing the remaining
     // silent corner: a query that matches the INDEX width but not the
     // CENTROIDS' would be dropped by assignToCentroids and return no
-    // rows with no error.
-    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    // rows with no error. Cached per (table, centroid plan) — a
+    // serving loop's repeat probes run zero fingerprint jobs.
+    val (fp, centDim) = cachedCodebookFingerprint(spark, table,
+      centroids, idCol)
     tableProp(spark, table, CodebookProp).foreach { stamped =>
       require(stamped == fp,
         s"probeIvfIndexExternal: the centroid codebook passed to this " +
@@ -575,11 +673,16 @@ object Similarity {
       s"probeIvfIndexExternal: the centroid codebook's width " +
         s"($centDim) differs from the index's ($idxDim) — not the " +
         "codebook this index was partitioned by")
-    // a wrong-width external query would null every similarity — both
+    // one bounded job enforcing the batch bound AND the width guard (a
+    // wrong-width external query would null every similarity — both
     // its centroid assignment and its in-bucket ranking — and silently
-    // return arbitrary "neighbors"; refuse before the probe job runs
-    val badDim = queries.filter(size(col("v")) =!= idxDim).limit(1).collect()
-    require(badDim.isEmpty,
+    // return arbitrary "neighbors"); refuse before the probe job runs
+    requireServingBatch(queries, maxQueriesAtProbes, idxDim,
+      s"probeIvfIndexExternal: more than $maxQueriesAtProbes external " +
+        s"queries in one probe at probes=$probes (the probe side " +
+        "broadcasts and its centroid set becomes planning-time " +
+        "literals); split the serving batch or " +
+        "raise maxQueries deliberately",
       s"probeIvfIndexExternal: an external query's vector width " +
         s"differs from the index's ($idxDim) — its similarities would " +
         "all be null and the returned neighbors meaningless; encode " +
@@ -610,6 +713,7 @@ object Similarity {
             q, idCol, k),
           table, reliable = false, "probeIvfIndexExternal")
     } finally { q.unpersist(blocking = false); () }
+    }
   }
 
   /** Incrementally extend a persisted [[buildIvfIndex]] table with new
@@ -1231,32 +1335,30 @@ object Similarity {
       s"probeVectorStoreExternal: $table is empty and carries no " +
         s"$DimProp property — no store width to validate serving " +
         "queries against")
-    // loud dim guard: graft_dot yields NULL on mismatched lengths (the
-    // engine-wide zip_with convention — benign for a few bad CORPUS
-    // rows, which sink below every real similarity), but an external
-    // query of the wrong width would null EVERY candidate's similarity
-    // and silently return arbitrary "neighbors" ranked by tiebreak
-    val badDim = queries.filter(size(col("v")) =!= storeDim)
-      .limit(1).collect()
-    require(badDim.isEmpty,
-      s"probeVectorStoreExternal: an external query's vector width " +
-        s"differs from the store's ($storeDim) — its similarities " +
-        "would all be null and the returned neighbors meaningless; " +
-        "encode serving queries with the store's embedding dimension")
     val maxQueries = maxCandidates / shortlist
     require(maxQueries > 0,
       s"probeVectorStoreExternal: shortlist $shortlist exceeds " +
         s"maxCandidates $maxCandidates — even one query would overflow " +
         "the candidate bound; raise maxCandidates deliberately")
+    // one bounded job enforcing the batch bound AND the width guard:
+    // graft_dot yields NULL on mismatched lengths (the engine-wide
+    // zip_with convention — benign for a few bad CORPUS rows, which
+    // sink below every real similarity), but an external query of the
+    // wrong width would null EVERY candidate's similarity and silently
+    // return arbitrary "neighbors" ranked by tiebreak
+    requireServingBatch(queries, maxQueries, storeDim,
+      s"probeVectorStoreExternal: more than $maxQueries queries x " +
+        s"$shortlist shortlist exceeds maxCandidates $maxCandidates; " +
+        "raise maxCandidates deliberately or split the serving batch",
+      s"probeVectorStoreExternal: an external query's vector width " +
+        s"differs from the store's ($storeDim) — its similarities " +
+        "would all be null and the returned neighbors meaningless; " +
+        "encode serving queries with the store's embedding dimension")
     val q = queries
       .withColumn("qvt", slice(col("v"), 1, prefixDims))
       .select(col(idCol).as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("qvt"),
         sqrt(dot(col("qvt"), col("qvt"))).as("qnt"))
-    require(!DriverBounded.exceeds(q, maxQueries),
-      s"probeVectorStoreExternal: more than $maxQueries queries x " +
-        s"$shortlist shortlist exceeds maxCandidates $maxCandidates; " +
-        "raise maxCandidates deliberately or split the serving batch")
     matryoshkaShortlistRerank(spark, store, q, idCol, k, shortlist,
       maxCandidates, "probeVectorStoreExternal")
   }
@@ -1388,6 +1490,7 @@ object Similarity {
   private[graft] def loadPqCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       table: String): Seq[Seq[Array[Float]]] = {
+    servingIdentityDerivations.incrementAndGet()
     val cbt = pqCodebookTable(table)
     val rows = DriverBounded.collectCapped(
       spark.table(cbt).select(col("m"), col("k"), col("cw"))
@@ -1450,23 +1553,23 @@ object Similarity {
       probes: Int = 1): DataFrame = {
     require(probes >= 1,
       s"probePqIndexExternal: probes must be >= 1, got $probes")
+    DriverBounded.labeled(spark, s"probePqIndexExternal:$table") {
     Dedup.requireKeyBucketedTable(spark, table, "cid",
       "probePqIndexExternal")
     // the broadcast probe frame is Q x probes rows, EACH carrying an
     // M x K-double ADC table — the enforced bound must scale with
     // nprobe or a caller inside maxQueries could still blow the
-    // broadcast at high `probes`
+    // broadcast at high `probes` (enforced together with the width
+    // guard in ONE bounded job below)
     val maxQueriesAtProbes = math.max(1, maxQueries / probes)
-    require(!DriverBounded.exceeds(queries, maxQueriesAtProbes),
-      s"probePqIndexExternal: more than $maxQueriesAtProbes external " +
-        s"queries in one probe at probes=$probes (the ADC-table probe " +
-        "side broadcasts at Q x probes x M x K doubles and its " +
-        "centroid set becomes planning-time literals); " +
-        "split the serving batch or raise maxQueries deliberately")
-    val codebooks = loadPqCodebooks(spark, table)
+    // serving-identity reads behind the session cache: the second
+    // probe of a session pays neither the codebook-table read nor the
+    // fingerprint job (spec-pinned)
+    val codebooks = cachedPqCodebooks(spark, table)
     val m = codebooks.size
     val dim = m * codebooks.head.head.length
-    val (fp, centDim) = codebookFingerprint(centroids, idCol)
+    val (fp, centDim) = cachedCodebookFingerprint(spark, table,
+      centroids, idCol)
     tableProp(spark, table, CodebookProp).foreach { stamped =>
       require(stamped == fp,
         s"probePqIndexExternal: the centroid codebook passed to this " +
@@ -1478,8 +1581,12 @@ object Similarity {
       s"probePqIndexExternal: the centroid codebook's width ($centDim) " +
         s"differs from the index's PQ reconstruction width ($dim) — " +
         "not this index's geometry")
-    val badDim = queries.filter(size(col("v")) =!= dim).limit(1).collect()
-    require(badDim.isEmpty,
+    requireServingBatch(queries, maxQueriesAtProbes, dim,
+      s"probePqIndexExternal: more than $maxQueriesAtProbes external " +
+        s"queries in one probe at probes=$probes (the ADC-table probe " +
+        "side broadcasts at Q x probes x M x K doubles and its " +
+        "centroid set becomes planning-time literals); " +
+        "split the serving batch or raise maxQueries deliberately",
       s"probePqIndexExternal: an external query's vector width differs " +
         s"from the index's ($dim) — its ADC table would be meaningless; " +
         "encode serving queries with the index's embedding dimension")
@@ -1508,6 +1615,7 @@ object Similarity {
             q, idCol, m, k, col("cid") === col("qcid")),
           table, reliable = false, "probePqIndexExternal")
     } finally { q.unpersist(blocking = false); () }
+    }
   }
 
   /** Incrementally extend a persisted [[buildPqIndex]] codes table
