@@ -156,8 +156,15 @@ object Dedup {
     val callerCached =
       pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val p = if (callerCached) pairs else pairs.persist()
+    // the edge table (pair-grain — the BIG side at corpus scale) is
+    // repartitioned by the join key ONCE and cached with that layout:
+    // the cached relation claims hashpartitioning(dst), so every
+    // round's neighbor-min join re-shuffles only the LABEL side
+    // (doc-grain) instead of re-exchanging the edge table per round
+    // (guide §2.4 — establish the partitioning once; r22)
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .persist()
     val lblType = pairs.schema(aCol).dataType
     var labels = edges.groupBy("src").agg(min("dst").as("lbl"))

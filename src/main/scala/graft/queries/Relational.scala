@@ -213,18 +213,13 @@ object Relational {
       // Slice cut points are replay scaffolding: the accumulated
       // stream result equals the batch interval join for ANY ascending
       // time cuts (inner joins emit on match and slices stay
-      // time-ordered), so derive them from one min/max aggregate —
-      // O(1) driver memory and one cheap job at any corpus size. The
-      // previous form (distinct().orderBy().collect() of every
-      // timestamp) shipped O(distinct ts) rows to the driver: a full
-      // shuffle + global sort + an unbounded driver hop, in a
-      // declared-query path (optimization guide §5).
-      val mnmx = ordered.agg(
-        min(unix_millis(col("ts"))).as("mn"),
-        max(unix_millis(col("ts"))).as("mx")).collect().head
-      val (mn, mx) = (mnmx.getLong(0), mnmx.getLong(1))
-      val bounds = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
-        mn + 3 * (mx - mn) / 4)
+      // time-ordered), so derive them from min/max aggregates — O(1)
+      // driver memory at any corpus size (the pre-r21 form collected
+      // every distinct timestamp) — with each quarter asserted
+      // non-empty so a degenerate fixture fails loudly instead of
+      // weakening the multi-micro-batch replay (StreamSlices scaladoc).
+      val bounds = StreamSlices.guardedQuarterCuts(ordered,
+        unix_millis(col("ts")), "w06")
       val feed = s"$loc/feed"
       new java.io.File(feed).mkdirs()
       val base = System.currentTimeMillis() - 3600000L
@@ -246,27 +241,29 @@ object Relational {
       }
       val sliceSchema = ordered.schema
       ordered.unpersist(blocking = false)
-      def side(tpe: String, tsName: String, idName: String) =
-        s.readStream.schema(sliceSchema)
-          .option("maxFilesPerTrigger", 1).parquet(feed)
-          .filter(col("event_type") === tpe)
-          .select(col("user_id").as(s"${tpe}_user"),
-            col("ts").as(tsName), col("event_id").as(idName))
-          .withWatermark(tsName, "1 minute")
-      val joined = side("purchase", "p_ts", "p_event_id")
-        .join(side("error", "e_ts", "e_event_id"),
-          col("purchase_user") === col("error_user") &&
-            col("e_ts") >= col("p_ts") &&
-            col("e_ts") <= col("p_ts") + expr("INTERVAL 240 MINUTES"))
-        .select(col("purchase_user").as("user_id"),
-          col("p_event_id"), col("e_event_id"),
-          unix_millis(date_trunc("MILLISECOND", col("p_ts"))).as("p_ms"),
-          unix_millis(date_trunc("MILLISECOND", col("e_ts"))).as("e_ms"))
       // stateful stream: pin the state-partition count deliberately
       // instead of inheriting the batch session's shuffle.partitions
       // (see CdcStream.withStatePartitions — the store-instance count
-      // is partitions x 4 stores x 2 sides x micro-batches)
-      graft.streaming.CdcStream.withStatePartitions(s) {
+      // is partitions x 4 stores x 2 sides x micro-batches). The whole
+      // stream is BUILT on the isolated session the window provides,
+      // so the pin never mutates this query's shared session.
+      graft.streaming.CdcStream.withStatePartitions(s) { ss =>
+        def side(tpe: String, tsName: String, idName: String) =
+          ss.readStream.schema(sliceSchema)
+            .option("maxFilesPerTrigger", 1).parquet(feed)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${tpe}_user"),
+              col("ts").as(tsName), col("event_id").as(idName))
+            .withWatermark(tsName, "1 minute")
+        val joined = side("purchase", "p_ts", "p_event_id")
+          .join(side("error", "e_ts", "e_event_id"),
+            col("purchase_user") === col("error_user") &&
+              col("e_ts") >= col("p_ts") &&
+              col("e_ts") <= col("p_ts") + expr("INTERVAL 240 MINUTES"))
+          .select(col("purchase_user").as("user_id"),
+            col("p_event_id"), col("e_event_id"),
+            unix_millis(date_trunc("MILLISECOND", col("p_ts"))).as("p_ms"),
+            unix_millis(date_trunc("MILLISECOND", col("e_ts"))).as("e_ms"))
         val q = joined.writeStream.format("parquet")
           .option("path", s"$loc/out")
           .option("checkpointLocation", s"$loc/ckpt")

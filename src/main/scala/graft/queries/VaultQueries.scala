@@ -596,15 +596,14 @@ object VaultQueries {
       // Slice boundaries are replay scaffolding (like w04's slice
       // writer): the accumulated vault equals the batch v09 reconcile
       // for ANY ascending ld cuts (the convergence contract), so
-      // derive them from one min/max aggregate — O(1) driver memory
-      // at any corpus size, where the previous
-      // distinct().orderBy().collect() shipped every distinct ld to
-      // the driver through a full shuffle + global sort (guide §5).
-      val mnmx = one.agg(min("ld").as("mn"), max("ld").as("mx"))
-        .collect().head
-      val (mn, mx) = (mnmx.getLong(0), mnmx.getLong(1))
-      val bounds = Seq(mn + (mx - mn) / 4, mn + (mx - mn) / 2,
-        mn + 3 * (mx - mn) / 4)
+      // derive them from min/max aggregates — O(1) driver memory at
+      // any corpus size (the pre-r21 form collected every distinct
+      // ld) — with each quarter asserted non-empty: the
+      // require(batches == 5) below counts NON-EMPTY micro-batches,
+      // so a skew-emptied middle slice would fail it spuriously and
+      // an empty slice 1 would make the replay-absorption claim
+      // vacuous (StreamSlices scaladoc).
+      val bounds = StreamSlices.guardedQuarterCuts(one, col("ld"), "w05")
       val slices = Seq(
         one.filter(col("ld") < bounds(0)),
         one.filter(col("ld") >= bounds(0) && col("ld") < bounds(1)),

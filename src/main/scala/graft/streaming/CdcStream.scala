@@ -39,9 +39,11 @@ object CdcStream {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) => load(batch) }
 
-  /** Run `body` (construct + start + drain a STATEFUL streaming query)
-    * with `spark.sql.shuffle.partitions` pinned to the deliberate
-    * state-partition count, restoring the session conf afterwards.
+  /** Run `body` (construct + start + drain a STATEFUL streaming
+    * query) against an ISOLATED session whose
+    * `spark.sql.shuffle.partitions` is pinned to the deliberate
+    * state-partition count — `body` receives that session and must
+    * build its readStream from it.
     *
     * A stateful operator (stream-stream join, streaming dedup/agg)
     * instantiates state-store instances per shuffle partition per
@@ -57,16 +59,21 @@ object CdcStream {
     * At production scale the knob goes UP deliberately
     * (`SPARK_GRAFT_STREAM_STATE_PARTITIONS`, thousands for a 100 TB
     * join state); the default 8 right-sizes the micro-fixture gates.
-    * Conf-window discipline: the flip covers the stream's planning
-    * (start) and drain only, and the session value is restored even
-    * on failure. */
+    *
+    * Isolation (r21 VERDICT #3): the r21 form set/restored the knob on
+    * the SHARED session, so two streams planning concurrently in one
+    * session could cross-contaminate (and a crash between set and
+    * restore left the batch session mis-sized). `newSession()` shares
+    * the SparkContext and catalog but carries its own SQL conf, so the
+    * pin never touches the caller's session and needs no lock or
+    * restore; concurrent stateful streams each plan under their own
+    * count. */
   def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession)
-      (body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
+      (body: org.apache.spark.sql.SparkSession => T): T = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n)
-    try body finally spark.conf.set(key, old)
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.shuffle.partitions", n)
+    body(isolated)
   }
 
   /** Watermarked tumbling-window counts per key — the standard

@@ -11,6 +11,34 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * streaming gates (VERDICT r21 "Next round" #1/#3), so the before/
   * after evidence for this round is job counts, not just seconds.
   */
+/** Print a query's FINAL (post-execution, AQE-resolved) physical plan
+  * — explain() before execution shows the initial plan, which hides
+  * runtime exchange reuse. Usage:
+  *   Test/runMain graft.R22FinalPlan <q1,q2> [sfDir]
+  */
+object R22FinalPlan {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = R21Tools.benchSession("finalplan")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      // drive the SAME QueryExecution so the adaptive plan resolves:
+      // a noop write would plan its own copy and leave this one initial
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      println(s"=== $name FINAL PLAN ===")
+      println(fin)
+      val flat = graft.plans.PlanWalk.flatten(df.queryExecution.executedPlan)
+      def cnt(p: String) = fin.sliding(p.length).count(_ == p)
+      println(s"[finalplan] $name ShuffleExchange=${cnt("Exchange hashpartitioning")} " +
+        s"ReusedExchange=${cnt("ReusedExchange")} " +
+        s"ShuffleQueryStage=${cnt("ShuffleQueryStage")} nodes=${flat.size}")
+    }
+    spark.stop()
+  }
+}
+
 object R22JobProfile {
   final case class JobRec(id: Int, desc: String, site: String, start: Long,
       var end: Long = -1L)
