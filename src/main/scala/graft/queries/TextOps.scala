@@ -661,7 +661,7 @@ object TextOps {
     // and the batch-side frames persist/checkpoint at each verdict
     // boundary so no stage re-runs an upstream one.
     "p12_curation_capstone" -> ((s, d) => {
-      val (marked, corpus, batch0) = capstoneFixture(s, d)
+      val (marked, corpus, batch0, releaseFixture) = capstoneFixture(s, d)
       // stage 1: URL canonicalize + exact-URL dedup within the batch
       // (pathDiv 40: 2-way recrawl groups over the quarter-batch)
       val s1 = graft.operators.UrlOps.dropUrlDuplicates(
@@ -685,6 +685,7 @@ object TextOps {
           "left_anti")
         .select("doc_id", "domain").localCheckpoint(true)
       s1.unpersist(blocking = false)
+      releaseFixture()
       capstoneFinish(s, d, marked, s3)
     }),
 
@@ -704,7 +705,7 @@ object TextOps {
     "w12_stream_capstone" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val loc = graft.sources.Scratch.dir("w12", d)
-      val (marked, corpus, batch0) = capstoneFixture(s, d)
+      val (marked, corpus, batch0, releaseFixture) = capstoneFixture(s, d)
       val tbl = "graft_bandidx.w12_" +
         new java.io.File(d).getName.replace('.', '_')
       s.sql("CREATE DATABASE IF NOT EXISTS graft_bandidx")
@@ -756,6 +757,7 @@ object TextOps {
           dst.setLastModified(mt0 + i * 60000L)
           ()
         }
+      releaseFixture()
       val stream = s.readStream.schema(batch0.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = graft.streaming.CdcStream.foreachBatchLoader(stream) { b =>
@@ -2128,11 +2130,15 @@ object TextOps {
     * three-quarters, and the batch quarter with the %20 boundary
     * near-copies and %8 exact copies planted (markers first, so the
     * copies carry their source's markers verbatim and exact
-    * membership survives marking). */
+    * membership survives marking). The planted frame — a self-join —
+    * is PERSISTED: corpus and batch0 fan out to every artifact build
+    * (bloom, fingerprint table, band index, URL stage), each of which
+    * would otherwise re-run the self-join (guide §5); callers release
+    * via the returned handle once the artifacts are built. */
   private def capstoneFixture(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val marked = markedDocs(Tables.documents(s, d))
-    val planted = plantBoundaryCopies(marked)
+    val planted = plantBoundaryCopies(marked).persist()
     val corpus = planted.filter(col("doc_id") % 4 =!= 0)
     val neighbor = planted.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("__nt"))
@@ -2142,7 +2148,8 @@ object TextOps {
         when(col("doc_id") % 8 === 0 && col("__nt").isNotNull,
           col("__nt")).otherwise(col("text")))
       .select("doc_id", "text")
-    (marked, corpus, batch0)
+    (marked, corpus, batch0,
+      () => { planted.unpersist(blocking = false); () })
   }
 
   /** The p12/w12 shared capstone mirror (see the p12 oracle comment

@@ -656,13 +656,31 @@ object VaultQueries {
           fk, s.read.parquet(linkPath), s.read.parquet(effPath),
           "FROM_HKEY", "TO_HKEY", "events",
           clock = lit(0L), tieBreak = col("event_id"))
-        // materialize BOTH results before appending: the plans read the
-        // very paths the appends extend
-        val nlC = nl.persist(); val neC = ne.persist()
-        nlC.count(); neC.count()
-        nlC.write.mode("append").parquet(linkPath)
-        neC.write.mode("append").parquet(effPath)
-        nlC.unpersist(); neC.unpersist()
+        // materialize BOTH results before appending (the plans read
+        // the very paths the appends extend) — in ONE action: the two
+        // results ride a tagged union through a single eager
+        // checkpoint, so the shared reconcile subtrees evaluate once
+        // per delivery where the old persist+count pair paid two
+        // jobs with two broadcast builds each (r22, guide §1.2); the
+        // appends below are trivial scans of the checkpointed rows
+        val combined = nl.select(lit(true).as("__l"), col(c.hkey),
+            col(c.loadDate), col(c.recordSource), col("FROM_HKEY"),
+            col("TO_HKEY"), lit(null).cast("string").as(c.hdiff),
+            lit(null).cast("boolean").as(c.deleted))
+          .unionByName(ne.select(lit(false).as("__l"), col(c.hkey),
+            col(c.loadDate), lit(null).cast("string").as(c.recordSource),
+            lit(null).cast("string").as("FROM_HKEY"),
+            lit(null).cast("string").as("TO_HKEY"), col(c.hdiff),
+            col(c.deleted)))
+          .localCheckpoint(true)
+        combined.filter(col("__l"))
+          .select(col(c.hkey), col(c.loadDate), col(c.recordSource),
+            col("FROM_HKEY"), col("TO_HKEY"))
+          .write.mode("append").parquet(linkPath)
+        combined.filter(!col("__l"))
+          .select(col(c.hkey), col(c.hdiff), col(c.loadDate),
+            col(c.deleted))
+          .write.mode("append").parquet(effPath)
         ()
       }.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
